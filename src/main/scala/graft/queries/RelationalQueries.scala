@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational queries over the TPC-H-ish star tables — these exercise
+  * the aggregation/join/window surface of the reference (SURVEY.md
+  * §2.4-2.7) at bench scale. Money math follows the Registry decimal
+  * policy: exact DECIMAL sums, DOUBLE at the edge.
+  */
+object RelationalQueries {
+
+  /** Money columns: exact at 4 dp, wide enough for prices. */
+  private def dec4(c: String) = col(c).cast(DecimalType(12, 4))
+
+  /** Rate columns (discount/tax ∈ [0,1]): narrow so chained decimal
+    * multiplies stay within precision 38 and remain EXACT — a wider
+    * type would force Spark's DecimalPrecision rule to round the
+    * product scale down (and diverge from DuckDB).
+    */
+  private def rate4(c: String) = col(c).cast(DecimalType(6, 4))
+
+  /** TPC-H-Q1-style pricing summary: wide conditional-free aggregation,
+    * partial+final HashAggregate, scan-level filter pushdown.
+    */
+  val q1Pricing: Q = Q(
+    "q1_pricing",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      l.filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec4("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec4("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec4("l_extendedprice") * (lit(1).cast(DecimalType(6, 4)) - rate4("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(
+            dec4("l_extendedprice") * (lit(1).cast(DecimalType(6, 4)) - rate4("l_discount")) *
+              (lit(1).cast(DecimalType(6, 4)) + rate4("l_tax"))
+          ).cast("double").as("sum_charge"),
+          (sum(dec4("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec4("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec4("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+    """)
+  )
+
+  val all: Seq[Q] = Seq(q1Pricing)
+}
