@@ -1,16 +1,19 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.DollarBars
+import graft.ops.{AsOfJoin, Candles, DollarBars, Envelope, Ewma, Ofi}
 
 /** Market-data (reference-parity) queries over the `events` table,
   * which plays the trade/orderbook stream role (FIXTURES.md §B):
   * `ts` → exchange timestamp, `user_id` → instrument code,
-  * `value` → price/notional.
+  * `value` → price/notional, `event_type` → side/stream routing,
+  * `props` (JSON string) → nested payload (the `orderbook_units` role).
+  *
+  * Every query maps to SURVEY.md §2 operator ids, noted per query.
   */
 object MarketQueries {
 
@@ -20,12 +23,23 @@ object MarketQueries {
     */
   val BarSize = 500.0
 
-  /** Flagship: dollar bars (reference `processing_raw_data_from_gcs.py:108-141`). */
+  private val EwmaAlpha = 0.8
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** `props` payload schema — explicit, never inferred (SURVEY.md §1.2). */
+  private val PropsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  private def withK(df: DataFrame): Column =
+    from_json(col("props"), PropsSchema).getField("k")
+
+  /** Flagship: dollar bars (reference `processing_raw_data_from_gcs.py:108-141`).
+    * W1 cumsum + P11 floor-bucket + A1-A5 bar agg.
+    */
   val dollarBars: Q = Q(
     "dollar_bars",
     (s, dir) => {
-      val ev = Tables
-        .events(s, dir)
+      val ev = events(s, dir)
         .select(
           col("user_id"),
           col("ts"),
@@ -57,5 +71,256 @@ object MarketQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(dollarBars)
+  /** Candle agg SQL fragment shared by tumbling/sliding oracles —
+    * mirrors Candles.aggs exactly (decimal-exact sums; volatility from
+    * exact moments so Spark and DuckDB run identical IEEE ops).
+    */
+  private val candleAggSql = """
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close,
+             CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS volume,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(10,4))
+                           ELSE CAST(0 AS DECIMAL(10,4)) END) AS DOUBLE) AS side_volume,
+             CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) / count(*) AS avg_value,
+             CASE WHEN count(*) > 1 THEN
+               sqrt(greatest(
+                 (CAST(CAST(sum(CAST(value AS DECIMAL(10,4)) * CAST(value AS DECIMAL(10,4))) AS VARCHAR) AS DOUBLE)
+                  - CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE)
+                    * CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) / count(*))
+                 / (count(*) - 1), 0.0))
+             END AS volatility,
+             count(*) AS n_events"""
+
+  /** Tumbling 1 h OHLCV candles (reference 10 s candles,
+    * `kafka_to_kafka_by_spark_for_druid.py:100-132`): T2 + A1-A7.
+    */
+  val candlesTumbling: Q = Q(
+    "candles_tumbling",
+    (s, dir) => Candles.tumbling(events(s, dir), "ts", "user_id", "value",
+      "event_type", "purchase", "1 hour"),
+    Some(s"""
+      WITH w AS (
+        SELECT user_id, ts, event_type, value,
+               make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start
+        FROM events)
+      SELECT window_start,
+             window_start + INTERVAL 1 HOUR AS window_end,
+             user_id,$candleAggSql
+      FROM w GROUP BY 1, 2, 3
+    """)
+  )
+
+  /** Sliding 1 h / 15 min candles (reference 10 min / 15 s,
+    * `kafka_upbit_realtime_processing.py:108-194`): T3 + A1-A7.
+    */
+  val candlesSliding: Q = Q(
+    "candles_sliding",
+    (s, dir) => Candles.sliding(events(s, dir), "ts", "user_id", "value",
+      "event_type", "purchase", "1 hour", "15 minutes"),
+    Some(s"""
+      WITH g AS (
+        SELECT user_id, ts, event_type, value,
+               make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS slide_bucket
+        FROM events),
+      w AS (
+        SELECT g.*, slide_bucket - k * (INTERVAL 15 MINUTE) AS window_start
+        FROM g CROSS JOIN range(4) r(k)
+        WHERE ts < slide_bucket - k * (INTERVAL 15 MINUTE) + INTERVAL 1 HOUR)
+      SELECT window_start,
+             window_start + INTERVAL 1 HOUR AS window_end,
+             user_id,$candleAggSql
+      FROM w GROUP BY 1, 2, 3
+    """)
+  )
+
+  /** As-of join (reference `processing_raw_data_from_gcs.py:143-159`,
+    * J1+W4): dollar bars built from purchase events, each joined to
+    * the latest click event within a 3-day lookback (left outer —
+    * bars with no click in range keep nulls).
+    */
+  val asofJoin: Q = Q(
+    "asof_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("value").cast(DecimalType(20, 4)).as("notional"))
+      val bars = DollarBars
+        .bars(purchases, "user_id", "ts", "value", "notional", BarSize)
+        .select("user_id", "bar_num", "close", "end_ts")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      AsOfJoin.joined(bars, clicks, "user_id", "end_ts", "click_ts",
+        expr("INTERVAL 3 DAYS"), Seq("user_id", "bar_num"))
+        .select(col("user_id"), col("bar_num"), col("close"), col("end_ts"),
+          col("click_ts").as("last_click_ts"), col("click_value").as("last_click_value"))
+    },
+    Some("""
+      WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id, ts, value,
+               CAST(sum(CAST(value AS DECIMAL(20,4)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS cumsum
+        FROM p),
+      b AS (SELECT *, CAST(floor(cumsum / 500.0) AS INT) AS bar_num FROM t),
+      bars AS (
+        SELECT user_id, bar_num, arg_max(value, ts) AS close, max(ts) AS end_ts
+        FROM b GROUP BY 1, 2),
+      c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      SELECT bars.user_id, bars.bar_num, bars.close, bars.end_ts,
+             c.ts AS last_click_ts, c.value AS last_click_value
+      FROM bars LEFT JOIN c
+        ON bars.user_id = c.user_id
+       AND c.ts <= bars.end_ts
+       AND c.ts >= bars.end_ts - INTERVAL 3 DAY
+      QUALIFY row_number() OVER (PARTITION BY bars.user_id, bars.bar_num
+                                 ORDER BY c.ts DESC NULLS LAST) = 1
+    """)
+  )
+
+  /** Final EWMA per key via the custom order-buffering Aggregator
+    * (SURVEY.md A8/U1, α=0.8). Oracle folds the identical recurrence
+    * with `list_reduce` — note `1.0::DOUBLE - 0.8` so both sides use
+    * the same IEEE value of (1−α), not a decimal-exact 0.2.
+    */
+  val ewmaLast: Q = Q(
+    "ewma_last",
+    (s, dir) => {
+      val ew = Ewma.ewmaUdaf(EwmaAlpha)
+      events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .groupBy("user_id")
+        .agg(ew(col("ts_us"), col("value")).as("ewma"), count(lit(1)).as("n_events"))
+    },
+    Some("""
+      SELECT user_id,
+             list_reduce(list(value ORDER BY ts),
+                         (acc, x) -> 0.8 * x + (1.0::DOUBLE - 0.8) * acc) AS ewma,
+             count(*) AS n_events
+      FROM events GROUP BY 1
+    """)
+  )
+
+  /** Per-row expanding EWMA — the scalable secondary-sort
+    * `mapPartitions` form (SURVEY.md §7.4, W2 frame semantics).
+    */
+  val ewmaRowwise: Q = Q(
+    "ewma_rowwise",
+    (s, dir) => Ewma
+      .rowwise(events(s, dir).select("event_id", "user_id", "ts", "value"),
+        "user_id", Seq("ts"), "value", EwmaAlpha, "ewma")
+      .select("event_id", "user_id", "ts", "value", "ewma"),
+    Some("""
+      SELECT event_id, user_id, ts, value,
+             list_reduce(list(value) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         (acc, x) -> 0.8 * x + (1.0::DOUBLE - 0.8) * acc) AS ewma
+      FROM events
+    """)
+  )
+
+  /** Order-flow imbalance (W3 lag + P7 conditional), with the nested
+    * `props` payload parsed via explicit-schema `from_json` (P2/P4).
+    */
+  val ofiFlow: Q = Q(
+    "ofi_flow",
+    (s, dir) => {
+      val parsed = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          withK(events(s, dir)).as("k"))
+      Ofi.withOfi(parsed, "user_id", Seq("ts"), "value", "k", "ofi")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, ts, value, CAST(props->>'k' AS INT) AS k
+        FROM events),
+      l AS (
+        SELECT *,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value,
+               lag(k)     OVER (PARTITION BY user_id ORDER BY ts) AS prev_k
+        FROM e)
+      SELECT event_id, user_id, ts, value, k, prev_value, prev_k,
+             (CASE WHEN value >= prev_value THEN k ELSE -prev_k END)
+           - (CASE WHEN value <= prev_value THEN k ELSE -prev_k END) AS ofi
+      FROM l
+    """)
+  )
+
+  /** Latest row per (key, type) — W4 row_number-desc dedup
+    * (reference `processing_raw_data_from_gcs.py:154-159`).
+    */
+  val latestPerKey: Q = Q(
+    "latest_per_key",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts").desc)
+      events(s, dir)
+        .withColumn("row_num", row_number().over(w))
+        .filter(col("row_num") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), col("value").as("last_value"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id AS last_event_id,
+             ts AS last_ts, value AS last_value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC) = 1
+    """)
+  )
+
+  /** Scalar enrichment stage (P5 arithmetic, P6 epoch↔timestamp, P8
+    * literal date, P2 JSON payload): the reference's
+    * `time_diff`/`server_datetime`/`processing_date` derivations
+    * (`kafka_to_kafka_by_spark_for_druid.py:90-97`).
+    */
+  val eventEnrich: Q = Q(
+    "event_enrich",
+    (s, dir) => {
+      val ev = events(s, dir)
+      ev.select(
+        col("event_id"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        timestamp_millis(unix_millis(col("ts"))).as("server_datetime"),
+        (col("value").cast(DecimalType(10, 4)) * withK(ev).cast(DecimalType(10, 0)))
+          .cast("double").as("trade_dollar"),
+        to_date(lit("2024-08-07")).as("processing_date")
+      )
+    },
+    Some("""
+      SELECT event_id,
+             epoch_ms(ts) AS epoch_ms,
+             make_timestamp(epoch_ms(ts) * 1000) AS server_datetime,
+             CAST(CAST(value AS DECIMAL(10,4)) * CAST(CAST(props->>'k' AS INT) AS DECIMAL(10,0)) AS DOUBLE) AS trade_dollar,
+             DATE '2024-08-07' AS processing_date
+      FROM events
+    """)
+  )
+
+  /** Kafka envelope round-trip (P1/P2/P3/P10): wrap whole rows as one
+    * JSON `value` column, parse back with the explicit schema, flatten.
+    * Oracle is the identity projection — verifies the round-trip is
+    * lossless (shortest-round-trip double formatting).
+    */
+  val envelopeRoundtrip: Q = Q(
+    "envelope_roundtrip",
+    (s, dir) => {
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val wire = Envelope.wrap(events(s, dir), Seq("event_id", "user_id", "event_type", "value"))
+      Envelope.parse(wire, schema)
+    },
+    Some("SELECT event_id, user_id, event_type, value FROM events")
+  )
+
+  val all: Seq[Q] = Seq(dollarBars, candlesTumbling, candlesSliding, asofJoin,
+    ewmaLast, ewmaRowwise, ofiFlow, latestPerKey, eventEnrich, envelopeRoundtrip)
 }
