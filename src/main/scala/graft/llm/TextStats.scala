@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Text analysis for training-data pipelines: language ID (stopword
+  * n-gram heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure Catalyst expressions — map-side only, no
+  * shuffle, fully codegen'd; at 100 TB these run at scan speed.
+  */
+object TextStats {
+
+  /** Tiny per-language stopword profiles (public-knowledge function
+    * words). Deterministic, restated literally in the oracle SQL.
+    */
+  val Profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "que"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "en", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和")
+  )
+
+  /** Stopword hits per language over the distinct word set. */
+  def langHits(text: Column): Seq[(String, Column)] =
+    Profiles.map { case (lang, ws) =>
+      lang -> size(array_intersect(wordSet(text), array(ws.map(lit): _*)))
+    }
+
+  /** Language-ID: argmax of profile hits, ties → alphabetically first
+    * language (profiles are alphabetical, so the first matching CASE
+    * arm is the tie-break).
+    */
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val hits = langHits(col(textCol))
+    val withHits = hits.foldLeft(df) { case (d, (lang, c)) => d.withColumn(s"hits_$lang", c) }
+    val m = greatest(hits.map { case (l, _) => col(s"hits_$l") }: _*)
+    val pred = hits.map { case (l, _) => (col(s"hits_$l") === m, lit(l)) }
+      .foldRight(lit(null).cast("string")) { case ((cond, v), els) => when(cond, v).otherwise(els) }
+    withHits.withColumn("pred_lang", pred)
+  }
+
+  /** Quality features + score. All ratios derive from exact integer
+    * counts, combined with a fixed double expression (identical in
+    * the oracle → bit-identical results).
+    */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t)
+    val ws = words(t)
+    val nWords = size(ws)
+    val sumWordLen = aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
+    val digits = len - length(regexp_replace(t, "[0-9]", ""))
+    val punct = len - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
+    val stopHits = size(array_intersect(wordSet(t), array(
+      Profiles.collect { case ("en", ws) => ws }.head.map(lit): _*)))
+    val nDistinct = size(wordSet(t))
+    df.withColumn("n_chars_len", len)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len", sumWordLen.cast("double") / nWords)
+      .withColumn("digit_ratio", digits.cast("double") / len)
+      .withColumn("punct_ratio", punct.cast("double") / len)
+      .withColumn("stopword_ratio", stopHits.cast("double") / nDistinct)
+      .withColumn("quality_score",
+        lit(0.4) * (stopHits.cast("double") / nDistinct)
+          + lit(0.3) * (lit(1.0) - digits.cast("double") / len)
+          + lit(0.3) * least(sumWordLen.cast("double") / nWords / 8.0, lit(1.0)))
+      .withColumn("pass_filter",
+        col("quality_score") >= 0.5 && nWords >= 10 && len >= 50)
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter runs | digit runs | single punctuation).
+    */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(words(t)))
+      .withColumn("re_tokens", regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
+      .withColumn("chars_per_token",
+        length(t).cast("double") / col("re_tokens"))
+  }
+
+  /** Rolling char-8-gram fingerprint: min 32-bit gram hash (1-perm
+    * minhash over character shingles) + distinct gram count.
+    */
+  def withFingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - 7, lit(1))),
+      i => t.substr(i, lit(8)))
+    df.withColumn("fingerprint", array_min(transform(grams, g => h32(g))))
+      .withColumn("n_grams", size(array_distinct(grams)))
+  }
+}

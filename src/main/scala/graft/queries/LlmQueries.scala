@@ -1,9 +1,285 @@
 package graft.queries
 
-/** Training-data pipeline operators over `documents`/`embeddings`
-  * (dedup, similarity search, text analysis, multimodal plumbing).
-  * Populated incrementally — see graft.llm.
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Training-data pipeline operators over `documents`/`embeddings`:
+  * dedup family, similarity search, text analysis, multimodal
+  * plumbing (graft.llm). Oracle determinism: all hashes are
+  * md5-prefix-derived (TextHash), all float folds are sequential
+  * left-folds restated identically in DuckDB (`list_reduce`), all
+  * ratios derive from exact integer counts.
   */
 object LlmQueries {
-  val all: Seq[Q] = Seq()
+
+  /** Shared oracle CTE: distinct word sets per document. */
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |         list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Exact dedup over normalized text (hash-groupBy). */
+  val dedupExact: Q = Q(
+    "dedup_exact",
+    (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+             min(doc_id) AS rep_id, count(*) AS group_size
+      FROM documents GROUP BY 1
+    """)
+  )
+
+  /** MinHash-LSH near-dup pairs: 16 perms, 4 bands × 4 rows, exact
+    * word-set Jaccard ≥ 0.85 verify.
+    */
+  val dedupMinhash: Q = Q(
+    "dedup_minhash",
+    (s, dir) => Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      numPerm = 16, bands = 4, tau = 0.85),
+    Some(s"""
+      $toksCte,
+      h AS (SELECT doc_id, toks,
+                   list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+            FROM t),
+      sig AS (SELECT doc_id, toks,
+                     list_transform(range(16), j ->
+                       list_min(list_transform(hs, hh ->
+                         (hh * (1 + j * 7919) + (1 + j * 104729)) % 2147483647))) AS mh
+              FROM h),
+      band AS (SELECT doc_id, toks, k AS band_idx,
+                      list_reduce(list_transform(range(4), i -> mh[(k * 4 + i + 1)::INT]),
+                                  (a, b) -> a * 31 + b) AS band_hash
+               FROM sig CROSS JOIN range(4) r(k)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.toks AS ta, b.toks AS tb
+               FROM band a JOIN band b
+                 ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+                   len(list_intersect(ta, tb))::DOUBLE
+                     / len(list_distinct(list_concat(ta, tb)))::DOUBLE AS jaccard
+            FROM cand)
+      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.85
+    """)
+  )
+
+  /** SimHash near-dup pairs: 60-bit signatures, 4 × 15-bit bands,
+    * Hamming ≤ 6.
+    */
+  val dedupSimhash: Q = Q(
+    "dedup_simhash",
+    (s, dir) => Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      maxDist = 6),
+    Some(s"""
+      $toksCte,
+      h AS (SELECT doc_id,
+                   list_transform(toks, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+            FROM t),
+      s AS (SELECT doc_id,
+                   list_reduce(list_transform(range(60), j ->
+                     CASE WHEN list_reduce(list_transform(hs, hh ->
+                            CASE WHEN (hh >> j::INT) & 1 = 1 THEN 1 ELSE -1 END),
+                            (a, b) -> a + b) > 0
+                          THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END),
+                     (a, b) -> a + b) AS sim
+            FROM h),
+      band AS (SELECT doc_id, sim, k AS band_idx,
+                      (sim >> (k * 15)::INT) & 32767 AS band_hash
+               FROM s CROSS JOIN range(4) r(k)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sim AS sim_a, b.sim AS sim_b
+               FROM band a JOIN band b
+                 ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, sim_a, sim_b,
+             bit_count(xor(sim_a, sim_b)) AS hamming
+      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    """)
+  )
+
+  /** Exact char-trigram Jaccard over (lang, length-band)-blocked pairs. */
+  val ngramJaccard: Q = Q(
+    "ngram_jaccard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", Seq("lang", "len_band"), n = 3, tau = 0.8)
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, lang, (n_chars // 100)::INT AS len_band,
+               list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                 i -> substr(text, i::INT, 3))) AS grams
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS jaccard
+        FROM g a JOIN g b
+          ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    """)
+  )
+
+  /** Brute-force cosine top-5 for sampled query vectors (vec_id ≡ 0
+    * mod 40) — sequential-fold dot products, bit-identical doubles.
+    */
+  val cosineTopK: Q = Q(
+    "cosine_topk",
+    (s, dir) => Similarity.bruteTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 40 = 0),
+      s AS (SELECT query_id, t.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]),
+                               (a, b) -> a + b)
+                     / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+            FROM q JOIN n t ON t.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
+  /** Random-hyperplane LSH approximate top-5 — the scale path for
+    * similarity search. Not ANSI-SQL-expressible (seeded-RNG planes)
+    * → rows-only driver check; recall vs brute force is asserted in
+    * SimilaritySpec.
+    */
+  val annLsh: Q = Q(
+    "ann_lsh_topk",
+    (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5,
+      Similarity.randomPlanes(dim = 64, groups = 16, bitsPerGroup = 6, seed = 42L)),
+    None
+  )
+
+  /** Language-ID via stopword-profile hits (n-gram heuristic). */
+  val langId: Q = Q(
+    "lang_id",
+    (s, dir) => TextStats.withLangId(Tables.documents(s, dir), "text")
+      .withColumn("is_correct", col("pred_lang") === col("lang"))
+      .select("doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "hits_zh",
+        "pred_lang", "is_correct"),
+    Some(s"""
+      $toksCte,
+      h AS (SELECT doc_id, lang,
+              len(list_intersect(toks, ['der','die','das','und','ist','zu','mit'])) AS hits_de,
+              len(list_intersect(toks, ['the','a','of','and','to','is','in'])) AS hits_en,
+              len(list_intersect(toks, ['el','la','de','y','es','en','que'])) AS hits_es,
+              len(list_intersect(toks, ['le','la','de','et','est','en','que'])) AS hits_fr,
+              len(list_intersect(toks, ['的','是','在','了','我','有','和'])) AS hits_zh
+            FROM t),
+      m AS (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) AS mx FROM h)
+      SELECT doc_id, hits_de, hits_en, hits_es, hits_fr, hits_zh,
+             CASE WHEN hits_de = mx THEN 'de' WHEN hits_en = mx THEN 'en'
+                  WHEN hits_es = mx THEN 'es' WHEN hits_fr = mx THEN 'fr'
+                  ELSE 'zh' END AS pred_lang,
+             (CASE WHEN hits_de = mx THEN 'de' WHEN hits_en = mx THEN 'en'
+                   WHEN hits_es = mx THEN 'es' WHEN hits_fr = mx THEN 'fr'
+                   ELSE 'zh' END) = lang AS is_correct
+      FROM m
+    """)
+  )
+
+  /** Quality scoring: exact-integer-derived ratios + fixed double
+    * formula (identical expression in the oracle).
+    */
+  val textQuality: Q = Q(
+    "text_quality",
+    (s, dir) => TextStats.withQuality(Tables.documents(s, dir), "text")
+      .select("doc_id", "n_chars_len", "n_words", "avg_word_len", "digit_ratio",
+        "punct_ratio", "stopword_ratio", "quality_score", "pass_filter"),
+    Some(s"""
+      $toksCte,
+      f AS (
+        SELECT doc_id, toks,
+               length(text) AS len0,
+               string_split_regex(trim(text), '\\s+') AS ws,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+               length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS punct,
+               len(list_intersect(toks, ['the','a','of','and','to','is','in'])) AS stop_hits
+        FROM t),
+      f2 AS (
+        SELECT doc_id, len0, len(ws) AS n_words,
+               list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS sum_word_len,
+               digits, punct, stop_hits, len(toks) AS n_distinct
+        FROM f)
+      SELECT doc_id,
+             len0 AS n_chars_len,
+             n_words,
+             sum_word_len::DOUBLE / n_words AS avg_word_len,
+             digits::DOUBLE / len0 AS digit_ratio,
+             punct::DOUBLE / len0 AS punct_ratio,
+             stop_hits::DOUBLE / n_distinct AS stopword_ratio,
+             0.4 * (stop_hits::DOUBLE / n_distinct)
+               + 0.3 * (1.0 - digits::DOUBLE / len0)
+               + 0.3 * least(sum_word_len::DOUBLE / n_words / 8.0, 1.0) AS quality_score,
+             (0.4 * (stop_hits::DOUBLE / n_distinct)
+               + 0.3 * (1.0 - digits::DOUBLE / len0)
+               + 0.3 * least(sum_word_len::DOUBLE / n_words / 8.0, 1.0)) >= 0.5
+               AND n_words >= 10 AND len0 >= 50 AS pass_filter
+      FROM f2
+    """)
+  )
+
+  /** Token counting: whitespace + BPE-ish regex tokenizer. */
+  val tokenCount: Q = Q(
+    "token_count",
+    (s, dir) => TextStats.withTokenCounts(Tables.documents(s, dir), "text")
+      .select("doc_id", "ws_tokens", "re_tokens", "chars_per_token"),
+    Some("""
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+             length(text)::DOUBLE
+               / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS chars_per_token
+      FROM documents
+    """)
+  )
+
+  /** Char-8-gram rolling fingerprint (1-perm minhash over shingles). */
+  val docFingerprint: Q = Q(
+    "doc_fingerprint",
+    (s, dir) => TextStats.withFingerprint(Tables.documents(s, dir), "text")
+      .select("doc_id", "fingerprint", "n_grams"),
+    Some("""
+      SELECT doc_id,
+             list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+               i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 8))::BIGINT)) AS fingerprint,
+             len(list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+               i -> substr(text, i::INT, 8)))) AS n_grams
+      FROM documents
+    """)
+  )
+
+  /** Multimodal metadata path: opaque bytes + typed metadata columns.
+    * (The mapPartitions decode stub is exercised in MultimodalSpec;
+    * this query verifies the expression-level byte plumbing.)
+    */
+  val multimodalFeatures: Q = Q(
+    "multimodal_features",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("doc_id"), lit("text").as("modality"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("digest")),
+    Some("""
+      SELECT doc_id, 'text' AS modality,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS digest
+      FROM documents
+    """)
+  )
+
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
+    cosineTopK, annLsh, langId, textQuality, tokenCount, docFingerprint,
+    multimodalFeatures)
 }

@@ -1,0 +1,63 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions._
+
+/** Streaming EWMA + OFI via `flatMapGroupsWithState` — the legal
+  * Spark form of the reference's aspirational
+  * `kafka_upbit_realtime_processing.py:99-128`, which applies
+  * `lag()`/pandas-EWMA window functions to a *streaming* DataFrame
+  * (unsupported — SURVEY.md preamble + T7). Keyed state per
+  * instrument holds exactly (ewma, prev_price, prev_size): O(1) per
+  * key, no buffering, arbitrarily long streams.
+  *
+  * Semantics match the batch operators exactly on in-order input
+  * (proved in StatefulFeaturesSpec): EWMA recurrence
+  * `e ← α·x + (1−α)·e` (graft.ops.Ewma), OFI
+  * `(p ≥ prev ? s : −prev_s) − (p ≤ prev ? s : −prev_s)`
+  * (graft.ops.Ofi).
+  *
+  * Scale: state is hash-partitioned by key across executors by the
+  * `groupByKey` exchange; per-key state is 3 doubles — state-store
+  * size is O(#keys), not O(#events). Event-time ordering within a
+  * micro-batch is enforced by sorting each group's batch slice
+  * (micro-batches are small; cross-batch order is the stream's
+  * arrival contract, same as the reference's Kafka-partition order
+  * assumption).
+  */
+object StatefulFeatures {
+
+  case class Tick(key: Long, tsUs: Long, price: Double, size: Int)
+  case class FeatState(ewma: Double, prevPrice: Double, prevSize: Int, hasPrev: Boolean)
+  case class FeatOut(key: Long, tsUs: Long, price: Double, ewma: Double, ofi: Option[Int])
+
+  def apply(ticks: DataFrame, alpha: Double): DataFrame = {
+    import ticks.sparkSession.implicits._
+    val typed = ticks
+      .select(col("key").cast("long"), col("tsUs").cast("long"),
+        col("price").cast("double"), col("size").cast("int"))
+      .as[Tick]
+    typed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[Tick], state: GroupState[FeatState]) => {
+          val batch = it.toArray.sortBy(_.tsUs)
+          var st = state.getOption.getOrElse(FeatState(0.0, 0.0, 0, hasPrev = false))
+          val out = batch.map { t =>
+            val e = if (!st.hasPrev) t.price else alpha * t.price + (1 - alpha) * st.ewma
+            val ofi = if (!st.hasPrev) None
+            else {
+              val bid = if (t.price >= st.prevPrice) t.size else -st.prevSize
+              val ask = if (t.price <= st.prevPrice) t.size else -st.prevSize
+              Some(bid - ask)
+            }
+            st = FeatState(e, t.price, t.size, hasPrev = true)
+            FeatOut(key, t.tsUs, t.price, e, ofi)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+}

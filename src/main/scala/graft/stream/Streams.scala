@@ -1,0 +1,66 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+import graft.ops.{Candles, Envelope}
+
+/** Streaming pipeline assembly — the reference's five jobs re-expressed
+  * as Structured Streaming plans (SURVEY.md §2.1/2.2/2.9, §3.1-3.2).
+  *
+  * The Kafka boundary is pluggable ([[SourceSpec]]/[[SinkSpec]]): the
+  * downstream plan is identical whether the source is
+  * `format("kafka")` in production or a file/MemoryStream source in
+  * tests (no kafka connector jar offline — SURVEY.md §7). This is the
+  * same "envelope in, envelope out" contract the reference has:
+  * bytes/string `value` on the wire, typed struct inside.
+  */
+object Streams {
+
+  /** Raw-ingest plan (reference `kafka_to_gcs_by_spark_streaming.py`):
+    * wire `value` → explicit-schema parse → flatten → partition
+    * columns. Pure map — no shuffle, scales with source parallelism.
+    */
+  def rawIngest(wire: DataFrame, schema: StructType): DataFrame =
+    Envelope.parse(Envelope.bytesToString(wire), schema)
+      .withColumn("processing_date", current_date())
+
+  /** Feature pipeline plan (reference
+    * `kafka_to_kafka_by_spark_for_druid.py`): parse → event-time +
+    * watermark → tumbling candles → re-wrap as JSON `value`.
+    * In append mode a window emits once its watermark passes — the
+    * reference's own configuration.
+    */
+  def candleFeatures(wire: DataFrame, schema: StructType, tsCol: String,
+                     keyCol: String, valCol: String, sideCol: String,
+                     sideValue: String, dur: String, watermark: String): DataFrame = {
+    val parsed = Envelope.parse(Envelope.bytesToString(wire), schema)
+      .withWatermark(tsCol, watermark)
+    Envelope.wrap(
+      Candles.tumbling(parsed, tsCol, keyCol, valCol, sideCol, sideValue, dur))
+  }
+
+  /** File sink with checkpoint + processing-time trigger (reference
+    * K1: 30-min JSON sink partitioned by (processing_date, code)).
+    */
+  def fileSink(df: DataFrame, format: String, path: String, checkpoint: String,
+               trigger: Trigger, partitionCols: Seq[String]): DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+
+  /** Run queries concurrently and await any termination — the
+    * idiomatic form of the reference's thread-per-query await
+    * (`kafka_to_gcs_by_spark_streaming.py:93-102`). Distinct
+    * checkpoint dirs per query are load-bearing (reference comment).
+    */
+  def awaitAny(spark: SparkSession, queries: Seq[StreamingQuery]): Unit =
+    spark.streams.awaitAnyTermination()
+}

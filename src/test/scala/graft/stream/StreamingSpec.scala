@@ -1,0 +1,84 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Candles
+import graft.SparkSpec
+
+/** Streaming == batch equivalence: the same candle plan over a
+  * bounded MemoryStream must equal the batch run (SURVEY.md §5).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ticks: Seq[(Timestamp, String, String, Double)] = {
+    def t(s: String) = Timestamp.valueOf(s)
+    Seq(
+      (t("2024-01-01 00:00:01"), "a", "BID", 10.0),
+      (t("2024-01-01 00:00:05"), "a", "ASK", 14.0),
+      (t("2024-01-01 00:00:09"), "a", "BID", 8.0),
+      (t("2024-01-01 00:00:11"), "a", "ASK", 20.0),
+      (t("2024-01-01 00:00:03"), "b", "ASK", 5.0),
+      (t("2024-01-01 00:10:00"), "a", "BID", 1.0) // advances watermark past 00:00:1x
+    )
+  }
+
+  test("windowed candle agg on a stream equals batch on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "k", "side", "v").withWatermark("ts", "5 seconds")
+    val agg = Candles.tumbling(sdf, "ts", "k", "v", "side", "ASK", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("candles_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(ticks)
+      q.processAllAvailable()
+      mem.addData(Seq((Timestamp.valueOf("2024-01-01 00:20:00"), "a", "BID", 1.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("candles_stream")
+        .orderBy("k", "window_start")
+        .collect()
+      val batch = Candles.tumbling(
+        ticks.toDF("ts", "k", "side", "v"), "ts", "k", "v", "side", "ASK", "10 seconds")
+        .filter(col("window_end") <= Timestamp.valueOf("2024-01-01 00:19:55")) // watermark-closed only
+        .orderBy("k", "window_start")
+        .collect()
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful EWMA+OFI stream equals batch operators on ordered input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1 to 40).map(i => (i % 3L, i.toLong * 1000, 100.0 + (i * 7 % 13), (i * 5) % 50))
+    val mem = MemoryStream[(Long, Long, Double, Int)]
+    val sdf = mem.toDF().toDF("key", "tsUs", "price", "size")
+    val q = StatefulFeatures(sdf, alpha = 0.8)
+      .writeStream.format("memory").queryName("feat_stream").outputMode("append").start()
+    try {
+      // feed in two chunks split mid-stream: state must carry across batches
+      mem.addData(data.take(17)); q.processAllAvailable()
+      mem.addData(data.drop(17)); q.processAllAvailable()
+      val streamed = spark.table("feat_stream").orderBy("key", "tsUs").collect()
+
+      val batchDf = data.toDF("key", "tsUs", "price", "size")
+      val ewma = graft.ops.Ewma.rowwise(batchDf, "key", Seq("tsUs"), "price", 0.8, "ewma")
+      val both = graft.ops.Ofi.withOfi(ewma, "key", Seq("tsUs"), "price", "size", "ofi")
+        .select("key", "tsUs", "price", "ewma", "ofi")
+        .orderBy("key", "tsUs").collect()
+      assert(streamed.length === both.length)
+      streamed.zip(both).foreach { case (s, b) =>
+        assert(s.getLong(0) === b.getLong(0))
+        assert(s.getLong(1) === b.getLong(1))
+        assert(s.getDouble(3) === b.getDouble(3)) // identical IEEE fold
+        val sOfi = if (s.isNullAt(4)) None else Some(s.getInt(4))
+        val bOfi = if (b.isNullAt(4)) None else Some(b.getInt(4))
+        assert(sOfi === bOfi)
+      }
+    } finally q.stop()
+  }
+}
