@@ -55,19 +55,34 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), b =>
       aggregate(slice(sig, b * rows + 1, lit(rows)), lit(0L), (acc, m) => acc * 31L + m))
 
+  /** Drop rows of (band_idx, band_hash) buckets holding more than
+    * `cap` members — a bucket shared by hundreds of documents is a
+    * non-discriminative band (boilerplate), and its O(c²) pair blowup
+    * is the classic LSH skew failure at scale. Deterministic (count
+    * depends only on data), mirrored in the oracle SQL.
+    */
+  private def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")
+    buckets.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= cap)
+      .drop("__bc")
+  }
+
   /** Near-duplicate pairs via MinHash-LSH with exact-Jaccard
     * verification: returns (id_a, id_b, jaccard) with id_a < id_b and
-    * jaccard ≥ tau, deduplicated across bands.
+    * jaccard ≥ tau, deduplicated across bands. Buckets larger than
+    * `maxBucket` are skipped (see [[capBuckets]]).
     */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      numPerm: Int, bands: Int, tau: Double): DataFrame = {
+                      numPerm: Int, bands: Int, tau: Double,
+                      maxBucket: Int = 64): DataFrame = {
     val rows = numPerm / bands
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
       .withColumn("hs", transform(col("toks"), t => h32(t)))
       .withColumn("sig", minhashSignature(col("hs"), numPerm))
       .withColumn("bands", bandHashes(col("sig"), bands, rows))
-    val buckets = docs.select(col("id"), col("toks"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val buckets = capBuckets(docs.select(col("id"), col("toks"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -76,10 +91,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
       .dropDuplicates("id_a", "id_b")
+    // |A∪B| = |A|+|B|−|A∩B| from precomputed sizes — one set op per
+    // pair instead of two (array_union is the costlier of the pair).
     cand
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }
@@ -103,14 +121,14 @@ object Dedup {
     * candidate), Hamming distance popcount(xor) ≤ maxDist.
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int): DataFrame = {
+                      maxDist: Int, maxBucket: Int = 64): DataFrame = {
     val docs = df
       .select(col(idCol).as("id"), transform(wordSet(col(textCol)), t => h60(t)).as("hs"))
       .select(col("id"), simhash(col("hs")).as("sim"))
-    val banded = docs.select(col("id"), col("sim"),
+    val banded = capBuckets(docs.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sim"), b.cast("int") * 15).bitwiseAND(32767L)))
-        .as(Seq("band_idx", "band_hash")))
+        .as(Seq("band_idx", "band_hash"))), maxBucket)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -130,16 +148,23 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], n: Int, tau: Double): DataFrame = {
+    // Grams are hashed to 32-bit longs map-side BEFORE the pair join:
+    // the per-pair intersect then runs on primitive longs instead of
+    // strings (~an order of magnitude cheaper), and the shuffle
+    // carries 8-byte values. Hash collisions would perturb Jaccard
+    // identically in the oracle (same md5-derived hash).
     val docs = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
       array_distinct(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-        i => col(textCol).substr(i, lit(n)))).as("grams"): _*)
+        i => h32(col(textCol).substr(i, lit(n))))).as("grams"): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     docs.as("a").join(docs.as("b"), cond)
+      .withColumn("inter", size(array_intersect(col("a.grams"), col("b.grams"))))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams"))).cast("double")).as("jaccard"))
+        (col("inter").cast("double") /
+          (size(col("a.grams")) + size(col("b.grams")) - col("inter")).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 }

@@ -33,12 +33,14 @@ object LlmQueries {
   )
 
   /** MinHash-LSH near-dup pairs: 16 perms, 4 bands × 4 rows, exact
-    * word-set Jaccard ≥ 0.85 verify.
+    * word-set Jaccard ≥ 0.85 verify. Buckets above 64 members are
+    * skipped (non-discriminative bands — LSH skew cap; mirrored in
+    * the oracle's QUALIFY).
     */
   val dedupMinhash: Q = Q(
     "dedup_minhash",
     (s, dir) => Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
-      numPerm = 16, bands = 4, tau = 0.85),
+      numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64),
     Some(s"""
       $toksCte,
       h AS (SELECT doc_id, toks,
@@ -49,10 +51,12 @@ object LlmQueries {
                        list_min(list_transform(hs, hh ->
                          (hh * (1 + j * 7919) + (1 + j * 104729)) % 2147483647))) AS mh
               FROM h),
-      band AS (SELECT doc_id, toks, k AS band_idx,
+      band0 AS (SELECT doc_id, toks, k AS band_idx,
                       list_reduce(list_transform(range(4), i -> mh[(k * 4 + i + 1)::INT]),
                                   (a, b) -> a * 31 + b) AS band_hash
                FROM sig CROSS JOIN range(4) r(k)),
+      band AS (SELECT * FROM band0
+               QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 64),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                       a.toks AS ta, b.toks AS tb
                FROM band a JOIN band b
@@ -67,12 +71,12 @@ object LlmQueries {
   )
 
   /** SimHash near-dup pairs: 60-bit signatures, 4 × 15-bit bands,
-    * Hamming ≤ 6.
+    * Hamming ≤ 3, bucket cap 64 (see dedup_minhash).
     */
   val dedupSimhash: Q = Q(
     "dedup_simhash",
     (s, dir) => Dedup.simHashNearDups(Tables.documents(s, dir), "doc_id", "text",
-      maxDist = 6),
+      maxDist = 3, maxBucket = 64),
     Some(s"""
       $toksCte,
       h AS (SELECT doc_id,
@@ -86,9 +90,11 @@ object LlmQueries {
                           THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END),
                      (a, b) -> a + b) AS sim
             FROM h),
-      band AS (SELECT doc_id, sim, k AS band_idx,
+      band0 AS (SELECT doc_id, sim, k AS band_idx,
                       (sim >> (k * 15)::INT) & 32767 AS band_hash
                FROM s CROSS JOIN range(4) r(k)),
+      band AS (SELECT * FROM band0
+               QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 64),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                       a.sim AS sim_a, b.sim AS sim_b
                FROM band a JOIN band b
@@ -96,7 +102,7 @@ object LlmQueries {
                 AND a.doc_id < b.doc_id)
       SELECT id_a, id_b, sim_a, sim_b,
              bit_count(xor(sim_a, sim_b)) AS hamming
-      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6
+      FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """)
   )
 
@@ -105,14 +111,14 @@ object LlmQueries {
     "ngram_jaccard",
     (s, dir) => {
       val d = Tables.documents(s, dir)
-        .withColumn("len_band", floor(col("n_chars") / 100).cast("int"))
+        .withColumn("len_band", floor(col("n_chars") / 50).cast("int"))
       Dedup.ngramJaccardPairs(d, "doc_id", "text", Seq("lang", "len_band"), n = 3, tau = 0.8)
     },
     Some("""
       WITH g AS (
-        SELECT doc_id, lang, (n_chars // 100)::INT AS len_band,
+        SELECT doc_id, lang, (n_chars // 50)::INT AS len_band,
                list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-                 i -> substr(text, i::INT, 3))) AS grams
+                 i -> ('0x' || substr(md5(substr(text, i::INT, 3)), 1, 8))::BIGINT)) AS grams
         FROM documents),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
