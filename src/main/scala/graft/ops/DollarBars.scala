@@ -48,6 +48,19 @@ object DollarBars {
       .withColumn("bar_num", floor(col("cumsum") / barSize).cast("int"))
   }
 
+  /** [[bars]] with the cumsum computed by the two-phase distributed
+    * prefix sum (PrefixSum) instead of a per-key window — identical
+    * results (decimal-exact), parallelism independent of key count.
+    * This is the plan to run at 100 TB with 3 instrument codes.
+    */
+  def barsScalable(df: DataFrame, keyCol: String, timeCol: String,
+                   priceCol: String, notionalCol: String, barSize: Double): DataFrame =
+    PrefixSum.withRunningSum(df, keyCol, Seq(timeCol), notionalCol, "cumsum")
+      .withColumn("bar_num", floor(col("cumsum") / barSize).cast("int"))
+      .groupBy(col(keyCol), col("bar_num"))
+      .agg(barAggs(timeCol, priceCol, notionalCol).head,
+        barAggs(timeCol, priceCol, notionalCol).tail: _*)
+
   /** OHLCV bars keyed by (key, bar_num). `timeCol` must totally order
     * rows within a key.
     */
@@ -61,14 +74,18 @@ object DollarBars {
   ): DataFrame =
     withBarNum(df, keyCol, Seq(timeCol), notionalCol, barSize)
       .groupBy(col(keyCol), col("bar_num"))
-      .agg(
-        min_by(col(priceCol), col(timeCol)).as("open"),
-        max(col(priceCol)).as("high"),
-        min(col(priceCol)).as("low"),
-        max_by(col(priceCol), col(timeCol)).as("close"),
-        sum(col(notionalCol)).cast("double").as("volume"),
-        count(lit(1)).as("n_trades"),
-        min(col(timeCol)).as("start_ts"),
-        max(col(timeCol)).as("end_ts")
-      )
+      .agg(barAggs(timeCol, priceCol, notionalCol).head,
+        barAggs(timeCol, priceCol, notionalCol).tail: _*)
+
+  private def barAggs(timeCol: String, priceCol: String,
+                      notionalCol: String): Seq[org.apache.spark.sql.Column] = Seq(
+    min_by(col(priceCol), col(timeCol)).as("open"),
+    max(col(priceCol)).as("high"),
+    min(col(priceCol)).as("low"),
+    max_by(col(priceCol), col(timeCol)).as("close"),
+    sum(col(notionalCol)).cast("double").as("volume"),
+    count(lit(1)).as("n_trades"),
+    min(col(timeCol)).as("start_ts"),
+    max(col(timeCol)).as("end_ts")
+  )
 }

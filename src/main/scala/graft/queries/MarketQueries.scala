@@ -71,6 +71,21 @@ object MarketQueries {
     """)
   )
 
+  /** Same bars via the two-phase distributed prefix sum (PrefixSum) —
+    * parallelism independent of key count, decimal-exact, so the
+    * oracle is IDENTICAL to dollar_bars. The plan for 3-key 100 TB.
+    */
+  val dollarBarsScalable: Q = Q(
+    "dollar_bars_scalable",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("value").cast(DecimalType(20, 4)).as("notional"))
+      DollarBars.barsScalable(ev, "user_id", "ts", "value", "notional", BarSize)
+    },
+    dollarBars.oracle
+  )
+
   /** Candle agg SQL fragment shared by tumbling/sliding oracles —
     * mirrors Candles.aggs exactly (decimal-exact sums; volatility from
     * exact moments so Spark and DuckDB run identical IEEE ops).
@@ -321,6 +336,7 @@ object MarketQueries {
     Some("SELECT event_id, user_id, event_type, value FROM events")
   )
 
-  val all: Seq[Q] = Seq(dollarBars, candlesTumbling, candlesSliding, asofJoin,
-    ewmaLast, ewmaRowwise, ofiFlow, latestPerKey, eventEnrich, envelopeRoundtrip)
+  val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, candlesTumbling,
+    candlesSliding, asofJoin, ewmaLast, ewmaRowwise, ofiFlow, latestPerKey,
+    eventEnrich, envelopeRoundtrip)
 }
