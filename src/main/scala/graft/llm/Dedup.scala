@@ -77,11 +77,14 @@ object Dedup {
                       numPerm: Int, bands: Int, tau: Double,
                       maxBucket: Int = 64): DataFrame = {
     val rows = numPerm / bands
+    // The exact-Jaccard verify runs on the hashed-long token sets, not
+    // the strings: primitive intersects, 8-byte shuffle payloads
+    // (collisions, if any, perturb the oracle identically).
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
-      .withColumn("hs", transform(col("toks"), t => h32(t)))
+      .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
       .withColumn("sig", minhashSignature(col("hs"), numPerm))
       .withColumn("bands", bandHashes(col("sig"), bands, rows))
-    val buckets = capBuckets(docs.select(col("id"), col("toks"),
+    val buckets = capBuckets(docs.select(col("id"), col("hs"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
@@ -89,7 +92,7 @@ object Dedup {
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
+        col("a.hs").as("toks_a"), col("b.hs").as("toks_b"))
       .dropDuplicates("id_a", "id_b")
     // |A∪B| = |A|+|B|−|A∩B| from precomputed sizes — one set op per
     // pair instead of two (array_union is the costlier of the pair).

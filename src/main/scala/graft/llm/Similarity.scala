@@ -29,10 +29,20 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** The same fold through the fused native expression when the
+    * session carries GraftExtensions (~75× on 64-dim vectors —
+    * VectorExpressionsSpec), the portable higher-order form otherwise.
+    * Identical IEEE accumulation order either way.
+    */
+  def dotAdaptive(df: DataFrame)(a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("dot_native"))
+      call_function("dot_native", a, b)
+    else dot(a, b)
+
   def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
 
   def withNorm(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("__norm", dot(col(vecCol), col(vecCol)))
+    df.withColumn("__norm", dotAdaptive(df)(col(vecCol), col(vecCol)))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (sqrt(normA) * sqrt(normB))
@@ -47,7 +57,8 @@ object Similarity {
       col("v").as("qv"), col("__norm").as("qn"))
     val scored = q.join(base.filter(col("id").isNotNull), col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine(col("qv"), col("v"), col("qn"), col("__norm")).as("cosine"))
+        (dotAdaptive(df)(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -55,10 +66,11 @@ object Similarity {
   }
 
   /** Sign-bit bucket for one plane group: bit p set iff v·plane_p > 0. */
-  private def bucketExpr(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+  private def bucketExpr(vecCol: Column, planes: Seq[Seq[Double]],
+                         dotFn: (Column, Column) => Column): Column =
     planes.zipWithIndex.map { case (plane, p) =>
       val planeCol = array(plane.map(lit): _*)
-      when(dot(vecCol, planeCol) > 0, 1L << p).otherwise(0L)
+      when(dotFn(vecCol, planeCol) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
 
   /** Deterministic hyperplanes: seeded JVM RNG, `groups` independent
@@ -78,7 +90,8 @@ object Similarity {
               queryPred: Column, k: Int,
               planes: Seq[Seq[Seq[Double]]]): DataFrame = {
     val base = withNorm(df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
-      .withColumn("__buckets", array(planes.map(g => bucketExpr(col("v"), g)): _*))
+      .withColumn("__buckets",
+        array(planes.map(g => bucketExpr(col("v"), g, dotAdaptive(df))): _*))
     val exploded = base.select(col("id"), col("v"), col("__norm"),
       posexplode(col("__buckets")).as(Seq("grp", "bucket")))
     val q = exploded.filter(queryPred).select(col("id").as("query_id"),
@@ -87,7 +100,8 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")
       .select(col("query_id"), col("id").as("neighbor_id"),
-        cosine(col("qv"), col("v"), col("qn"), col("__norm")).as("cosine"))
+        (dotAdaptive(df)(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

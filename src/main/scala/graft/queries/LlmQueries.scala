@@ -43,22 +43,23 @@ object LlmQueries {
       numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64),
     Some(s"""
       $toksCte,
-      h AS (SELECT doc_id, toks,
-                   list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      h AS (SELECT doc_id,
+                   list_distinct(list_transform(toks, x ->
+                     ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs
             FROM t),
-      sig AS (SELECT doc_id, toks,
+      sig AS (SELECT doc_id, hs,
                      list_transform(range(16), j ->
                        list_min(list_transform(hs, hh ->
                          (hh * (1 + j * 7919) + (1 + j * 104729)) % 2147483647))) AS mh
               FROM h),
-      band0 AS (SELECT doc_id, toks, k AS band_idx,
+      band0 AS (SELECT doc_id, hs, k AS band_idx,
                       list_reduce(list_transform(range(4), i -> mh[(k * 4 + i + 1)::INT]),
                                   (a, b) -> a * 31 + b) AS band_hash
                FROM sig CROSS JOIN range(4) r(k)),
       band AS (SELECT * FROM band0
                QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 64),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                      a.toks AS ta, b.toks AS tb
+                      a.hs AS ta, b.hs AS tb
                FROM band a JOIN band b
                  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                 AND a.doc_id < b.doc_id),

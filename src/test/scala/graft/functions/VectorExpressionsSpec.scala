@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.llm.Similarity
+
+class VectorExpressionsSpec extends SparkSpec {
+
+  private def vecs = Similarity.withNorm(
+    Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+
+  test("dot_native equals the higher-order zip_with/aggregate fold bit-for-bit") {
+    val df = vecs.limit(200).crossJoin(
+      vecs.limit(200).select(col("vec_id").as("id2"), col("v").as("v2")))
+    val cmp = df.select(
+      Similarity.dot(col("v"), col("v2")).as("hof"),
+      call_function("dot_native", col("v"), col("v2")).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() === 0)
+    assert(cmp.filter(col("native").isNull).count() === 0)
+  }
+
+  test("null element propagates to null result") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+    val out = df.select(call_function("dot_native", col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("native loop is not slower than higher-order form") {
+    val df = vecs.crossJoin(vecs.select(col("v").as("v2"))).cache()
+    df.count() // materialize
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      df.select(sum(c)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    time(Similarity.dot(col("v"), col("v2")))                 // warm both
+    time(call_function("dot_native", col("v"), col("v2")))
+    val hof = time(Similarity.dot(col("v"), col("v2")))
+    val native = time(call_function("dot_native", col("v"), col("v2")))
+    info(f"hof=$hof%.2fs native=$native%.2fs speedup=${hof / native}%.1fx (250k pairs x 64 dims)")
+    assert(native <= hof * 1.2) // allow noise; expectation is native is faster
+    df.unpersist()
+  }
+}
