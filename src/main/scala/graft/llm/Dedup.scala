@@ -84,8 +84,12 @@ object Dedup {
       .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
       .withColumn("sig", minhashSignature(col("hs"), numPerm))
       .withColumn("bands", bandHashes(col("sig"), bands, rows))
+    // persist: the self-join would otherwise recompute the md5 token
+    // hashing + 16-perm signatures on both sides (at production scale,
+    // write the signature table out instead of caching).
     val buckets = capBuckets(docs.select(col("id"), col("hs"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
+      .persist()
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -132,6 +136,7 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sim"), b.cast("int") * 15).bitwiseAND(32767L)))
         .as(Seq("band_idx", "band_hash"))), maxBucket)
+      .persist()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -149,17 +154,27 @@ object Dedup {
     * blocking on (lang, length band) bounds the pair space; at scale
     * swap the block key for an LSH bucket (minHashNearDups).
     */
+  /** @param modP keep only grams with hash ≡ 0 (mod modP) — a
+    *              deterministic mod-p sketch: Jaccard over the sketch
+    *              estimates full-set Jaccard while cutting both the
+    *              pair-join payload and the per-pair intersect by
+    *              ~modP² (identical sketch in the oracle). modP=1
+    *              disables sketching.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[String], n: Int, tau: Double): DataFrame = {
+                        blockCols: Seq[String], n: Int, tau: Double,
+                        modP: Int = 4): DataFrame = {
     // Grams are hashed to 32-bit longs map-side BEFORE the pair join:
     // the per-pair intersect then runs on primitive longs instead of
     // strings (~an order of magnitude cheaper), and the shuffle
     // carries 8-byte values. Hash collisions would perturb Jaccard
     // identically in the oracle (same md5-derived hash).
     val docs = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      array_distinct(transform(
+      array_distinct(filter(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
-        i => h32(col(textCol).substr(i, lit(n))))).as("grams"): _*)
+        i => h32(col(textCol).substr(i, lit(n)))),
+        h => h % modP === 0)).as("grams"): _*)
+      .persist()
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     docs.as("a").join(docs.as("b"), cond)

@@ -107,7 +107,9 @@ object LlmQueries {
     """)
   )
 
-  /** Exact char-trigram Jaccard over (lang, length-band)-blocked pairs. */
+  /** Char-trigram Jaccard over (lang, length-band)-blocked pairs,
+    * mod-4 gram sketching (deterministic, oracle-mirrored).
+    */
   val ngramJaccard: Q = Q(
     "ngram_jaccard",
     (s, dir) => {
@@ -118,8 +120,10 @@ object LlmQueries {
     Some("""
       WITH g AS (
         SELECT doc_id, lang, (n_chars // 50)::INT AS len_band,
-               list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
-                 i -> ('0x' || substr(md5(substr(text, i::INT, 3)), 1, 8))::BIGINT)) AS grams
+               list_distinct(list_filter(
+                 list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(text, i::INT, 3)), 1, 8))::BIGINT),
+                 h -> h % 4 = 0)) AS grams
         FROM documents),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

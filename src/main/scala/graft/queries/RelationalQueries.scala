@@ -62,5 +62,46 @@ object RelationalQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(q1Pricing)
+  /** TPC-H-Q3-style shipping priority: three-way join with both dims
+    * filtered then broadcast (explicit hints — at bench scale Spark's
+    * size estimate would broadcast anyway; at 100 TB the orders side
+    * outgrows the threshold and falls back to shuffle join, while the
+    * filtered customer dim stays broadcastable). Revenue follows the
+    * exact-decimal policy.
+    */
+  val q3TopOrders: Q = Q(
+    "q3_orders",
+    (s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (dec4("l_extendedprice") * (lit(1).cast(DecimalType(6, 4)) - rate4("l_discount")))
+            .as("rev"))
+      l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+                  AS VARCHAR) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'MACHINERY'
+        AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2, 3
+    """)
+  )
+
+  val all: Seq[Q] = Seq(q1Pricing, q3TopOrders)
 }
