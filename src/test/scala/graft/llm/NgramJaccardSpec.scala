@@ -27,14 +27,14 @@ class NgramJaccardSpec extends SparkSpec {
 
   test("mod-p sketch keeps identical-text jaccard at 1.0 and is deterministic") {
     val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      Seq("lang"), n = 3, tau = 0.0, modP = 1)
+      Seq("len_band"), n = 3, tau = 0.0, modP = 1)
       .filter(col("id_a") === 1 && col("id_b") === 4).collect()(0).getDouble(2)
     val sketched = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      Seq("lang"), n = 3, tau = 0.0, modP = 4)
+      Seq("len_band"), n = 3, tau = 0.0, modP = 4)
       .filter(col("id_a") === 1 && col("id_b") === 4).collect()(0).getDouble(2)
     assert(full === 1.0 && sketched === 1.0) // identical texts sketch identically
     val again = Dedup.ngramJaccardPairs(docs.repartition(7), "doc_id", "text",
-      Seq("lang"), n = 3, tau = 0.0, modP = 4)
+      Seq("len_band"), n = 3, tau = 0.0, modP = 4)
       .filter(col("id_a") === 1 && col("id_b") === 4).collect()(0).getDouble(2)
     assert(sketched === again)
   }
