@@ -44,7 +44,14 @@ object Ewma {
     */
   final case class Buf(ts: Array[Long], vs: Array[Double])
 
-  class EwmaAgg(alpha: Double) extends Aggregator[TsVal, Buf, Double] {
+  /** @param adjust pandas `ewm(adjust=)` semantics: false → the plain
+    *                recurrence above; true (the pandas default the
+    *                reference's UDF used) → weighted form
+    *                `Σ(1−α)^{n−i}·x_i / Σ(1−α)^{n−i}`, computed as a
+    *                parallel (numerator, denominator) fold so the
+    *                oracle can restate it exactly.
+    */
+  class EwmaAgg(alpha: Double, adjust: Boolean = false) extends Aggregator[TsVal, Buf, Double] {
     def zero: Buf = Buf(Array.empty, Array.empty)
     def reduce(b: Buf, a: TsVal): Buf = Buf(b.ts :+ a.ts, b.vs :+ a.v)
     def merge(b1: Buf, b2: Buf): Buf =
@@ -55,13 +62,26 @@ object Ewma {
       if (b.ts.isEmpty) Double.NaN
       else {
         val order = b.ts.zipWithIndex.sortBy(_._1).map(_._2)
-        var e = b.vs(order(0))
-        var i = 1
-        while (i < order.length) {
-          e = alpha * b.vs(order(i)) + (1 - alpha) * e
-          i += 1
+        if (adjust) {
+          // num/den fold: num ← x + (1−α)·num, den ← 1 + (1−α)·den
+          var num = b.vs(order(0))
+          var den = 1.0
+          var i = 1
+          while (i < order.length) {
+            num = b.vs(order(i)) + (1 - alpha) * num
+            den = 1.0 + (1 - alpha) * den
+            i += 1
+          }
+          num / den
+        } else {
+          var e = b.vs(order(0))
+          var i = 1
+          while (i < order.length) {
+            e = alpha * b.vs(order(i)) + (1 - alpha) * e
+            i += 1
+          }
+          e
         }
-        e
       }
     }
     def bufferEncoder: org.apache.spark.sql.Encoder[Buf] = Encoders.product[Buf]
@@ -69,8 +89,8 @@ object Ewma {
   }
 
   /** Column-API aggregate: `ewmaUdaf(alpha)(col(tsMicros), col(value))`. */
-  def ewmaUdaf(alpha: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udaf(new EwmaAgg(alpha), Encoders.product[TsVal])
+  def ewmaUdaf(alpha: Double, adjust: Boolean = false): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new EwmaAgg(alpha, adjust), Encoders.product[TsVal])
 
   /** Appends column `outCol` = expanding EWMA of `valCol` per `keyCol`
     * ordered by `orderCols` — the scalable sequential-scan form.

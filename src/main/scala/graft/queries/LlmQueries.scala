@@ -173,6 +173,36 @@ object LlmQueries {
     None
   )
 
+  /** Per-label embedding centroid (the aggregation step of k-means /
+    * class prototypes): element-wise mean with the summation order
+    * pinned by vec_id so both engines fold identical IEEE sequences.
+    * Output flattened to (label, dim, centroid) scalars.
+    */
+  val embeddingCentroid: Q = Q(
+    "embedding_centroid",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+      val g = e.groupBy("label")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("lst"),
+          count(lit(1)).as("n_vectors"))
+      g.select(col("label"),
+          posexplode(transform(sequence(lit(0), lit(63)), i =>
+            aggregate(col("lst"), lit(0.0),
+              (acc, sv) => acc + element_at(sv.getField("v"), (i + 1).cast("int")))
+              / col("n_vectors"))).as(Seq("dim", "centroid")),
+          col("n_vectors"))
+    },
+    Some("""
+      WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n FROM e GROUP BY 1)
+      SELECT label, k AS dim,
+             list_reduce(list_transform(vs, v -> v[(k + 1)::INT]), (a, b) -> a + b) / n AS centroid,
+             n AS n_vectors
+      FROM g CROSS JOIN range(64) r(k)
+    """)
+  )
+
   /** Language-ID via stopword-profile hits (n-gram heuristic). */
   val langId: Q = Q(
     "lang_id",
@@ -291,6 +321,6 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
-    cosineTopK, annLsh, langId, textQuality, tokenCount, docFingerprint,
-    multimodalFeatures)
+    cosineTopK, annLsh, embeddingCentroid, langId, textQuality, tokenCount,
+    docFingerprint, multimodalFeatures)
 }

@@ -222,6 +222,57 @@ object MarketQueries {
     """)
   )
 
+  /** Adjusted (pandas-default `ewm(adjust=True)`) EWMA — the weighted
+    * form the reference's UDF actually computed: parallel
+    * numerator/denominator fold, restated exactly in the oracle.
+    */
+  val ewmaAdjusted: Q = Q(
+    "ewma_adjusted",
+    (s, dir) => {
+      val ew = Ewma.ewmaUdaf(EwmaAlpha, adjust = true)
+      events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .groupBy("user_id")
+        .agg(ew(col("ts_us"), col("value")).as("ewma"), count(lit(1)).as("n_events"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT user_id,
+               list_reduce(list_transform(list(value ORDER BY ts), x -> [x, 1.0::DOUBLE]),
+                           (acc, p) -> [p[1] + (1.0::DOUBLE - 0.8) * acc[1],
+                                        p[2] + (1.0::DOUBLE - 0.8) * acc[2]]) AS nd,
+               count(*) AS n_events
+        FROM events GROUP BY 1)
+      SELECT user_id, nd[1] / nd[2] AS ewma, n_events FROM f
+    """)
+  )
+
+  /** The as-of join in its single-shuffle union+last_value form
+    * (AsOfJoin.unioned — the dense-right-side 100 TB plan). Identical
+    * results ⇒ identical oracle to asof_join.
+    */
+  val asofJoinScalable: Q = Q(
+    "asof_join_scalable",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("value").cast(DecimalType(20, 4)).as("notional"))
+      val bars = DollarBars
+        .bars(purchases, "user_id", "ts", "value", "notional", BarSize)
+        .select("user_id", "bar_num", "close", "end_ts")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      AsOfJoin.unioned(bars, clicks, "user_id", "end_ts", "click_ts",
+        expr("INTERVAL 3 DAYS"))
+        .select(col("user_id"), col("bar_num"), col("close"), col("end_ts"),
+          col("click_ts").as("last_click_ts"), col("click_value").as("last_click_value"))
+    },
+    asofJoin.oracle
+  )
+
   /** Per-row expanding EWMA — the scalable secondary-sort
     * `mapPartitions` form (SURVEY.md §7.4, W2 frame semantics).
     */
@@ -337,6 +388,6 @@ object MarketQueries {
   )
 
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, candlesTumbling,
-    candlesSliding, asofJoin, ewmaLast, ewmaRowwise, ofiFlow, latestPerKey,
-    eventEnrich, envelopeRoundtrip)
+    candlesSliding, asofJoin, asofJoinScalable, ewmaLast, ewmaAdjusted,
+    ewmaRowwise, ofiFlow, latestPerKey, eventEnrich, envelopeRoundtrip)
 }
