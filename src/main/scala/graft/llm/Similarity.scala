@@ -82,6 +82,51 @@ object Similarity {
     Seq.fill(groups)(Seq.fill(bitsPerGroup)(Seq.fill(dim)(rng.nextGaussian())))
   }
 
+  /** IVF-style approximate top-k with predefined cells: the corpus is
+    * indexed by `cellCol` (here a given coarse partition — a k-means
+    * assignment in a full pipeline), per-cell centroids are computed
+    * with order-pinned element-wise folds (deterministic ⇒
+    * oracle-expressible), each query probes its nearest centroid
+    * (nprobe=1) and searches only that cell. The centroid table is
+    * tiny (≤ #cells rows) and broadcasts; per-query work drops from
+    * O(|C|) to O(|C| / #cells).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              queryPred: Column, k: Int, dim: Int): DataFrame = {
+    val dotF: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = dotAdaptive(df)(_, _)
+    val base = withNorm(df.select(col(idCol).as("id"), col(cellCol).as("cell"),
+      toDoubleVec(col(vecCol)).as("v")), "v")
+    val cents = base
+      .groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("lst"),
+        count(lit(1)).as("n"))
+      .select(col("cell").as("c_cell"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          aggregate(col("lst"), lit(0.0),
+            (acc, sv) => acc + element_at(sv.getField("v"), (i + 1).cast("int")))
+            / col("n")).as("cv"))
+      .withColumn("cn", dotF(col("cv"), col("cv")))
+    val q = base.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("__norm").as("qn"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("probe_cos").desc, col("c_cell"))
+    val probe = q.join(broadcast(cents))
+      .withColumn("probe_cos",
+        dotF(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") === 1)
+      .select(col("query_id"), col("qv"), col("qn"), col("c_cell").as("probe_cell"))
+    val scored = probe.join(base,
+        col("cell") === col("probe_cell") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Approximate top-k: candidates share a sign-bucket in ≥1 group,
     * scored with exact cosine, deduplicated across groups.
     * `queryPred` is expressed over the renamed `id` column.

@@ -173,6 +173,46 @@ object LlmQueries {
     None
   )
 
+  /** IVF-style ANN: corpus indexed by label cell, per-cell centroids
+    * from order-pinned folds, query probes its nearest centroid
+    * (nprobe=1), exact cosine top-5 within the probed cell. Fully
+    * deterministic ⇒ full oracle.
+    */
+  val annIvf: Q = Q(
+    "ann_ivf_topk",
+    (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", col("id") % 40 === 0, k = 5, dim = 64),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS cnt FROM e GROUP BY 1),
+      c AS (SELECT label AS c_cell,
+                   list_transform(range(64), kk ->
+                     list_reduce(list_transform(vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / cnt) AS cv
+            FROM g),
+      c2 AS (SELECT c_cell, cv,
+                    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn
+             FROM c),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 40 = 0),
+      probe AS (
+        SELECT qid, qv, qn, c_cell
+        FROM q CROSS JOIN c2
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+          list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * cv[i::INT]), (a, b) -> a + b)
+            / (sqrt(qn) * sqrt(cn)) DESC, c_cell) = 1),
+      s AS (SELECT qid AS query_id, t.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]), (a, b) -> a + b)
+                     / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+            FROM probe JOIN n t ON t.label = probe.c_cell AND t.vec_id <> probe.qid)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
   /** Per-label embedding centroid (the aggregation step of k-means /
     * class prototypes): element-wise mean with the summation order
     * pinned by vec_id so both engines fold identical IEEE sequences.
@@ -321,6 +361,6 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
-    cosineTopK, annLsh, embeddingCentroid, langId, textQuality, tokenCount,
-    docFingerprint, multimodalFeatures)
+    cosineTopK, annLsh, annIvf, embeddingCentroid, langId, textQuality,
+    tokenCount, docFingerprint, multimodalFeatures)
 }
