@@ -86,6 +86,48 @@ object MarketQueries {
     dollarBars.oracle
   )
 
+  /** Tick bars — fixed trade-count sampling (the row-count sibling of
+    * dollar bars): bar_num = floor(rank/N) per key via row_number.
+    */
+  val tickBars: Q = Q(
+    "tick_bars",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("value"),
+          col("value").cast(DecimalType(20, 4)).as("notional"))
+        .withColumn("bar_num",
+          floor((row_number().over(w) - 1) / 25).cast("int"))
+        .groupBy(col("user_id"), col("bar_num"))
+        .agg(
+          min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          sum(col("notional")).cast("double").as("volume"),
+          count(lit(1)).as("n_trades"),
+          min(col("ts")).as("start_ts"),
+          max(col("ts")).as("end_ts"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id, ts, value,
+               CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1) / 25) AS INT) AS bar_num
+        FROM events)
+      SELECT user_id, bar_num,
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS volume,
+             count(*)           AS n_trades,
+             min(ts)            AS start_ts,
+             max(ts)            AS end_ts
+      FROM t GROUP BY 1, 2
+    """)
+  )
+
   /** Candle agg SQL fragment shared by tumbling/sliding oracles —
     * mirrors Candles.aggs exactly (decimal-exact sums; volatility from
     * exact moments so Spark and DuckDB run identical IEEE ops).
@@ -387,7 +429,8 @@ object MarketQueries {
     Some("SELECT event_id, user_id, event_type, value FROM events")
   )
 
-  val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, candlesTumbling,
-    candlesSliding, asofJoin, asofJoinScalable, ewmaLast, ewmaAdjusted,
-    ewmaRowwise, ofiFlow, latestPerKey, eventEnrich, envelopeRoundtrip)
+  val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
+    candlesTumbling, candlesSliding, asofJoin, asofJoinScalable, ewmaLast,
+    ewmaAdjusted, ewmaRowwise, ofiFlow, latestPerKey, eventEnrich,
+    envelopeRoundtrip)
 }
