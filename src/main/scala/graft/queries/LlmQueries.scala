@@ -173,6 +173,39 @@ object LlmQueries {
     None
   )
 
+  /** Embedding-cosine near-duplicate pairs: same-cell (label) blocking
+    * — the IVF analogue of LSH blocking — then exact cosine ≥ 0.35 (tuned to the synthetic embedding similarity range).
+    * At scale the block key comes from LSH buckets or IVF assignment
+    * instead of a given label.
+    */
+  val dedupEmbedding: Q = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val base = Similarity.withNorm(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+          Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+      val dotF = Similarity.dotAdaptive(base)(_, _)
+      base.as("a").join(base.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (dotF(col("a.v"), col("b.v")) / (sqrt(col("a.__norm")) * sqrt(col("b.__norm"))))
+            .as("cosine"))
+        .filter(col("cosine") >= 0.35)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]),
+                               (x, y) -> x + y)
+                     / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35
+    """)
+  )
+
   /** IVF-style ANN: corpus indexed by label cell, per-cell centroids
     * from order-pinned folds, query probes its nearest centroid
     * (nprobe=1), exact cosine top-5 within the probed cell. Fully
@@ -360,7 +393,7 @@ object LlmQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, ngramJaccard,
-    cosineTopK, annLsh, annIvf, embeddingCentroid, langId, textQuality,
-    tokenCount, docFingerprint, multimodalFeatures)
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupEmbedding,
+    ngramJaccard, cosineTopK, annLsh, annIvf, embeddingCentroid, langId,
+    textQuality, tokenCount, docFingerprint, multimodalFeatures)
 }
