@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the embedding dot product — the one
   * hot loop where the built-in composition
@@ -46,7 +46,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // Length mismatch → NULL, exactly like the higher-order form:
+    // zip_with null-pads the shorter side, the padded product is NULL,
+    // and the fold propagates it. (Truncating to min length here would
+    // silently diverge from `Similarity.dot` on ragged input.)
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var i = 0
     var acc = 0.0
     while (i < n) {
@@ -63,9 +68,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
+         |int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
@@ -76,6 +82,86 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native 60-bit SimHash signature over an `array<long>` of token
+  * hashes — the dedup hot loop where the built-in composition
+  * (`aggregate(sequence(0,59), …)` with an inner `aggregate(hashes)`
+  * per bit) re-walks the token array 60× per document through
+  * interpreted higher-order lambdas. This expression makes one pass:
+  * a primitive `long[60]` vote counter updated per element, then the
+  * sign fold into the signature.
+  *
+  * Semantics match `Dedup.simhash` (the HOF form) exactly, including
+  * its null-element behavior: a NULL token hash votes −1 on every bit
+  * (the HOF's `when(NULL…)` falls to the otherwise branch). NULL array
+  * → NULL. Proved equal in VectorExpressionsSpec.
+  *
+  * Reference context: the SimHash family extends the reference's
+  * dedup-free pipeline for LLM training data (builder brief); the
+  * banding/verify machinery lives in graft.llm.Dedup.
+  */
+case class SimHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash_native expects array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  private val Bits = 60
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val votes = new Array[Long](Bits)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) {
+        var j = 0
+        while (j < Bits) { votes(j) -= 1L; j += 1 }
+      } else {
+        val h = xs.getLong(i)
+        var j = 0
+        while (j < Bits) { votes(j) += ((h >>> j) & 1L) * 2L - 1L; j += 1 }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < Bits) { if (votes(j) > 0L) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $votes = new long[$Bits];
+         |for (int $i = 0; $i < $x.numElements(); $i++) {
+         |  if ($x.isNullAt($i)) {
+         |    for (int $j = 0; $j < $Bits; $j++) $votes[$j] -= 1L;
+         |  } else {
+         |    long $h = $x.getLong($i);
+         |    for (int $j = 0; $j < $Bits; $j++) $votes[$j] += (($h >>> $j) & 1L) * 2L - 1L;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $Bits; $j++) if ($votes[$j] > 0L) $sig |= 1L << $j;
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
 }
 
 /** Engine extensions — wire with
@@ -90,6 +176,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_native takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_native"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash_native"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash_native takes exactly 1 argument")
+        SimHash(children.head)
       }))
   }
 }

@@ -112,6 +112,13 @@ object Dedup {
   /** 60-bit SimHash over a materialized token-hash array (h60 per
     * distinct token): bit j is set when the +1/−1 vote sum of
     * token-hash bits j is positive.
+    *
+    * This HOF form re-walks the token array 60× per document (one
+    * inner `aggregate` per bit) — kept as the portable no-extensions
+    * fallback; the hot path is the single-pass native expression
+    * (`simhash_native`, graft.functions.SimHash), dispatched by
+    * [[simhashAdaptive]]. Bit-identical outputs, proved in
+    * VectorExpressionsSpec.
     */
   def simhash(hashes: Column): Column = {
     aggregate(
@@ -124,6 +131,15 @@ object Dedup {
       })
   }
 
+  /** The signature through the fused one-pass native expression when
+    * the session carries GraftExtensions, the portable 60-fold HOF
+    * otherwise — same dispatch pattern as `Similarity.dotAdaptive`.
+    */
+  def simhashAdaptive(df: DataFrame)(hashes: Column): Column =
+    if (df.sparkSession.catalog.functionExists("simhash_native"))
+      call_function("simhash_native", hashes)
+    else simhash(hashes)
+
   /** SimHash near-dup pairs: banded 15-bit buckets (any shared band ⇒
     * candidate), Hamming distance popcount(xor) ≤ maxDist.
     */
@@ -131,7 +147,7 @@ object Dedup {
                       maxDist: Int, maxBucket: Int = 64): DataFrame = {
     val docs = df
       .select(col(idCol).as("id"), transform(wordSet(col(textCol)), t => h60(t)).as("hs"))
-      .select(col("id"), simhash(col("hs")).as("sim"))
+      .select(col("id"), simhashAdaptive(df)(col("hs")).as("sim"))
     val banded = capBuckets(docs.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
         call_function("shiftright", col("sim"), b.cast("int") * 15).bitwiseAND(32767L)))
@@ -150,38 +166,78 @@ object Dedup {
       .select("id_a", "id_b", "sim_a", "sim_b", "hamming")
   }
 
-  /** Exact n-gram (character trigram) Jaccard over blocked pairs —
-    * blocking on (lang, length band) bounds the pair space; at scale
-    * swap the block key for an LSH bucket (minHashNearDups).
-    */
-  /** @param modP keep only grams with hash ≡ 0 (mod modP) — a
-    *              deterministic mod-p sketch: Jaccard over the sketch
-    *              estimates full-set Jaccard while cutting both the
-    *              pair-join payload and the per-pair intersect by
-    *              ~modP² (identical sketch in the oracle). modP=1
-    *              disables sketching.
+  /** Exact n-gram (character trigram) Jaccard with MinHash band-bucket
+    * candidate generation (the [[minHashNearDups]] machinery applied
+    * to the gram sets): each document's sketch-gram set is minhashed
+    * (`numPerm` perms), folded into `bands` band hashes, and two
+    * documents become a candidate pair iff they share a (band, hash)
+    * bucket inside the same block. A J-similar pair shares a band with
+    * probability 1−(1−J^rows)^bands (rows=2, bands=8 ⇒ ≥ 0.9997 at
+    * J=0.8; identical docs always collide) — while the pair space
+    * collapses from block-quadratic (the round-1 all-pairs
+    * scale-killer: a popular (lang, len_band) block at 100 TB holds
+    * millions of docs → O(c²)) to Σ_bucket min(c, cap)².
+    *
+    * Single-gram posting keys were tried and rejected: on a
+    * small-vocabulary corpus every individual gram is corpus-common,
+    * so any df-capped inverted index drops exactly the grams that
+    * identical short documents share. Band hashes are combinations of
+    * `rows` minhash values — discriminative even when each gram is
+    * not.
+    *
+    * Scale design: the bucket shuffle carries only (id, block, band)
+    * — never the gram arrays; full gram sets are re-joined onto the
+    * surviving candidate pairs for the exact verify. `maxBucket` is a
+    * skew guard against degenerate mega-clusters (a boilerplate
+    * cluster of c docs genuinely contains O(c²) qualifying pairs — at
+    * that point pair enumeration itself is the bottleneck and a
+    * representative-based dedup is the right tool); the default is
+    * set above this corpus's largest cluster so recall is complete.
+    * Everything is deterministic and mirrored in the oracle SQL.
+    *
+    * @param modP keep only grams with hash ≡ 0 (mod modP) — a
+    *             deterministic mod-p sketch: Jaccard over the sketch
+    *             estimates full-set Jaccard while cutting the per-pair
+    *             intersect by ~modP². modP=1 disables sketching.
+    * @param numPerm minhash permutations over the gram set.
+    * @param bands band count (rows per band = numPerm / bands).
+    * @param maxBucket skip (band, hash) buckets with more members.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], n: Int, tau: Double,
-                        modP: Int = 4): DataFrame = {
-    // Grams are hashed to 32-bit longs map-side BEFORE the pair join:
-    // the per-pair intersect then runs on primitive longs instead of
-    // strings (~an order of magnitude cheaper), and the shuffle
-    // carries 8-byte values. Hash collisions would perturb Jaccard
-    // identically in the oracle (same md5-derived hash).
+                        modP: Int = 4, numPerm: Int = 16, bands: Int = 8,
+                        maxBucket: Int = 4096): DataFrame = {
+    val rows = numPerm / bands
+    // Grams are hashed to 32-bit longs map-side: intersects run on
+    // primitive longs instead of strings, shuffles carry 8-byte
+    // values. Hash collisions would perturb Jaccard identically in
+    // the oracle (same md5-derived hash).
     val docs = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
       array_distinct(filter(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => h32(col(textCol).substr(i, lit(n)))),
         h => h % modP === 0)).as("grams"): _*)
       .persist()
-    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.id") < col("b.id")
-    docs.as("a").join(docs.as("b"), cond)
-      .withColumn("inter", size(array_intersect(col("a.grams"), col("b.grams"))))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+    // Empty-gram docs get null band hashes and fall out of the
+    // equi-join naturally (their Jaccard is NULL anyway).
+    val banded = docs.select(Seq(col("id")) ++ blockCols.map(col) :+
+      posexplode(bandHashes(minhashSignature(col("grams"), numPerm), bands, rows))
+        .as(Seq("band_idx", "band_hash")): _*)
+    val capped = capBuckets(banded, maxBucket)
+    val cond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a.band_idx") === col("b.band_idx")) :+
+      (col("a.band_hash") === col("b.band_hash"))).reduce(_ && _) &&
+      col("a.id") < col("b.id")
+    val cand = capped.as("a").join(capped.as("b"), cond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(docs.select(col("id").as("id_a"), col("grams").as("ga")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("grams").as("gb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
-          (size(col("a.grams")) + size(col("b.grams")) - col("inter")).cast("double"))
+          (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= tau)
   }

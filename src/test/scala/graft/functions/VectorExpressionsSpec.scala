@@ -29,6 +29,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
   }
 
+  test("ragged-length input is NULL, matching the higher-order form") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val out = df.select(
+      call_function("dot_native", col("a"), col("b")).as("native"),
+      Similarity.dot(col("a"), col("b")).as("hof")).collect()(0)
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("simhash_native equals the 60-fold higher-order form bit-for-bit") {
+    import graft.llm.{Dedup, TextHash}
+    val hs = Tables.documents(spark, sf("sf0.01"))
+      .select(transform(TextHash.wordSet(col("text")), t => TextHash.h60(t)).as("hs"))
+    val cmp = hs.select(
+      Dedup.simhash(col("hs")).as("hof"),
+      call_function("simhash_native", col("hs")).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() === 0)
+    assert(cmp.filter(col("native").isNull).count() === 0)
+    // empty array: every vote sum is 0 (not > 0) => signature 0
+    import spark.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(call_function("simhash_native", col("hs"))).collect()(0)
+    assert(empty.getLong(0) === 0L)
+  }
+
   test("native loop is not slower than higher-order form") {
     val df = vecs.crossJoin(vecs.select(col("v").as("v2"))).cache()
     df.count() // materialize
