@@ -75,11 +75,32 @@ object Similarity {
 
   /** Deterministic hyperplanes: seeded JVM RNG, `groups` independent
     * tables of `bitsPerGroup` planes each (multi-probe via OR of
-    * groups raises recall like LSH band amplification).
+    * groups raises recall like LSH band amplification). NOT
+    * oracle-expressible (JVM RNG) — prefer [[md5Planes]].
     */
   def randomPlanes(dim: Int, groups: Int, bitsPerGroup: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(groups)(Seq.fill(bitsPerGroup)(Seq.fill(dim)(rng.nextGaussian())))
+  }
+
+  /** Oracle-expressible deterministic hyperplanes: component (g, p, d)
+    * = md5("g:p:d") first-8-hex-digits / 2³² − 0.5 ∈ [−0.5, 0.5) — the
+    * repo's TextHash trick lifted to plane generation, so DuckDB can
+    * restate the exact same doubles (`('0x' || substr(md5(…), 1,
+    * 8))::BIGINT / 4294967296.0 - 0.5`; both conversions are exact in
+    * IEEE double). Uniform-symmetric components instead of Gaussian —
+    * for sign-projection LSH only the direction distribution matters
+    * and the uniform cube is isotropic enough in practice (recall is
+    * asserted against brute force in SimilaritySpec).
+    */
+  def md5Planes(dim: Int, groups: Int, bitsPerGroup: Int): Seq[Seq[Seq[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def comp(g: Int, p: Int, d: Int): Double = {
+      val hex = md.digest(s"$g:$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+    Seq.tabulate(groups, bitsPerGroup, dim)(comp)
   }
 
   /** IVF-style approximate top-k with predefined cells: the corpus is

@@ -187,16 +187,46 @@ object LlmQueries {
   )
 
   /** Random-hyperplane LSH approximate top-5 — the scale path for
-    * similarity search. Not ANSI-SQL-expressible (seeded-RNG planes)
-    * → rows-only driver check; recall vs brute force is asserted in
+    * similarity search. Planes are md5-derived (Similarity.md5Planes)
+    * so the oracle restates the exact same doubles — full DuckDB
+    * verification; recall vs brute force is asserted in
     * SimilaritySpec.
     */
   val annLsh: Q = Q(
     "ann_lsh_topk",
     (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       col("id") % 40 === 0, k = 5,
-      Similarity.randomPlanes(dim = 64, groups = 16, bitsPerGroup = 6, seed = 42L)),
-    None
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(6) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM n CROSS JOIN pl GROUP BY 1, 2),
+      q AS (SELECT vec_id AS query_id, g, bucket FROM bkt WHERE vec_id % 40 = 0),
+      cand AS (SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+               FROM q JOIN bkt t ON q.g = t.g AND q.bucket = t.bucket
+                AND t.vec_id <> q.query_id),
+      s AS (SELECT c.query_id, c.neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, y) -> x + y)
+                     / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+            FROM cand c
+            JOIN n a ON a.vec_id = c.query_id
+            JOIN n b ON b.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
   )
 
   /** Embedding-cosine near-duplicate pairs: same-cell (label) blocking

@@ -23,11 +23,11 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
       col("id") % 40 === 0, k = 5,
-      Similarity.randomPlanes(dim = 64, groups = 16, bitsPerGroup = 6, seed = 42L))
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6))
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     info(s"recall@5 = $recall (${lsh.size} approx rows, ${brute.size} exact)")
-    assert(recall > 0.5) // approximate method, seeded → deterministic bound
+    assert(recall > 0.5) // approximate method, md5-derived → deterministic bound
   }
 }
