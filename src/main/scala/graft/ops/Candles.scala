@@ -10,6 +10,13 @@ import org.apache.spark.sql.types.DecimalType
   * `kafka_upbit_realtime_processing.py:108-194` sliding 10 min / 15 s).
   * SURVEY.md T2/T3 + A1-A7.
   *
+  * OHLC (open/high/low/close/avg/volatility) aggregate the PRICE
+  * column; volume and the conditional side volume aggregate the
+  * VOLUME column — the reference sums `trade_volume`, not prices
+  * (`kafka_to_kafka_by_spark_for_druid.py:119-129`). The optional
+  * latency column adds the reference's `mean(time_diff)` collection
+  * latency per candle (`:107,131`).
+  *
   * Works identically on batch and streaming DataFrames — `window()` +
   * `groupBy().agg()` is incremental-execution-safe; the streaming
   * wrapper only adds `withWatermark` (graft.stream).
@@ -33,54 +40,68 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Candles {
 
-  /** Money/value columns: DECIMAL(10,4) — exact, and narrow enough
-    * that v*v = DECIMAL(21,8) stays within precision 38 as a sum.
+  /** Money/value columns: DECIMAL(18,4) — exact, wide enough for
+    * KRW-scale prices (up to 10¹⁴; a 10,4 cast would overflow BTC/KRW
+    * ~1e8 and null out sums with ANSI off), and narrow enough that
+    * v*v = DECIMAL(37,8) still fits precision 38 as a sum.
     */
-  private def dec(c: Column): Column = c.cast(DecimalType(10, 4))
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
-  /** The candle aggregate list over `valCol`, ordered by `tsCol`;
-    * `sideCol === sideValue` selects the rows for the conditional
-    * volume (reference: `ask_bid == "ASK"`).
+  /** The candle aggregate list: OHLC over `priceCol` ordered by
+    * `tsCol`, (side-)volume sums over `volCol` where
+    * `sideCol === sideValue` selects the conditional rows (reference:
+    * `ask_bid == "ASK"`), plus `mean(latencyCol)` when given.
     */
-  def aggs(tsCol: String, valCol: String, sideCol: String, sideValue: String): Seq[Column] = {
-    val v = col(valCol)
+  def aggs(tsCol: String, priceCol: String, volCol: String,
+           sideCol: String, sideValue: String,
+           latencyCol: Option[String] = None): Seq[Column] = {
+    val p = col(priceCol)
     val n = count(lit(1))
-    val sx = sum(dec(v)).cast("double")
-    val sxx = sum(dec(v) * dec(v)).cast("double")
-    Seq(
-      min_by(v, col(tsCol)).as("open"),
-      max(v).as("high"),
-      min(v).as("low"),
-      max_by(v, col(tsCol)).as("close"),
-      sum(dec(v)).cast("double").as("volume"),
-      sum(when(col(sideCol) === sideValue, dec(v)).otherwise(lit(0).cast(DecimalType(10, 4))))
+    val sx = sum(dec(p)).cast("double")
+    val sxx = sum(dec(p) * dec(p)).cast("double")
+    val base = Seq(
+      min_by(p, col(tsCol)).as("open"),
+      max(p).as("high"),
+      min(p).as("low"),
+      max_by(p, col(tsCol)).as("close"),
+      sum(dec(col(volCol))).cast("double").as("volume"),
+      sum(when(col(sideCol) === sideValue, dec(col(volCol)))
+        .otherwise(lit(0).cast(DecimalType(18, 4))))
         .cast("double").as("side_volume"),
-      (sum(dec(v)).cast("double") / n).as("avg_value"),
+      (sum(dec(p)).cast("double") / n).as("avg_value"),
       when(n > 1, sqrt(greatest((sxx - sx * sx / n) / (n - lit(1)), lit(0.0))))
         .as("volatility"),
       n.as("n_events")
     )
+    base ++ latencyCol.map(lc =>
+      (sum(dec(col(lc))).cast("double") / n).as("avg_latency")).toSeq
   }
 
   /** Tumbling event-time candles (`window(ts, dur)`), flattened to
     * `window_start`/`window_end` columns.
     */
-  def tumbling(df: DataFrame, tsCol: String, keyCol: String, valCol: String,
-               sideCol: String, sideValue: String, dur: String): DataFrame =
-    candle(df, window(col(tsCol), dur), tsCol, keyCol, valCol, sideCol, sideValue)
+  def tumbling(df: DataFrame, tsCol: String, keyCol: String, priceCol: String,
+               sideCol: String, sideValue: String, dur: String,
+               volCol: String = null, latencyCol: Option[String] = None): DataFrame =
+    candle(df, window(col(tsCol), dur), tsCol, keyCol, priceCol,
+      Option(volCol).getOrElse(priceCol), sideCol, sideValue, latencyCol)
 
   /** Sliding event-time candles (`window(ts, dur, slide)`). */
-  def sliding(df: DataFrame, tsCol: String, keyCol: String, valCol: String,
-              sideCol: String, sideValue: String, dur: String, slide: String): DataFrame =
-    candle(df, window(col(tsCol), dur, slide), tsCol, keyCol, valCol, sideCol, sideValue)
+  def sliding(df: DataFrame, tsCol: String, keyCol: String, priceCol: String,
+              sideCol: String, sideValue: String, dur: String, slide: String,
+              volCol: String = null, latencyCol: Option[String] = None): DataFrame =
+    candle(df, window(col(tsCol), dur, slide), tsCol, keyCol, priceCol,
+      Option(volCol).getOrElse(priceCol), sideCol, sideValue, latencyCol)
 
   private def candle(df: DataFrame, win: Column, tsCol: String, keyCol: String,
-                     valCol: String, sideCol: String, sideValue: String): DataFrame = {
-    val as = aggs(tsCol, valCol, sideCol, sideValue)
+                     priceCol: String, volCol: String, sideCol: String,
+                     sideValue: String, latencyCol: Option[String]): DataFrame = {
+    val as = aggs(tsCol, priceCol, volCol, sideCol, sideValue, latencyCol)
+    val names = aggNames ++ latencyCol.map(_ => "avg_latency").toSeq
     df.groupBy(win, col(keyCol))
       .agg(as.head, as.tail: _*)
       .select(Seq(col("window.start").as("window_start"), col("window.end").as("window_end"), col(keyCol)) ++
-        aggNames.map(col): _*)
+        names.map(col): _*)
   }
 
   val aggNames: Seq[String] =

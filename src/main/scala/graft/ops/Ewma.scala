@@ -45,11 +45,14 @@ object Ewma {
   final case class Buf(ts: Array[Long], vs: Array[Double])
 
   /** @param adjust pandas `ewm(adjust=)` semantics: false → the plain
-    *                recurrence above; true (the pandas default the
-    *                reference's UDF used) → weighted form
-    *                `Σ(1−α)^{n−i}·x_i / Σ(1−α)^{n−i}`, computed as a
-    *                parallel (numerator, denominator) fold so the
-    *                oracle can restate it exactly.
+    *                recurrence above — what the reference's UDF used
+    *                (it passes `adjust=False` explicitly,
+    *                `kafka_upbit_realtime_processing.py:70`); true →
+    *                the weighted form
+    *                `Σ(1−α)^{n−i}·x_i / Σ(1−α)^{n−i}` (an engine
+    *                extension), computed as a parallel (numerator,
+    *                denominator) fold so the oracle can restate it
+    *                exactly.
     */
   class EwmaAgg(alpha: Double, adjust: Boolean = false) extends Aggregator[TsVal, Buf, Double] {
     def zero: Buf = Buf(Array.empty, Array.empty)

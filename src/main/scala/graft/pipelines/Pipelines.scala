@@ -33,7 +33,10 @@ object Pipelines {
 
   /** `kafka_to_kafka_by_spark_for_druid`: trade stream → server
     * event-time + collection-latency enrichment → 10 s tumbling
-    * candles (ask/bid conditional volumes) → JSON envelope out.
+    * candles (OHLC on trade_price; total/ask volumes summing
+    * trade_volume, `kafka_to_kafka_by_spark_for_druid.py:119-129`;
+    * per-candle `mean(time_diff)` collection latency `:107,131`) →
+    * JSON envelope out.
     */
   def druidFeatures(tradeWire: DataFrame, watermark: Option[String] = None): DataFrame = {
     val parsed = Envelope.parse(Envelope.bytesToString(tradeWire), UpbitSchemas.trade)
@@ -41,7 +44,8 @@ object Pipelines {
       .withColumn("time_diff", col("arrive_time") - col("timestamp") / 1000.0)
     val timed = watermark.fold(parsed)(parsed.withWatermark("server_datetime", _))
     Envelope.wrap(Candles.tumbling(timed, "server_datetime", "code", "trade_price",
-      "ask_bid", "ASK", "10 seconds"))
+      "ask_bid", "ASK", "10 seconds", volCol = "trade_volume",
+      latencyCol = Some("time_diff")))
   }
 
   /** `processing_raw_data_from_gcs` — the flagship daily batch: trades
@@ -73,8 +77,13 @@ object Pipelines {
   def realtimeObi(orderbookWire: DataFrame, watermark: Option[String] = None): DataFrame = {
     val parsed = Envelope.parse(Envelope.bytesToString(orderbookWire), UpbitSchemas.orderbook)
       .withColumn("server_datetime", timestamp_millis(col("timestamp")))
+      .withColumn("time_diff", col("arrive_time") - col("timestamp") / 1000.0)
       .withColumn("best", col("orderbook_units").getItem(0))
-      .withColumn("obi",
+      // reference OBI is the raw ratio bid_size / ask_size
+      // (kafka_upbit_realtime_processing.py:95-97)
+      .withColumn("obi", col("best.bid_size") / col("best.ask_size"))
+      // bounded [-1, 1] variant — an engine extension, NOT reference
+      .withColumn("obi_norm",
         (col("best.bid_size") - col("best.ask_size")) /
           (col("best.bid_size") + col("best.ask_size")))
     val timed = watermark.fold(parsed)(parsed.withWatermark("server_datetime", _))
@@ -82,13 +91,31 @@ object Pipelines {
       .groupBy(window(col("server_datetime"), "10 minutes", "15 seconds"), col("code"))
       .agg(
         avg(col("obi")).as("mean_obi"),
+        avg(col("obi_norm")).as("mean_obi_norm"),
         min_by(col("obi"), col("timestamp")).as("first_obi"),
         max_by(col("obi"), col("timestamp")).as("last_obi"),
         max_by(col("best.ask_price"), col("timestamp")).as("last_best_ask"),
         max_by(col("best.bid_price"), col("timestamp")).as("last_best_bid"),
+        max_by(col("best.ask_size"), col("timestamp")).as("last_best_ask_size"),
+        max_by(col("best.bid_size"), col("timestamp")).as("last_best_bid_size"),
+        avg(col("time_diff")).as("mean_time_diff"),
         count(lit(1)).as("n_snapshots"))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
-        col("code"), col("mean_obi"), col("first_obi"), col("last_obi"),
-        col("last_best_ask"), col("last_best_bid"), col("n_snapshots"))
+        col("code"), col("mean_obi"), col("mean_obi_norm"), col("first_obi"),
+        col("last_obi"), col("last_best_ask"), col("last_best_bid"),
+        col("last_best_ask_size"), col("last_best_bid_size"),
+        col("mean_time_diff"), col("n_snapshots"))
   }
+
+  /** Batch composition of the realtime job's OFI stage: the reference
+    * lags each window's last best book and applies the two-sided sign
+    * logic (`kafka_upbit_realtime_processing.py:121-128`). Window
+    * functions are illegal on streams — on a stream this lives in
+    * graft.stream.StatefulFeatures.book; in batch it composes
+    * directly over [[realtimeObi]]'s windowed aggregate.
+    */
+  def realtimeBookOfi(orderbookWire: DataFrame): DataFrame =
+    graft.ops.Ofi.withBookOfi(realtimeObi(orderbookWire), "code",
+      Seq("window_start"), "last_best_bid", "last_best_bid_size",
+      "last_best_ask", "last_best_ask_size", "ofi")
 }

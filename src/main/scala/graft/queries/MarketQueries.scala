@@ -192,6 +192,56 @@ object MarketQueries {
     """)
   )
 
+  /** Tumbling candles with a SEPARATE volume column + latency mean —
+    * the reference druid job's real shape (OHLC on trade_price,
+    * volume sums on trade_volume, mean(time_diff);
+    * `kafka_to_kafka_by_spark_for_druid.py:107-131`). Here `value`
+    * plays price, `k` (props payload) plays volume, and k/1000 plays
+    * the collection latency (k is an int, so the double has ≤3
+    * decimal digits — no 4-dp decimal-cast tie for the oracle).
+    */
+  val candlesVolume: Q = Q(
+    "candles_volume",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val enriched = ev.select(col("user_id"), col("ts"), col("event_type"),
+        col("value"), withK(ev).as("k"),
+        (withK(ev).cast("double") / 1000.0).as("latency"))
+      Candles.tumbling(enriched, "ts", "user_id", "value",
+        "event_type", "purchase", "1 hour",
+        volCol = "k", latencyCol = Some("latency"))
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT user_id, ts, event_type, value,
+               CAST(props->>'k' AS INT) AS k,
+               CAST(CAST(props->>'k' AS INT) AS DOUBLE) / 1000.0 AS latency,
+               make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start
+        FROM events)
+      SELECT window_start,
+             window_start + INTERVAL 1 HOUR AS window_end,
+             user_id,
+             arg_min(value, ts) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, ts) AS close,
+             CAST(sum(CAST(k AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(k AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS side_volume,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
+             CASE WHEN count(*) > 1 THEN
+               sqrt(greatest(
+                 (CAST(CAST(sum(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+                  - CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                    * CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+                 / (count(*) - 1), 0.0))
+             END AS volatility,
+             count(*) AS n_events,
+             CAST(sum(CAST(latency AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_latency
+      FROM w GROUP BY 1, 2, 3
+    """)
+  )
+
   /** As-of join (reference `processing_raw_data_from_gcs.py:143-159`,
     * J1+W4): dollar bars built from purchase events, each joined to
     * the latest click event within a 3-day lookback (left outer —
@@ -264,8 +314,10 @@ object MarketQueries {
     """)
   )
 
-  /** Adjusted (pandas-default `ewm(adjust=True)`) EWMA — the weighted
-    * form the reference's UDF actually computed: parallel
+  /** Adjusted (pandas `ewm(adjust=True)`) EWMA — an ENGINE EXTENSION:
+    * the reference's UDF explicitly passed `adjust=False`
+    * (`kafka_upbit_realtime_processing.py:70`), which is `ewma_last`;
+    * this weighted form is offered alongside it. Parallel
     * numerator/denominator fold, restated exactly in the oracle.
     */
   val ewmaAdjusted: Q = Q(
@@ -360,6 +412,47 @@ object MarketQueries {
     """)
   )
 
+  /** Two-sided book OFI (reference-exact formula,
+    * `kafka_upbit_realtime_processing.py:121-128`): a best-bid/ask
+    * book is synthesized deterministically from the events stream
+    * (bid = value/k, ask mirrored at 200−value with size 100−k), the
+    * book struct is lagged per instrument, and the per-side sign
+    * logic applied — note the ask otherwise-branch is +prev_ask_size.
+    */
+  val ofiBook: Q = Q(
+    "ofi_book",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val book = ev.select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("value").as("bid_price"), withK(ev).as("bid_size"),
+        (lit(200.0) - col("value")).as("ask_price"),
+        (lit(100) - withK(ev)).as("ask_size"))
+      Ofi.withBookOfi(book, "user_id", Seq("ts"),
+        "bid_price", "bid_size", "ask_price", "ask_size", "ofi")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, ts,
+               value AS bid_price, CAST(props->>'k' AS INT) AS bid_size,
+               200.0 - value AS ask_price,
+               100 - CAST(props->>'k' AS INT) AS ask_size
+        FROM events),
+      l AS (
+        SELECT *,
+               lag(bid_price) OVER w AS prev_bid_price,
+               lag(bid_size)  OVER w AS prev_bid_size,
+               lag(ask_price) OVER w AS prev_ask_price,
+               lag(ask_size)  OVER w AS prev_ask_size
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      SELECT event_id, user_id, ts, bid_price, bid_size, ask_price, ask_size,
+             prev_bid_price, prev_bid_size, prev_ask_price, prev_ask_size,
+             (CASE WHEN bid_price >= prev_bid_price THEN bid_size ELSE -prev_bid_size END)
+           - (CASE WHEN ask_price <= prev_ask_price THEN ask_size ELSE prev_ask_size END) AS ofi
+      FROM l
+    """)
+  )
+
   /** Latest row per (key, type) — W4 row_number-desc dedup
     * (reference `processing_raw_data_from_gcs.py:154-159`).
     */
@@ -430,7 +523,7 @@ object MarketQueries {
   )
 
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
-    candlesTumbling, candlesSliding, asofJoin, asofJoinScalable, ewmaLast,
-    ewmaAdjusted, ewmaRowwise, ofiFlow, latestPerKey, eventEnrich,
-    envelopeRoundtrip)
+    candlesTumbling, candlesSliding, candlesVolume, asofJoin, asofJoinScalable,
+    ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook, latestPerKey,
+    eventEnrich, envelopeRoundtrip)
 }

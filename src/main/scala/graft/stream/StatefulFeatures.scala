@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * key, no buffering, arbitrarily long streams.
   *
   * Semantics match the batch operators exactly on in-order input
-  * (proved in StatefulFeaturesSpec): EWMA recurrence
-  * `e ← α·x + (1−α)·e` (graft.ops.Ewma), OFI
-  * `(p ≥ prev ? s : −prev_s) − (p ≤ prev ? s : −prev_s)`
-  * (graft.ops.Ofi).
+  * (proved in StreamingSpec): EWMA recurrence
+  * `e ← α·x + (1−α)·e` (graft.ops.Ewma); [[apply]] carries the
+  * single-series Cont-style OFI (graft.ops.Ofi.withOfi — documented
+  * deviation), [[book]] the reference's two-sided book form
+  * (graft.ops.Ofi.withBookOfi).
   *
   * Scale: state is hash-partitioned by key across executors by the
   * `groupByKey` exchange; per-key state is 3 doubles — state-store
@@ -31,6 +32,12 @@ object StatefulFeatures {
   case class Tick(key: Long, tsUs: Long, price: Double, size: Int)
   case class FeatState(ewma: Double, prevPrice: Double, prevSize: Int, hasPrev: Boolean)
   case class FeatOut(key: Long, tsUs: Long, price: Double, ewma: Double, ofi: Option[Int])
+
+  case class BookTick(key: Long, tsUs: Long, bidPrice: Double, bidSize: Double,
+                      askPrice: Double, askSize: Double)
+  case class BookState(prevBidPrice: Double, prevBidSize: Double,
+                       prevAskPrice: Double, prevAskSize: Double, hasPrev: Boolean)
+  case class BookOut(key: Long, tsUs: Long, ofi: Option[Double])
 
   def apply(ticks: DataFrame, alpha: Double): DataFrame = {
     import ticks.sparkSession.implicits._
@@ -54,6 +61,42 @@ object StatefulFeatures {
             }
             st = FeatState(e, t.price, t.size, hasPrev = true)
             FeatOut(key, t.tsUs, t.price, e, ofi)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** Streaming two-sided book OFI — the stateful form of
+    * `graft.ops.Ofi.withBookOfi` (reference-exact sign logic,
+    * `kafka_upbit_realtime_processing.py:121-128`, incl. the
+    * +prev_ask_size ask branch). State per key is the previous best
+    * book (4 doubles) — O(#keys) state store, identical to the batch
+    * operator on in-order input (StreamingSpec).
+    */
+  def book(ticks: DataFrame): DataFrame = {
+    import ticks.sparkSession.implicits._
+    val typed = ticks
+      .select(col("key").cast("long"), col("tsUs").cast("long"),
+        col("bidPrice").cast("double"), col("bidSize").cast("double"),
+        col("askPrice").cast("double"), col("askSize").cast("double"))
+      .as[BookTick]
+    typed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[BookTick], state: GroupState[BookState]) => {
+          val batch = it.toArray.sortBy(_.tsUs)
+          var st = state.getOption.getOrElse(BookState(0.0, 0.0, 0.0, 0.0, hasPrev = false))
+          val out = batch.map { t =>
+            val ofi = if (!st.hasPrev) None
+            else {
+              val bid = if (t.bidPrice >= st.prevBidPrice) t.bidSize else -st.prevBidSize
+              val ask = if (t.askPrice <= st.prevAskPrice) t.askSize else st.prevAskSize
+              Some(bid - ask)
+            }
+            st = BookState(t.bidPrice, t.bidSize, t.askPrice, t.askSize, hasPrev = true)
+            BookOut(key, t.tsUs, ofi)
           }
           state.update(st)
           out.iterator

@@ -71,17 +71,22 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
-  test("druidFeatures emits 10s candles per code with conditional volumes") {
+  test("druidFeatures emits 10s candles per code with trade-volume sums and latency mean") {
     val out = Pipelines.druidFeatures(tradeWire(80)) // 80 trades over 20 s
     val parsed = graft.ops.Envelope.parse(out,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("volume", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("side_volume", org.apache.spark.sql.types.DoubleType))))
+        org.apache.spark.sql.types.StructField("side_volume", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("avg_latency", org.apache.spark.sql.types.DoubleType))))
     val rows = parsed.collect()
     assert(rows.length === codes.length * 2) // 20 s of data → two 10 s windows × 3 codes
     assert(rows.forall(r => r.getAs[Double]("side_volume") <= r.getAs[Double]("volume")))
+    // volumes sum trade_volume (≤ 0.4 per trade), not prices (≥ 1000)
+    assert(rows.forall(r => r.getAs[Double]("volume") < r.getAs[Long]("n_events") * 0.5))
+    // fixture stamps arrive_time = ts + 50 ms
+    assert(rows.forall(r => math.abs(r.getAs[Double]("avg_latency") - 0.05) < 1e-9))
   }
 
   test("dailyDollarBars: bars join their latest in-lookback orderbook") {
@@ -101,10 +106,27 @@ class PipelinesSpec extends SparkSpec {
     assert(bads.count() === 0)
   }
 
-  test("realtimeObi sliding stats are bounded and keyed per code") {
+  test("realtimeObi sliding stats are keyed per code; ratio OBI and latency present") {
     val out = Pipelines.realtimeObi(orderbookWire(30))
     assert(out.count() > 0)
-    assert(out.filter(col("mean_obi") > 1 || col("mean_obi") < -1).count() === 0)
+    // reference OBI = bid_size / ask_size: strictly positive here
+    assert(out.filter(col("mean_obi") <= 0).count() === 0)
+    // normalized extension stays bounded
+    assert(out.filter(col("mean_obi_norm") > 1 || col("mean_obi_norm") < -1).count() === 0)
     assert(out.filter(col("last_best_ask") <= col("last_best_bid")).count() === 0)
+    // fixture stamps arrive_time = ts + 40 ms (epoch-scale double
+    // rounding leaves ~1e-7 noise on the subtraction)
+    assert(out.filter(abs(col("mean_time_diff") - 0.04) > 1e-4).count() === 0)
+  }
+
+  test("realtimeBookOfi lags each window's best book with the reference sign logic") {
+    val out = Pipelines.realtimeBookOfi(orderbookWire(30)).cache()
+    assert(out.count() > 0)
+    // first window per code has no previous book
+    val firsts = out.groupBy("code").agg(min("window_start").as("w0"))
+    val j = out.join(firsts, out("code") === firsts("code") &&
+      out("window_start") === firsts("w0"))
+    assert(j.filter(col("ofi").isNotNull).count() === 0)
+    assert(out.filter(col("ofi").isNotNull).count() > 0)
   }
 }

@@ -81,4 +81,37 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("stateful two-sided book OFI stream equals Ofi.withBookOfi on ordered input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (1 to 40).map { i =>
+      (i % 3L, i.toLong * 1000,
+        100.0 + (i * 7 % 13), 1.0 + (i * 5 % 50),
+        200.0 - (i * 7 % 13), 1.0 + (i * 11 % 40))
+    }
+    val mem = MemoryStream[(Long, Long, Double, Double, Double, Double)]
+    val sdf = mem.toDF().toDF("key", "tsUs", "bidPrice", "bidSize", "askPrice", "askSize")
+    val q = StatefulFeatures.book(sdf)
+      .writeStream.format("memory").queryName("book_stream").outputMode("append").start()
+    try {
+      mem.addData(data.take(13)); q.processAllAvailable()
+      mem.addData(data.drop(13)); q.processAllAvailable()
+      val streamed = spark.table("book_stream").orderBy("key", "tsUs").collect()
+
+      val batch = graft.ops.Ofi.withBookOfi(
+        data.toDF("key", "tsUs", "bidPrice", "bidSize", "askPrice", "askSize"),
+        "key", Seq("tsUs"), "bidPrice", "bidSize", "askPrice", "askSize", "ofi")
+        .select("key", "tsUs", "ofi")
+        .orderBy("key", "tsUs").collect()
+      assert(streamed.length === batch.length)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getLong(0) === b.getLong(0))
+        assert(s.getLong(1) === b.getLong(1))
+        val sOfi = if (s.isNullAt(2)) None else Some(s.getDouble(2))
+        val bOfi = if (b.isNullAt(2)) None else Some(b.getDouble(2))
+        assert(sOfi === bOfi)
+      }
+    } finally q.stop()
+  }
 }
