@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * the bytes (Scala `mapPartitions` — the JVM analogue of a
   * vectorized Pandas-UDF stage).
   *
-  * The decode step is STUBBED (no codec libraries in this
-  * environment): [[StubCodec]] produces deterministic pseudo-features
-  * from the raw bytes. The Spark-side contract — schema, batch
-  * iteration, partitioning, spill-free streaming over rows — is real
-  * and what matters at 100 TB:
+  * Decoding: payloads with a recognized image magic (PNG/BMP/GIF/JPEG)
+  * are decoded for real with JDK-only [[ImageIoCodec]]
+  * (`javax.imageio` — true width/height/channel means); everything
+  * else falls back to [[StubCodec]], a deterministic stand-in for the
+  * audio/video codecs this environment lacks. The Spark-side contract
+  * — schema, batch iteration, partitioning, spill-free streaming over
+  * rows — is real and what matters at 100 TB:
   *
   * - decode runs inside `mapPartitions`, so each task streams its
   *   parquet row-group without materializing the partition;
@@ -58,6 +60,61 @@ object Multimodal {
       feats.zipWithIndex.collect { case (f, i) if i % k == 0 => f }
   }
 
+  /** Real JDK-only image decoding (`javax.imageio`): PNG, BMP, GIF and
+    * JPEG readers ship with the JDK — no external codec needed. The
+    * 8-dim feature vector is [meanR, meanG, meanB, meanLuma(BT.601),
+    * width, height, n_pixels, aspect], channel means normalized to
+    * [0, 1].
+    */
+  object ImageIoCodec {
+    val FeatureDim: Int = StubCodec.FeatureDim
+
+    /** Magic-sniff: is this payload one of the JDK-decodable formats? */
+    def looksLikeImage(bytes: Array[Byte]): Boolean = {
+      def at(i: Int): Int = java.lang.Byte.toUnsignedInt(bytes(i))
+      bytes.length >= 4 && (
+        (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') || // PNG
+        (at(0) == 'B' && at(1) == 'M') ||                                  // BMP
+        (at(0) == 'G' && at(1) == 'I' && at(2) == 'F') ||                  // GIF
+        (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF))                 // JPEG
+    }
+
+    /** Decode bytes → (width, height, features); None when imageio
+      * cannot parse them (caller falls back to the stub).
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+      try {
+        javax.imageio.ImageIO.setUseCache(false) // memory-only, no /tmp files
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF
+              sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val mr = sr.toDouble / (255.0 * n)
+          val mg = sg.toDouble / (255.0 * n)
+          val mb = sb.toDouble / (255.0 * n)
+          val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+          Some((w, h, Array(mr, mg, mb, luma,
+            w.toDouble, h.toDouble, n.toDouble, w.toDouble / h)))
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
   val FeatureSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("modality", StringType),
@@ -68,7 +125,9 @@ object Multimodal {
 
   /** Decode + feature-extract a binary column. Input df must have
     * (`idCol`: long, `bytesCol`: binary); modality is caller-declared
-    * metadata (the bytes are opaque).
+    * metadata. Recognized image payloads decode for real through
+    * [[ImageIoCodec]]; anything else (or an unparseable image) takes
+    * the deterministic [[StubCodec]] path.
     */
   def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
                       modality: String): DataFrame = {
@@ -77,7 +136,9 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](bIdx)
-        val (w, h, feats) = StubCodec.decode(bytes)
+        val (w, h, feats) =
+          (if (ImageIoCodec.looksLikeImage(bytes)) ImageIoCodec.decode(bytes) else None)
+            .getOrElse(StubCodec.decode(bytes))
         Row(r.getLong(idIdx), modality, bytes.length, w, h, feats.toSeq)
       }
     }(Encoders.row(FeatureSchema))

@@ -62,12 +62,12 @@ object RelationalQueries {
     """)
   )
 
-  /** TPC-H-Q3-style shipping priority: three-way join with both dims
-    * filtered then broadcast (explicit hints — at bench scale Spark's
-    * size estimate would broadcast anyway; at 100 TB the orders side
-    * outgrows the threshold and falls back to shuffle join, while the
-    * filtered customer dim stays broadcastable). Revenue follows the
-    * exact-decimal policy.
+  /** TPC-H-Q3-style shipping priority: three-way join. Only the
+    * filtered customer DIM carries a broadcast hint (small at every
+    * scale); the orders side is left to AQE — at bench scale its size
+    * estimate broadcasts it anyway (asserted in PlanSpec), while at
+    * 100 TB a pinned orders broadcast would outgrow the driver, so no
+    * hint there. Revenue follows the exact-decimal policy.
     */
   val q3TopOrders: Q = Q(
     "q3_orders",
@@ -83,7 +83,7 @@ object RelationalQueries {
         .select(col("l_orderkey"),
           (dec4("l_extendedprice") * (lit(1).cast(DecimalType(6, 4)) - rate4("l_discount")))
             .as("rev"))
-      l.join(broadcast(o.join(broadcast(c), col("o_custkey") === col("c_custkey"))),
+      l.join(o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(col("rev")).cast("double").as("revenue"))

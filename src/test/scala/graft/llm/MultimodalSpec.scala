@@ -29,4 +29,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubCodec.resize(feats, 8, 8).length === feats.length)
     assert(Multimodal.StubCodec.frameSample(feats, 2).length === (feats.length + 1) / 2)
   }
+
+  /** A w×h PNG byte array rendered in memory: left half pure red,
+    * right half pure blue.
+    */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xFF0000 else 0x0000FF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode via javax.imageio: true dimensions and channel means") {
+    import spark.implicits._
+    val bytes = pngBytes(40, 20)
+    assert(Multimodal.ImageIoCodec.looksLikeImage(bytes))
+    val df = Seq((1L, bytes), (2L, pngBytes(8, 8))).toDF("id", "bytes")
+    val rows = Multimodal.extractFeatures(df, "id", "bytes", "image")
+      .orderBy("id").collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Int]("width") === 40 && r1.getAs[Int]("height") === 20)
+    val feats = r1.getAs[scala.collection.Seq[Double]]("features")
+    assert(math.abs(feats(0) - 0.5) < 1e-9) // half the pixels full red
+    assert(feats(1) === 0.0)                // no green anywhere
+    assert(math.abs(feats(2) - 0.5) < 1e-9) // half the pixels full blue
+    assert(feats(6) === 800.0 && feats(7) === 2.0) // n_pixels, aspect
+    assert(rows(1).getAs[Int]("width") === 8)
+    // non-image bytes still take the stub path with its width range
+    val txt = Multimodal.extractFeatures(
+      Seq((3L, "plain text".getBytes("UTF-8"))).toDF("id", "bytes"),
+      "id", "bytes", "text").collect()(0)
+    assert(txt.getAs[Int]("width") >= 16 && txt.getAs[Int]("width") < 32)
+  }
 }

@@ -1,0 +1,26 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan contracts for the headline queries — the shapes the
+  * 100 TB design story depends on (EXPLAIN.md).
+  */
+class PlanSpec extends SparkSpec {
+
+  test("q3_orders: AQE broadcasts the dim sides with no orders-side hint") {
+    val df = Registry.byName("q3_orders").fn(spark, sf("sf0.01"))
+    df.collect() // run so AQE finalizes the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "orders/lineitem join regressed to a shuffle join at bench scale")
+  }
+
+  test("q1_pricing: filter is pushed to the parquet scan") {
+    val df = Registry.byName("q1_pricing").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing scan-level pushdown in:\n$plan")
+  }
+}
