@@ -11,13 +11,26 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup (untimed): run every query once at the smallest sf so
+    // JIT + codegen + parquet-footer caches are hot before any timed
+    // measurement — n=1 cold timings are dominated by first-run
+    // compilation, not the plan (standard steady-state methodology).
+    val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist() self-join inputs; drop them so later
-      // queries aren't squeezed by accumulated storage memory
+      // queries aren't squeezed by accumulated storage memory, and GC
+      // (untimed) so one query's garbage isn't billed to the next
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

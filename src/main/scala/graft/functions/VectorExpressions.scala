@@ -164,6 +164,135 @@ case class SimHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernels the generated Java calls into (Scala objects emit
+  * static forwarders, so `VectorKernels.intersectCard(...)` is valid
+  * from codegen'd sources).
+  */
+object VectorKernels {
+  /** |A ∩ B| for two long arrays treated as sets (inputs are
+    * `array_distinct`-ed upstream). Open-addressing probe table over
+    * the smaller side — no boxing, no intermediate array, unlike
+    * `size(array_intersect(...))` which materializes the whole
+    * intersection through an OpenHashSet of boxed elements.
+    * NULL elements are ignored (cannot match — mirrors
+    * `list_intersect` set semantics on non-null members).
+    */
+  def intersectCard(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = small.numElements()
+    if (n == 0) return 0
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var i = 0
+    while (i < n) {
+      if (!small.isNullAt(i)) {
+        val k = small.getLong(i)
+        var idx = (java.lang.Long.hashCode(k) & 0x7fffffff) & mask
+        var break = false
+        while (!break) {
+          if (!used(idx)) { used(idx) = true; keys(idx) = k; break = true }
+          else if (keys(idx) == k) break = true
+          else idx = (idx + 1) & mask
+        }
+      }
+      i += 1
+    }
+    // Probe without mutation: inputs are distinct arrays, so each
+    // large-side key can match at most once — no double-count, and
+    // clearing slots would break other keys' probe chains.
+    var count = 0
+    val m = large.numElements()
+    var j = 0
+    while (j < m) {
+      if (!large.isNullAt(j)) {
+        val k = large.getLong(j)
+        var idx = (java.lang.Long.hashCode(k) & 0x7fffffff) & mask
+        var break = false
+        while (!break) {
+          if (!used(idx)) break = true
+          else if (keys(idx) == k) { count += 1; break = true }
+          else idx = (idx + 1) & mask
+        }
+      }
+      j += 1
+    }
+    count
+  }
+
+  /** One-pass MinHash signature: `numPerm` affine permutations
+    * `(h·a_j + b_j) mod P` with `a_j = 1 + 7919·j`,
+    * `b_j = 1 + 104729·j` (the same literal constants the DuckDB
+    * oracle restates), folded to their minima in a single scan of the
+    * token-hash array. Replaces a nested interpreted-HOF form that
+    * walks the array numPerm times. NULL elements are skipped (they
+    * contribute no candidate minimum, like `list_min` over non-nulls).
+    */
+  def minhashSig(hashes: ArrayData, numPerm: Int, p: Long): ArrayData = {
+    val mins = Array.fill(numPerm)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < numPerm) {
+          val v = (h * (1L + 7919L * j) + (1L + 104729L * j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // Untouched slots (empty / all-null input) become NULL, exactly
+    // like array_min over an empty/all-null transform result.
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(x => if (x == Long.MaxValue) null else (x: Any)))
+  }
+}
+
+/** `intersect_card(a, b)` — see [[VectorKernels.intersectCard]]. */
+case class IntersectCard(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"intersect_card expects (array<bigint>, array<bigint>), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.intersectCard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.VectorKernels.intersectCard($x, $y);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCard =
+    copy(left = l, right = r)
+}
+
+/** `minhash_sig(hashes, numPerm)` — see [[VectorKernels.minhashSig]].
+  * numPerm must be a foldable int literal.
+  */
+case class MinHashSig(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), org.apache.spark.sql.types.IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects (array<bigint>, int literal), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  private val P = 2147483647L
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.minhashSig(a.asInstanceOf[ArrayData], b.asInstanceOf[Int], P)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, k) =>
+      s"${ev.value} = graft.functions.VectorKernels.minhashSig($x, $k, ${P}L);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(left = l, right = r)
+}
+
 /** Engine extensions — wire with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or `.withExtensions(new GraftExtensions)`.
@@ -183,6 +312,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash_native takes exactly 1 argument")
         SimHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("intersect_card"),
+      new ExpressionInfo(classOf[IntersectCard].getName, "intersect_card"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "intersect_card takes exactly 2 arguments")
+        IntersectCard(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sig takes exactly 2 arguments")
+        MinHashSig(children.head, children(1))
       }))
   }
 }

@@ -47,6 +47,26 @@ object Dedup {
       array_min(transform(hashesCol, h =>
         (h * (lit(1L) + j.cast("long") * 7919L) + (lit(1L) + j.cast("long") * 104729L)) % P)))
 
+  /** The signature through the fused one-pass native expression
+    * (graft.functions.MinHashSig) when the session carries
+    * GraftExtensions — the HOF form above re-walks the token-hash
+    * array numPerm times through interpreted lambdas. Identical
+    * output (same affine constants, same mod), proved in
+    * VectorExpressionsSpec.
+    */
+  def minhashSignatureAdaptive(df: DataFrame)(hashesCol: Column, numPerm: Int): Column =
+    if (df.sparkSession.catalog.functionExists("minhash_sig"))
+      call_function("minhash_sig", hashesCol, lit(numPerm))
+    else minhashSignature(hashesCol, numPerm)
+
+  /** |A ∩ B| on long-array sets: native probe-table kernel when
+    * available, `size(array_intersect(...))` otherwise.
+    */
+  def intersectCardAdaptive(df: DataFrame)(a: Column, b: Column): Column =
+    if (df.sparkSession.catalog.functionExists("intersect_card"))
+      call_function("intersect_card", a, b)
+    else size(array_intersect(a, b))
+
   /** Fold `rows` signature values per band into one bucket hash
     * (base-31 accumulation; init 0 ⇒ identical to DuckDB's init-free
     * list_reduce since 0·31+m₀ = m₀).
@@ -82,7 +102,7 @@ object Dedup {
     // (collisions, if any, perturb the oracle identically).
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
       .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
-      .withColumn("sig", minhashSignature(col("hs"), numPerm))
+      .withColumn("sig", minhashSignatureAdaptive(df)(col("hs"), numPerm))
       .withColumn("bands", bandHashes(col("sig"), bands, rows))
     // persist: the self-join would otherwise recompute the md5 token
     // hashing + 16-perm signatures on both sides (at production scale,
@@ -99,9 +119,10 @@ object Dedup {
         col("a.hs").as("toks_a"), col("b.hs").as("toks_b"))
       .dropDuplicates("id_a", "id_b")
     // |A∪B| = |A|+|B|−|A∩B| from precomputed sizes — one set op per
-    // pair instead of two (array_union is the costlier of the pair).
+    // pair instead of two, and the intersection is a cardinality-only
+    // native kernel (no intermediate array).
     cand
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
@@ -221,7 +242,7 @@ object Dedup {
     // Empty-gram docs get null band hashes and fall out of the
     // equi-join naturally (their Jaccard is NULL anyway).
     val banded = docs.select(Seq(col("id")) ++ blockCols.map(col) :+
-      posexplode(bandHashes(minhashSignature(col("grams"), numPerm), bands, rows))
+      posexplode(bandHashes(minhashSignatureAdaptive(df)(col("grams"), numPerm), bands, rows))
         .as(Seq("band_idx", "band_hash")): _*)
     val capped = capBuckets(banded, maxBucket)
     val cond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
@@ -234,7 +255,7 @@ object Dedup {
     cand
       .join(docs.select(col("id").as("id_a"), col("grams").as("ga")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("grams").as("gb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("inter", intersectCardAdaptive(df)(col("ga"), col("gb")))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))

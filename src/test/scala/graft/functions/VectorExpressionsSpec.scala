@@ -54,6 +54,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(empty.getLong(0) === 0L)
   }
 
+  test("minhash_sig equals the nested higher-order form bit-for-bit") {
+    import graft.llm.{Dedup, TextHash}
+    val hs = Tables.documents(spark, sf("sf0.01"))
+      .select(array_distinct(transform(TextHash.wordSet(col("text")),
+        t => TextHash.h32(t))).as("hs"))
+    val cmp = hs.select(
+      Dedup.minhashSignature(col("hs"), 16).as("hof"),
+      call_function("minhash_sig", col("hs"), lit(16)).as("native"))
+    assert(cmp.filter(not(col("hof") <=> col("native"))).count() === 0)
+    // empty input: all-null signature, like array_min over empty
+    import spark.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(call_function("minhash_sig", col("hs"), lit(4))).collect()(0)
+    assert(empty.getAs[scala.collection.Seq[Any]](0).forall(_ == null))
+  }
+
+  test("intersect_card equals size(array_intersect) on distinct arrays") {
+    import graft.llm.TextHash
+    val hs = Tables.documents(spark, sf("sf0.01"))
+      .select(col("doc_id"), array_distinct(transform(TextHash.wordSet(col("text")),
+        t => TextHash.h32(t))).as("hs"))
+    val pairs = hs.limit(60).crossJoin(
+      hs.limit(60).select(col("hs").as("hs2")))
+    val cmp = pairs.select(
+      size(array_intersect(col("hs"), col("hs2"))).as("builtin"),
+      call_function("intersect_card", col("hs"), col("hs2")).as("native"))
+    assert(cmp.filter(col("builtin") =!= col("native")).count() === 0)
+    import spark.implicits._
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(call_function("intersect_card", col("a"), col("b"))).collect()(0)
+    assert(e.getInt(0) === 0)
+  }
+
   test("native loop is not slower than higher-order form") {
     val df = vecs.crossJoin(vecs.select(col("v").as("v2"))).cache()
     df.count() // materialize
