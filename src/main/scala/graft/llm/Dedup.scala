@@ -187,6 +187,77 @@ object Dedup {
       .select("id_a", "id_b", "sim_a", "sim_b", "hamming")
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every node's representative converges to
+    * the smallest id in its component. This is the "keep one
+    * representative per near-dup cluster" step an LLM training-data
+    * pipeline actually runs after pair generation — pair output alone
+    * is O(c²) inside a c-doc boilerplate cluster, the cluster table
+    * is O(c).
+    *
+    * The driver loop coordinates; each iteration is one distributed
+    * join+groupBy (the standard Spark shape for iterative graph
+    * algorithms — GraphX/GraphFrames CC does the same). Converges in
+    * O(component diameter) iterations — near-dup graphs are
+    * clique-ish, so typically 2-3. At extreme scale swap for the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * Components in MapReduce"), same contract.
+    *
+    * @param edges (srcCol, dstCol) pairs, any orientation
+    * @param nodes one row per node id (singletons become their own
+    *              representative)
+    * @return (id, rep) — rep = min id of the component
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          nodes: DataFrame, nodeCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    // localCheckpoint (eager) TRUNCATES LINEAGE each iteration — the
+    // load-bearing detail of iterative DataFrame algorithms: without
+    // it the logical plan doubles per iteration (self-joins on the
+    // previous result) and planning/plan-stringification goes
+    // exponential long before the data does. On a cluster with
+    // dynamic executors, swap for reliable `checkpoint()`.
+    var labels = nodes.select(col(nodeCol).as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // smallest representative among each node's neighbors
+      val nbMin = und.join(labels, und("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nb_rep"))
+      val next = labels.join(nbMin, labels("id") === nbMin("src"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nb_rep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.rep") =!= col("o.rep")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Near-dup clusters over [[minHashNearDups]] pairs: every document
+    * labeled with its cluster representative (min doc id) and the
+    * cluster size. Singletons are their own 1-doc cluster.
+    */
+  def minHashClusters(df: DataFrame, idCol: String, textCol: String,
+                      numPerm: Int, bands: Int, tau: Double,
+                      maxBucket: Int = 64): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, numPerm, bands, tau, maxBucket)
+    val comp = connectedComponents(pairs, "id_a", "id_b",
+      df.select(col(idCol)), idCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")
+    comp.select(col("id").as("doc_id"), col("rep").as("rep_id"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+  }
+
   /** Exact n-gram (character trigram) Jaccard with MinHash band-bucket
     * candidate generation (the [[minHashNearDups]] machinery applied
     * to the gram sets): each document's sketch-gram set is minhashed

@@ -32,17 +32,16 @@ object LlmQueries {
     """)
   )
 
-  /** MinHash-LSH near-dup pairs: 16 perms, 4 bands × 4 rows, exact
-    * word-set Jaccard ≥ 0.85 verify. Buckets above 64 members are
-    * skipped (non-discriminative bands — LSH skew cap; mirrored in
-    * the oracle's QUALIFY).
+  /** Shared CTE chain producing MinHash near-dup pair candidates
+    * verified at jaccard ≥ 0.85 (CTE `j`) — used by both the pair
+    * query and the clusters query (the latter needs the RECURSIVE
+    * keyword on the WITH).
     */
-  val dedupMinhash: Q = Q(
-    "dedup_minhash",
-    (s, dir) => Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
-      numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64),
-    Some(s"""
-      $toksCte,
+  private def minhashPairCtes(recursive: Boolean): String =
+    (if (recursive) "WITH RECURSIVE " else "WITH ") + """t AS (
+        SELECT doc_id, lang, n_chars, text,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents),
       h AS (SELECT doc_id,
                    list_distinct(list_transform(toks, x ->
                      ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs
@@ -66,8 +65,48 @@ object LlmQueries {
       j AS (SELECT id_a, id_b,
                    len(list_intersect(ta, tb))::DOUBLE
                      / len(list_distinct(list_concat(ta, tb)))::DOUBLE AS jaccard
-            FROM cand)
+            FROM cand)"""
+
+  /** MinHash-LSH near-dup pairs: 16 perms, 4 bands × 4 rows, exact
+    * word-set Jaccard ≥ 0.85 verify. Buckets above 64 members are
+    * skipped (non-discriminative bands — LSH skew cap; mirrored in
+    * the oracle's QUALIFY).
+    */
+  val dedupMinhash: Q = Q(
+    "dedup_minhash",
+    (s, dir) => Dedup.minHashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64),
+    Some(s"""
+      ${minhashPairCtes(recursive = false)}
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.85
+    """)
+  )
+
+  /** Near-dup CLUSTERS: connected components over the minhash pair
+    * graph, each document labeled with its representative (min doc id
+    * in the component) and cluster size — the O(c)-output
+    * representative-based dedup step for boilerplate mega-clusters
+    * whose pair enumeration is O(c²). Oracle: recursive CTE
+    * propagating reachable ids, min per node.
+    */
+  val dedupClusters: Q = Q(
+    "dedup_clusters",
+    (s, dir) => Dedup.minHashClusters(Tables.documents(s, dir), "doc_id", "text",
+      numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64),
+    Some(s"""
+      ${minhashPairCtes(recursive = true)},
+      edges AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.85),
+      und AS (SELECT id_a AS a, id_b AS b FROM edges
+              UNION ALL
+              SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT u.a, reach.r FROM reach JOIN und u ON u.b = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1)
+      SELECT doc_id, rep_id,
+             count(*) OVER (PARTITION BY rep_id) AS cluster_size
+      FROM comp
     """)
   )
 
@@ -449,7 +488,7 @@ object LlmQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash, dedupEmbedding,
-    ngramJaccard, cosineTopK, annLsh, annIvf, embeddingCentroid, langId,
-    textQuality, tokenCount, docFingerprint, multimodalFeatures)
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
+    dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, embeddingCentroid,
+    langId, textQuality, tokenCount, docFingerprint, multimodalFeatures)
 }

@@ -27,6 +27,32 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("id_a") >= col("id_b")).count() === 0)
   }
 
+  test("connected components: chains collapse to min id, singletons self-represent") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {10,11}, {20} isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val out = Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("minhash clusters: members share a representative, sizes consistent") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 16, 4, 0.85).collect()
+    val clusters = Dedup.minHashClusters(docs, "doc_id", "text", 16, 4, 0.85)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters.size === docs.count())
+    // every emitted near-dup pair ends up in the same cluster
+    pairs.foreach { p =>
+      assert(clusters(p.getLong(0))._1 === clusters(p.getLong(1))._1)
+    }
+    // representative is a member of its own cluster with matching size
+    val bySize = clusters.values.groupBy(identity).map { case ((rep, sz), v) => (rep, sz) -> v.size }
+    bySize.foreach { case ((_, sz), n) => assert(sz === n) }
+    assert(clusters.exists { case (_, (_, sz)) => sz > 1 }) // real dups exist
+  }
+
   test("simhash near-identical token sets have small hamming distance") {
     import spark.implicits._
     val df = Seq(
