@@ -225,17 +225,18 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // smallest representative among each node's neighbors
+      // smallest representative among each node's neighbors; the old
+      // rep rides along so the convergence check reads the SAME
+      // checkpointed result instead of re-joining against the
+      // previous labels (one shuffle less per iteration)
       val nbMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nb_rep"))
-      val next = labels.join(nbMin, labels("id") === nbMin("src"), "left")
-        .select(col("id"),
+      val step = labels.join(nbMin, labels("id") === nbMin("src"), "left")
+        .select(col("id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nb_rep"), col("rep"))).as("rep"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.rep") =!= col("o.rep")).count()
-      labels = next
+      val changed = step.filter(col("rep") =!= col("old_rep")).count()
+      labels = step.select("id", "rep")
       converged = changed == 0
       i += 1
     }
