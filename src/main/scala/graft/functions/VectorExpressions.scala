@@ -327,5 +327,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "minhash_sig takes exactly 2 arguments")
         MinHashSig(children.head, children(1))
       }))
+    // whole-operator extension: native as-of join (SURVEY §7.3 (c))
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences,
+  Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native as-of join — SURVEY.md §7.3 path (c): a whole-operator
+  * semantics Spark's built-ins can only express as an equi+band join
+  * followed by a row_number dedup (reference
+  * `processing_raw_data_from_gcs.py:143-159`). That formulation
+  * duplicates every left row once per in-band right row BEFORE the
+  * rank filter — O(left × band-density) intermediate blowup on dense
+  * right sides. This operator plans it as what it is: both sides
+  * hash-partitioned on the key and sorted by (key, time), then ONE
+  * streaming merge pass per partition holding O(1) state (the last
+  * right row ≤ the current left time). Cost: two sort-shuffles and a
+  * linear merge, independent of band density — strictly the
+  * SortMergeJoin shape without the per-band duplication.
+  *
+  * Wiring: [[AsOfJoinNode]] (logical, built directly on analyzed
+  * child plans) → [[AsOfJoinStrategy]] (injected via
+  * `GraftExtensions.injectPlannerStrategy`) → [[AsOfJoinExec]]
+  * (physical; `requiredChildDistribution`/`Ordering` make
+  * EnsureRequirements insert the exchanges and sorts).
+  *
+  * Semantics = `AsOfJoin.joined`/`unioned` (left outer; latest right
+  * with rightTime ≤ leftTime and leftTime − rightTime ≤ tolerance),
+  * proven on the same DuckDB oracle (`asof_join_native`) and by
+  * direct equality in AsOfJoinNativeSpec.
+  */
+object AsOfJoinNative {
+
+  /** Build the DataFrame. `leftTimeCol`/`rightTimeCol` must be
+    * TimestampType or LongType; key columns any atomic type with an
+    * ordering. Output = left columns ++ right columns (nullable).
+    */
+  def join(left: DataFrame, right: DataFrame,
+           leftKeyCol: String, leftTimeCol: String,
+           rightKeyCol: String, rightTimeCol: String,
+           tolerance: Long): DataFrame = {
+    val spark = left.sparkSession
+    val lp = GraftSqlShim.analyzed(left)
+    val rp = GraftSqlShim.analyzed(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in [${p.output.map(_.name).mkString(", ")}]"))
+    GraftSqlShim.ofRows(spark,
+      AsOfJoinNode(lp, rp, attr(lp, leftKeyCol), attr(lp, leftTimeCol),
+        attr(rp, rightKeyCol), attr(rp, rightTimeCol), tolerance))
+  }
+}
+
+/** Logical node: carries resolved child plans + join attributes.
+  * `output` nullifies the right side (left outer semantics).
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, leftTime: Attribute,
+                        rightKey: Attribute, rightTime: Attribute,
+                        tolerance: Long) extends BinaryNode {
+  require(Seq(TimestampType, LongType).contains(leftTime.dataType) &&
+    rightTime.dataType == leftTime.dataType,
+    s"as-of time columns must both be timestamp or long, got " +
+      s"${leftTime.dataType.simpleString}/${rightTime.dataType.simpleString}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy translating [[AsOfJoinNode]] 1:1. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftKey, n.leftTime, n.rightKey, n.rightTime, n.tolerance,
+        planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: co-partitioned, co-sorted streaming merge. */
+case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
+                        rightKey: Attribute, rightTime: Attribute,
+                        tolerance: Long,
+                        left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // EnsureRequirements turns these into compatible hash exchanges +
+  // in-partition sorts on both children — the whole physical contract
+  // of the operator lives in these two declarations.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyExpr = BindReferences.bindReference(leftKey: Expression, left.output)
+    val lTimeExpr = BindReferences.bindReference(leftTime: Expression, left.output)
+    val rKeyExpr = BindReferences.bindReference(rightKey: Expression, right.output)
+    val rTimeExpr = BindReferences.bindReference(rightTime: Expression, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tol = tolerance
+    val rightLen = right.output.length
+    val outAttrs = output
+    // bind the right side NULLABLE: on a miss the joiner reads the
+    // all-null row, and a non-nullable BoundReference would skip the
+    // null check and read primitive zeros instead of NULLs
+    val inAttrs = left.output ++ right.output.map(_.withNullability(true))
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val joiner = UnsafeProjection.create(outAttrs, inAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightLen)
+
+      // one-row lookahead over the right side; rows are buffer-reused
+      // by the sorter, so the retained match is always a copy()
+      var rCur: InternalRow = null
+      var rCurKey: Any = null
+      var rCurTime: Long = 0L
+      def advanceRight(): Unit =
+        if (rIt.hasNext) {
+          rCur = rIt.next()
+          rCurKey = rKeyExpr.eval(rCur)
+          rCurTime = rTimeExpr.eval(rCur).asInstanceOf[Long]
+        } else rCur = null
+      advanceRight()
+
+      var matchRow: InternalRow = null
+      var matchKey: Any = null
+      var matchTime: Long = 0L
+
+      lIt.map { l =>
+        val k = lKeyExpr.eval(l)
+        if (k == null) joiner(joined(l, nullRight))
+        else {
+          val t = lTimeExpr.eval(l).asInstanceOf[Long]
+          if (matchRow != null && keyOrd.compare(matchKey, k) != 0) matchRow = null
+          // skip right rows on earlier keys (or null keys, which sort
+          // first and can never match)
+          while (rCur != null && (rCurKey == null || keyOrd.compare(rCurKey, k) < 0))
+            advanceRight()
+          // consume all right rows at this key with time <= t; the
+          // last one wins (as-of semantics)
+          while (rCur != null && rCurKey != null &&
+                 keyOrd.compare(rCurKey, k) == 0 && rCurTime <= t) {
+            matchRow = rCur.copy()
+            matchKey = rKeyExpr.eval(matchRow)
+            matchTime = rCurTime
+            advanceRight()
+          }
+          val m =
+            if (matchRow != null && keyOrd.compare(matchKey, k) == 0 &&
+                t - matchTime <= tol) matchRow
+            else nullRight
+          joiner(joined(l, m))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -367,6 +367,35 @@ object MarketQueries {
     asofJoin.oracle
   )
 
+  /** The as-of join through the engine's NATIVE physical operator
+    * (graft.plans.AsOfJoinNative: custom LogicalPlan → injected
+    * SparkStrategy → co-partitioned sorted-merge SparkPlan with O(1)
+    * per-partition state — no per-band row duplication, no
+    * row_number pass). Same semantics ⇒ same oracle as asof_join.
+    */
+  val asofJoinNative: Q = Q(
+    "asof_join_native",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("value").cast(DecimalType(20, 4)).as("notional"))
+      val bars = DollarBars
+        .bars(purchases, "user_id", "ts", "value", "notional", BarSize)
+        .select("user_id", "bar_num", "close", "end_ts")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("r_user"), col("ts").as("click_ts"),
+          col("value").as("click_value"))
+      graft.plans.AsOfJoinNative.join(bars, clicks, "user_id", "end_ts",
+        "r_user", "click_ts", tolerance = 3L * 24 * 3600 * 1000000)
+        .select(col("user_id"), col("bar_num"), col("close"), col("end_ts"),
+          col("click_ts").as("last_click_ts"), col("click_value").as("last_click_value"))
+    },
+    asofJoin.oracle
+  )
+
   /** Per-row expanding EWMA — the scalable secondary-sort
     * `mapPartitions` form (SURVEY.md §7.4, W2 frame semantics).
     */
@@ -524,6 +553,6 @@ object MarketQueries {
 
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
     candlesTumbling, candlesSliding, candlesVolume, asofJoin, asofJoinScalable,
-    ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook, latestPerKey,
-    eventEnrich, envelopeRoundtrip)
+    asofJoinNative, ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook,
+    latestPerKey, eventEnrich, envelopeRoundtrip)
 }
