@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Candles, DollarBars, Envelope, Ewma, Ofi}
+import graft.ops.{AsOfJoin, Candles, DollarBars, Envelope, Ewma, Ofi, RangeJoin}
 
 /** Market-data (reference-parity) queries over the `events` table,
   * which plays the trade/orderbook stream role (FIXTURES.md §B):
@@ -482,6 +482,40 @@ object MarketQueries {
     """)
   )
 
+  /** Bucketized range self-join (no equi key): all event pairs within
+    * ±30 s of each other. Time-bucket blocking is LOSSLESS (unlike
+    * LSH), so the oracle is the plain theta join — see
+    * graft.ops.RangeJoin.
+    */
+  val rangePairs: Q = Q(
+    "range_pairs",
+    (s, dir) => RangeJoin.selfPairs(events(s, dir), "event_id", "ts",
+      toleranceUs = 30000000L),
+    Some("""
+      WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events)
+      SELECT a.event_id AS id_a, b.event_id AS id_b,
+             b.tus - a.tus AS dt_us
+      FROM e a JOIN e b
+        ON a.event_id < b.event_id AND abs(a.tus - b.tus) <= 30000000
+    """)
+  )
+
+  /** Exact distinct cardinality per group (the verification twin of
+    * the HLL sketch path — approx_count_distinct is asserted within
+    * 5% of this in SketchSpec; the sketch itself is engine-internal
+    * and not oracle-expressible).
+    */
+  val distinctUsers: Q = Q(
+    "distinct_users",
+    (s, dir) => events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events")),
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events GROUP BY 1
+    """)
+  )
+
   /** Latest row per (key, type) — W4 row_number-desc dedup
     * (reference `processing_raw_data_from_gcs.py:154-159`).
     */
@@ -554,5 +588,5 @@ object MarketQueries {
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
     candlesTumbling, candlesSliding, candlesVolume, asofJoin, asofJoinScalable,
     asofJoinNative, ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook,
-    latestPerKey, eventEnrich, envelopeRoundtrip)
+    rangePairs, distinctUsers, latestPerKey, eventEnrich, envelopeRoundtrip)
 }
