@@ -82,6 +82,26 @@ object TextStats {
         length(t).cast("double") / col("re_tokens"))
   }
 
+  /** Heavy hitters: top-k tokens per group by frequency. The
+    * explode→groupBy is the canonical distributed wordcount — partial
+    * (map-side) aggregation bounds the shuffle to distinct
+    * (group, token) pairs, not token occurrences; the per-group top-k
+    * rank filter plans as `WindowGroupLimit` on Spark 4, which prunes
+    * to k rows per group *before* the final sort (asserted in
+    * TopTokensSpec). Ties break lexicographically so results are
+    * deterministic.
+    */
+  def topTokens(df: DataFrame, textCol: String, groupCol: String,
+                k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("n").desc, col("token"))
+    df.select(col(groupCol), explode(words(lower(col(textCol)))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Rolling char-8-gram fingerprint: min 32-bit gram hash (1-perm
     * minhash over character shingles) + distinct gram count.
     */

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.llm.{Dedup, Sampling, TextHash, TextStats}
+import graft.ops.PrefixSum
+
+/** Training-data curation operators: deterministic splits/sampling,
+  * corpus heavy-hitters, and the end-to-end curation pipeline
+  * (quality filter → exact dedup → near-dup cluster representatives →
+  * quality-ranked token budget). All randomness is md5-derived
+  * (TextHash) so every stage restates exactly in the DuckDB oracle.
+  */
+object CurationQueries {
+
+  /** Deterministic 80/10/10 train/val/test assignment. Map-side only:
+    * at 100 TB this is a scan-speed projection with no shuffle, and
+    * the assignment is stable under retries, re-partitioning, and
+    * corpus growth (a new doc never reassigns an old one — unlike
+    * `rand()` or `randomSplit`).
+    */
+  val trainSplit: Q = Q(
+    "train_split",
+    (s, dir) => Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "lang", "split_u", "split"),
+    Some("""
+      WITH u AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 AS split_u
+        FROM documents)
+      SELECT doc_id, lang, split_u,
+             CASE WHEN split_u < 0.8 THEN 'train'
+                  WHEN split_u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u
+    """)
+  )
+
+  /** Per-language deterministic Bernoulli sample: 50% of English,
+    * 20% of everything else (the up/down-weighting shape of corpus
+    * mixing). Pure per-row hash-threshold filter — scan speed, exact
+    * reproducibility, no sampleBy driver state.
+    */
+  val stratifiedSample: Q = Q(
+    "stratified_sample",
+    (s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir),
+        "doc_id", "lang", Map("en" -> 0.5), default = 0.2)
+      .select("doc_id", "lang", "source"),
+    Some("""
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0
+            < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
+    """)
+  )
+
+  /** Corpus heavy hitters: top-10 tokens per language. Distributed
+    * wordcount (map-side partial agg) + WindowGroupLimit top-k.
+    */
+  val tokenTopK: Q = Q(
+    "token_topk",
+    (s, dir) => TextStats.topTokens(Tables.documents(s, dir), "text", "lang", 10),
+    Some("""
+      WITH tok AS (
+        SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+      FROM c QUALIFY rank <= 10
+    """)
+  )
+
+  /** Token budget for the curation pipeline: survivors are ranked by
+    * quality and kept until the cumulative token count crosses this.
+    */
+  val TokenBudget = 10000L
+
+  /** End-to-end curation: quality filter → exact-dedup representative
+    * → MinHash near-dup CLUSTER representative → rank by quality →
+    * keep the top of the corpus up to a token budget.
+    *
+    * Every stage is the engine's own operator (TextStats quality,
+    * Dedup exact + clusters, PrefixSum budget cut), composed the way
+    * a real pretraining-data pipeline chains them. The budget cumsum
+    * uses the two-phase distributed PrefixSum — a global
+    * `Window.orderBy` would serialize the whole surviving corpus into
+    * one task at 100 TB.
+    */
+  val curationPipeline: Q = Q(
+    "curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextStats.withTokenCounts(
+          TextStats.withQuality(docs, "text"), "text")
+        .filter(col("pass_filter"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          col("quality_score"), col("re_tokens"))
+      // exact-dedup: keep the min doc_id of each normalized-text group
+      val exact = scored
+        .withColumn("__th", md5(TextHash.normalize(col("text"))))
+        .withColumn("__rep0", min("doc_id").over(Window.partitionBy("__th")))
+        .filter(col("doc_id") === col("__rep0"))
+        .drop("__th", "__rep0")
+      // near-dup clusters among the remaining; keep representatives
+      val reps = Dedup.minHashClusters(exact, "doc_id", "text",
+          numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64)
+        .filter(col("doc_id") === col("rep_id"))
+        .select("doc_id")
+      val surv = exact.join(reps, "doc_id")
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          col("re_tokens"),
+          // descending-quality order as an ascending sort key (exact:
+          // IEEE negation) so the range partitioner sees plain asc
+          (-col("quality_score")).as("__negq"),
+          col("re_tokens").cast(DecimalType(20, 0)).as("__tok"),
+          lit(0).as("__g"))
+      val cum = PrefixSum.withRunningSum(surv, "__g",
+        Seq("__negq", "doc_id"), "__tok", "__cum")
+      cum.filter(col("__cum") <= TokenBudget)
+        .select(col("doc_id"), col("lang"), col("quality_score"),
+          col("re_tokens"), col("__cum").cast("long").as("cum_tokens"))
+    },
+    Some(s"""
+      WITH RECURSIVE q0 AS (
+        SELECT doc_id, lang, n_chars, text,
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM documents),
+      q1 AS (
+        SELECT doc_id, lang, n_chars, text,
+               length(text) AS len0,
+               string_split_regex(trim(text), '\\s+') AS ws,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+               len(list_intersect(toks, ['the','a','of','and','to','is','in'])) AS stop_hits,
+               len(toks) AS n_distinct,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens
+        FROM q0),
+      q2 AS (
+        SELECT doc_id, lang, n_chars, text, re_tokens, len0, digits,
+               stop_hits, n_distinct, len(ws) AS n_words,
+               list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS sum_word_len
+        FROM q1),
+      scored AS (
+        SELECT doc_id, lang, n_chars, text, re_tokens, n_words, len0,
+               0.4 * (stop_hits::DOUBLE / n_distinct)
+                 + 0.3 * (1.0 - digits::DOUBLE / len0)
+                 + 0.3 * least(sum_word_len::DOUBLE / n_words / 8.0, 1.0) AS quality_score
+        FROM q2),
+      kept AS (
+        SELECT doc_id, lang, n_chars, text, re_tokens, quality_score
+        FROM scored
+        WHERE quality_score >= 0.5 AND n_words >= 10 AND len0 >= 50
+        QUALIFY doc_id = min(doc_id) OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))),
+      ${LlmQueries.minhashPairCteBody("kept")},
+      ${LlmQueries.componentCtes},
+      surv AS (
+        SELECT k.doc_id, k.lang, k.quality_score, k.re_tokens
+        FROM kept k JOIN comp c ON c.doc_id = k.doc_id AND c.rep_id = k.doc_id),
+      ranked AS (
+        SELECT *, sum(re_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS cum
+        FROM surv)
+      SELECT doc_id, lang, quality_score, re_tokens, cum::BIGINT AS cum_tokens
+      FROM ranked WHERE cum <= $TokenBudget
+    """)
+  )
+
+  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, curationPipeline)
+}

@@ -38,10 +38,16 @@ object LlmQueries {
     * keyword on the WITH).
     */
   private def minhashPairCtes(recursive: Boolean): String =
-    (if (recursive) "WITH RECURSIVE " else "WITH ") + """t AS (
+    (if (recursive) "WITH RECURSIVE " else "WITH ") + minhashPairCteBody("documents")
+
+  /** The same CTE chain with a parameterized source relation (must
+    * expose doc_id, lang, n_chars, text) — reused by the curation
+    * pipeline oracle over its quality-filtered subset.
+    */
+  private[queries] def minhashPairCteBody(source: String): String = s"""t AS (
         SELECT doc_id, lang, n_chars, text,
-               list_distinct(string_split_regex(trim(text), '\s+')) AS toks
-        FROM documents),
+               list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+        FROM $source),
       h AS (SELECT doc_id,
                    list_distinct(list_transform(toks, x ->
                      ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs
@@ -95,20 +101,28 @@ object LlmQueries {
       numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64),
     Some(s"""
       ${minhashPairCtes(recursive = true)},
-      edges AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.85),
-      und AS (SELECT id_a AS a, id_b AS b FROM edges
-              UNION ALL
-              SELECT id_b, id_a FROM edges),
-      reach(id, r) AS (
-        SELECT doc_id, doc_id FROM documents
-        UNION
-        SELECT u.a, reach.r FROM reach JOIN und u ON u.b = reach.id),
-      comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1)
+      $componentCtes
       SELECT doc_id, rep_id,
              count(*) OVER (PARTITION BY rep_id) AS cluster_size
       FROM comp
     """)
   )
+
+  /** Connected components over the `j` pair CTE, seeded from `t` (so
+    * it follows whatever source [[minhashPairCteBody]] was given):
+    * recursive reachable-set propagation, min per node — shared by
+    * dedup_clusters and the curation pipeline oracle.
+    */
+  private[queries] def componentCtes: String = """
+      edges AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.85),
+      und AS (SELECT id_a AS a, id_b AS b FROM edges
+              UNION ALL
+              SELECT id_b, id_a FROM edges),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM t
+        UNION
+        SELECT u.a, reach.r FROM reach JOIN und u ON u.b = reach.id),
+      comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1)"""
 
   /** SimHash near-dup pairs: 60-bit signatures, 4 × 15-bit bands,
     * Hamming ≤ 3, bucket cap 64 (see dedup_minhash).

@@ -30,7 +30,8 @@ final case class Q(
 
 object Registry {
   val all: Seq[Q] =
-    MarketQueries.all ++ RelationalQueries.all ++ LlmQueries.all
+    MarketQueries.all ++ RelationalQueries.all ++ LlmQueries.all ++
+      CurationQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

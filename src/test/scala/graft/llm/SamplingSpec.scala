@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf("sf0.01"))
+
+  test("split proportions approximate the weights and cover every row") {
+    val out = Sampling.withSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum === n)
+    // binomial sd at n=500, p=0.8 is ~9; allow 5 sd
+    assert(math.abs(counts("train") - 0.8 * n) <= 45, counts.toString)
+    assert(math.abs(counts("val") - 0.1 * n) <= 34, counts.toString)
+    assert(math.abs(counts("test") - 0.1 * n) <= 34, counts.toString)
+  }
+
+  test("assignment is stable under repartitioning and re-evaluation") {
+    val a = Sampling.withSplit(docs, "doc_id", Seq("train" -> 0.9, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.withSplit(docs.repartition(13), "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
+  test("split is a pure map-side projection — no shuffle in the plan") {
+    val plan = Sampling.withSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("stratified sample hits per-stratum fractions and is a stable subset") {
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), default = 0.2)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, tot) =>
+      val p = if (lang == "en") 0.5 else 0.2
+      val sd = math.sqrt(tot * p * (1 - p))
+      assert(math.abs(byLang.getOrElse(lang, 0L) - p * tot) <= 5 * sd + 1,
+        s"$lang: ${byLang.get(lang)} of $tot")
+    }
+    // raising a fraction only ADDS rows (threshold monotonicity)
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.8), default = 0.2)
+    assert(s1.filter(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
+      .subsetOf(s2.filter(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+}
