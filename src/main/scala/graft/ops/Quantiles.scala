@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group discrete quantiles by rank selection: the value at
+  * rank `ceil(p·n/100)` in (value, tie) order. Pure row selection —
+  * no floating-point arithmetic touches the data, so results are
+  * engine-exact; the rank itself is computed in INTEGER arithmetic
+  * (`(p·n + 99) div 100`) because `ceil(0.9 * n)` in doubles can land
+  * on either side of an exact multiple depending on the engine's
+  * literal type (DuckDB parses 0.9 as DECIMAL, Spark as DOUBLE).
+  *
+  * Scale: needs a full per-group sort — inherent to exact quantiles.
+  * The 100 TB path is `approx_percentile` (GK/KLL-style mergeable
+  * summaries, one pass, no sort); QuantilesSpec bounds it against
+  * this exact operator the same way SketchSpec bounds HLL against
+  * exact distinct counts.
+  */
+object Quantiles {
+
+  /** @param pcts integer percentiles in (0, 100]. */
+  def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                     tieCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.forall(p => p > 0 && p <= 100), "percentiles must be in (0,100]")
+    val wRank = Window.partitionBy(keyCol).orderBy(col(valCol), col(tieCol))
+    df.withColumn("__rn", row_number().over(wRank))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .withColumn("pct", explode(array(pcts.map(lit): _*)))
+      .filter(col("__rn") === expr("(pct * __cnt + 99) div 100"))
+      .select(col(keyCol), col("pct"), col(valCol).as("quantile_value"),
+        col("__cnt").as("n"))
+  }
+}

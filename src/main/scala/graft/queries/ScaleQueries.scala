@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ops.{Quantiles, Salting, Sessions}
+
+/** Operators whose point is the 100 TB execution shape: gap-based
+  * sessionization (window + native session_window forms), skew-safe
+  * salted aggregation, and exact rank-selected quantiles (the
+  * verification twin of `approx_percentile`). All over `events`.
+  */
+object ScaleQueries {
+
+  private val GapSec = 30000L // ~8.3 h: splits roughly half of the
+                              // per-user inter-event gaps (median ~7.3 h)
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+
+  /** Oracle CTE computing per-event session indices. Break predicate
+    * is strict `>` — SessionsSpec pins that BOTH Spark forms merge an
+    * event exactly `gap` after its predecessor.
+    */
+  private def sessionCte: String = s"""
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      d AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                        > ${GapSec * 1000000L}
+                   THEN 1 ELSE 0 END AS is_new
+            FROM ev),
+      s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM d)"""
+
+  private val sessionAggSql = """
+      min(ts) AS session_start, max(ts) AS session_end,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+      epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us"""
+
+  /** Gap sessionization, window form (break on gap STRICTLY > gap). */
+  val sessionize: Q = Q(
+    "sessionize",
+    (s, dir) => Sessions.stats(events(s, dir), "user_id", "ts", "value", GapSec),
+    Some(s"""
+      $sessionCte
+      SELECT user_id, session_idx::BIGINT AS session_idx, $sessionAggSql
+      FROM s GROUP BY user_id, session_idx
+    """)
+  )
+
+  /** Gap sessionization via Spark's native `session_window` — same
+    * break semantics as the window form (merge on touch), same
+    * aggregates, no per-user ordinal.
+    */
+  val sessionizeNative: Q = Q(
+    "sessionize_native",
+    (s, dir) => Sessions.statsNative(events(s, dir), "user_id", "ts", "value", GapSec),
+    Some(s"""
+      $sessionCte
+      SELECT user_id, $sessionAggSql
+      FROM s GROUP BY user_id, session_idx
+    """)
+  )
+
+  /** Skew-safe salted aggregation — bit-identical to the plain
+    * GROUP BY (decomposable aggregates, decimal-exact sums), so the
+    * oracle IS the plain GROUP BY.
+    */
+  val saltedAgg: Q = Q(
+    "salted_agg",
+    (s, dir) => Salting.saltedStats(
+      events(s, dir).withColumn("dec_value", col("value").cast(DecimalType(20, 4))),
+      Seq("event_type"), col("event_id"), "dec_value", "value", salts = 32),
+    Some("""
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+             count(*) AS n_events,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events GROUP BY 1
+    """)
+  )
+
+  /** Exact per-type value quantiles by integer rank selection. */
+  val valueQuantiles: Q = Q(
+    "value_quantiles",
+    (s, dir) => Quantiles.exactQuantiles(events(s, dir), "event_type", "value",
+      "event_id", Seq(25, 50, 75, 90, 99)),
+    Some("""
+      WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events)
+      SELECT event_type, pct, value AS quantile_value, cnt AS n
+      FROM r CROSS JOIN unnest([25, 50, 75, 90, 99]) AS u(pct)
+      WHERE rn = (pct * cnt + 99) // 100
+    """)
+  )
+
+  val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, valueQuantiles)
+}
