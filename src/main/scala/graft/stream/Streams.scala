@@ -43,6 +43,20 @@ object Streams {
       Candles.tumbling(parsed, tsCol, keyCol, valCol, sideCol, sideValue, dur))
   }
 
+  /** Streaming exact-dedup — the stream form of `Dedup.exact` (llm):
+    * drop repeated keys while bounding state with the event-time
+    * watermark. `dropDuplicatesWithinWatermark` keeps a key's state
+    * only until the watermark passes its event time + delay, so state
+    * is O(keys per watermark window), not O(stream history) — the
+    * only dedup that survives an unbounded 100 TB/day stream.
+    * Exactly-once within the delay window; duplicates farther apart
+    * than the delay are the (documented) approximation.
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String,
+                           keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** File sink with checkpoint + processing-time trigger (reference
     * K1: 30-min JSON sink partitioned by (processing_date, code)).
     */
