@@ -107,13 +107,14 @@ object Similarity {
     * indexed by `cellCol` (here a given coarse partition — a k-means
     * assignment in a full pipeline), per-cell centroids are computed
     * with order-pinned element-wise folds (deterministic ⇒
-    * oracle-expressible), each query probes its nearest centroid
-    * (nprobe=1) and searches only that cell. The centroid table is
-    * tiny (≤ #cells rows) and broadcasts; per-query work drops from
-    * O(|C|) to O(|C| / #cells).
+    * oracle-expressible), each query probes its `nprobe` nearest
+    * centroids and searches only those cells. The centroid table is
+    * tiny (≤ #cells rows) and broadcasts; per-query work is
+    * O(nprobe · |C| / #cells) — nprobe is the recall/cost knob (cells
+    * are disjoint, so multi-probe candidates need no dedup).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-              queryPred: Column, k: Int, dim: Int): DataFrame = {
+              queryPred: Column, k: Int, dim: Int, nprobe: Int = 1): DataFrame = {
     val dotF: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = dotAdaptive(df)(_, _)
     val base = withNorm(df.select(col(idCol).as("id"), col(cellCol).as("cell"),
       toDoubleVec(col(vecCol)).as("v")), "v")
@@ -135,7 +136,7 @@ object Similarity {
       .withColumn("probe_cos",
         dotF(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
       .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") === 1)
+      .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("c_cell").as("probe_cell"))
     val scored = probe.join(base,
         col("cell") === col("probe_cell") && col("id") =!= col("query_id"))

