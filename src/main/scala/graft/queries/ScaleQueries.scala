@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Quantiles, Salting, Sessions}
+import graft.ops.{Compaction, Quantiles, Salting, Sessions}
 
 /** Operators whose point is the 100 TB execution shape: gap-based
   * sessionization (window + native session_window forms), skew-safe
@@ -85,6 +85,35 @@ object ScaleQueries {
     """)
   )
 
+  /** Incremental compaction: stats(batch1) ⊕ stats(batch2) must equal
+    * the full-table aggregate bit-for-bit (decomposable aggregates,
+    * decimal-exact sum) — so, like salted_agg, the oracle IS the
+    * plain GROUP BY. Batches split on a deterministic time predicate
+    * (the daily-delta shape).
+    */
+  val incrementalStats: Q = Q(
+    "incremental_stats",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("dec_value", col("value").cast(DecimalType(20, 4)))
+      val cut = lit("2024-01-15").cast("timestamp")
+      val old = ev.filter(col("ts") < cut)
+      val delta = ev.filter(col("ts") >= cut)
+      Compaction.finish(Compaction.merge(
+        Seq(Compaction.stats(old, Seq("event_type"), "dec_value", "value"),
+          Compaction.stats(delta, Seq("event_type"), "dec_value", "value")),
+        Seq("event_type")))
+    },
+    Some("""
+      SELECT event_type,
+             count(*) AS n_events,
+             min(value) AS min_value,
+             max(value) AS max_value,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    """)
+  )
+
   /** Exact per-type value quantiles by integer rank selection. */
   val valueQuantiles: Q = Q(
     "value_quantiles",
@@ -102,5 +131,6 @@ object ScaleQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, valueQuantiles)
+  val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg,
+    incrementalStats, valueQuantiles)
 }

@@ -1,0 +1,101 @@
+package graft.props
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.ops.{Compaction, RangeJoin, Sessions}
+
+/** Property tests for the scale-shape operators: each must equal its
+  * brute-force / direct counterpart on arbitrary generated inputs
+  * (seed-pinned so failures reproduce).
+  */
+class OpPropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  /** (id, ts) rows over a ~2-hour microsecond range — dense enough
+    * that tolerance windows hold multiple events.
+    */
+  private val eventsGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 60)
+    rows <- Gen.listOfN(n, Gen.choose(0L, 7200L * 1000000L))
+  } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("bucketized range join == brute-force theta join (5 seeds)") {
+    import spark.implicits._
+    (1L to 5L).foreach { seed =>
+      val rows = sample(eventsGen, seed)
+      // exact-microsecond timestamps (Timestamp ctor is only ms-grain)
+      val exact = rows.toDF("event_id", "us")
+        .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      val tol = 600L * 1000000L // 10 min
+      val fast = RangeJoin.selfPairs(exact, "event_id", "ts", tol)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val base = exact.select(col("event_id"), unix_micros(col("ts")).as("t"))
+      val brute = base.as("a").crossJoin(base.as("b"))
+        .filter(col("a.event_id") < col("b.event_id") &&
+          abs(col("b.t") - col("a.t")) <= tol)
+        .select(col("a.event_id"), col("b.event_id"), col("b.t") - col("a.t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast === brute, s"seed=$seed")
+    }
+  }
+
+  /** (user, ts) rows; gap chosen prime-ish so generated integer ts
+    * essentially never differ by EXACTLY the threshold (the one case
+    * where the two session forms are defined to agree anyway —
+    * SessionsSpec pins it — but equality of full outputs needs the
+    * generic case).
+    */
+  private val userEventsGen: Gen[List[(Long, Long, Long)]] = for {
+    n <- Gen.choose(2, 80)
+    rows <- Gen.listOfN(n, for {
+      u <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 7200L * 1000000L)
+      v <- Gen.choose(1L, 99999L)
+    } yield (u, t, v))
+  } yield rows
+
+  test("window-form sessions == native session_window sessions (5 seeds)") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(userEventsGen, seed)
+      import spark.implicits._
+      val df = rows.toDF("user_id", "us", "cents")
+        .withColumn("ts", expr("timestamp_micros(us)"))
+        .withColumn("value", col("cents") / 100.0)
+        .drop("us", "cents")
+      val gapSec = 601L
+      val cols = Seq("user_id", "session_start", "session_end", "n_events",
+        "sum_value", "duration_us")
+      val a = Sessions.stats(df, "user_id", "ts", "value", gapSec)
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      val b = Sessions.statsNative(df, "user_id", "ts", "value", gapSec)
+        .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+      assert(a === b, s"seed=$seed")
+    }
+  }
+
+  test("merged incremental stats == direct full aggregate under random splits (5 seeds)") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(userEventsGen, seed)
+      import spark.implicits._
+      val df = rows.toDF("k", "us", "cents")
+        .withColumn("value", col("cents") / 100.0)
+        .withColumn("dec_value", col("value").cast(DecimalType(20, 4)))
+      // random 3-way split keyed off the timestamp column
+      val parts = Seq(0, 1, 2).map(i => df.filter(pmod(col("us"), lit(3)) === i))
+      val merged = Compaction.finish(Compaction.merge(
+          parts.map(p => Compaction.stats(p, Seq("k"), "dec_value", "value")),
+          Seq("k")))
+        .collect().map(_.toSeq).toSet
+      val direct = Compaction.finish(
+          Compaction.stats(df, Seq("k"), "dec_value", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(merged === direct, s"seed=$seed")
+    }
+  }
+}
