@@ -77,6 +77,49 @@ object CurationQueries {
     """)
   )
 
+  /** Per-source quota: keep the top-5 docs by quality from each
+    * source — the "cap any single domain's contribution" mixing rule.
+    * Plans as WindowGroupLimit (pre-shuffle k-per-group prune, same
+    * shape as token_topk).
+    */
+  val perSourceCap: Q = Q(
+    "per_source_cap",
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      TextStats.withQuality(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("source"), col("lang"), col("quality_score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, lang, text,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id, source, lang,
+               length(text) AS len0,
+               string_split_regex(trim(text), '\s+') AS ws,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+               len(list_intersect(toks, ['the','a','of','and','to','is','in'])) AS stop_hits,
+               len(toks) AS n_distinct
+        FROM t),
+      q AS (
+        SELECT doc_id, source, lang,
+               0.4 * (stop_hits::DOUBLE / n_distinct)
+                 + 0.3 * (1.0 - digits::DOUBLE / len0)
+                 + 0.3 * least(
+                     (list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b))::DOUBLE
+                       / len(ws) / 8.0, 1.0) AS quality_score
+        FROM f)
+      SELECT doc_id, source, lang, quality_score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality_score DESC, doc_id) AS rank
+      FROM q QUALIFY rank <= 5
+    """)
+  )
+
   /** Token budget for the curation pipeline: survivors are ranked by
     * quality and kept until the cumulative token count crosses this.
     */
@@ -171,5 +214,6 @@ object CurationQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, curationPipeline)
+  val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
+    curationPipeline)
 }
