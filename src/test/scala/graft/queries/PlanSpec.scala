@@ -23,4 +23,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"missing scan-level pushdown in:\n$plan")
   }
+
+  test("token_topk: scan reads ONLY the two needed columns of documents") {
+    val df = Registry.byName("token_topk").fn(spark, sf("sf0.01"))
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("lang") && scan.contains("text"), scan)
+    assert(!scan.contains("n_chars") && !scan.contains("source") && !scan.contains("doc_id"),
+      s"column pruning regressed — scan reads more than (lang, text): $scan")
+  }
+
+  test("stratified_sample: hash-threshold filter keeps the scan as the only plan node group") {
+    val df = Registry.byName("stratified_sample").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
 }
