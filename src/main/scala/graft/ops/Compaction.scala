@@ -48,4 +48,28 @@ object Compaction {
   /** Final user-facing projection (double sum like the query surface). */
   def finish(df: DataFrame): DataFrame =
     df.withColumn("sum_value", col("sum_dec").cast("double")).drop("sum_dec")
+
+  /** Upsert compaction — the non-decomposable sibling of [[stats]]:
+    * latest-row-wins state per key, merged the CDC way.
+    * `latest(latest(A) ∪ latest(B)) == latest(A ∪ B)` because taking
+    * the per-key max under a total order is associative — so a base
+    * snapshot absorbs each day's delta by re-running `latest` over
+    * snapshot ∪ delta (O(keys + delta), never O(history)).
+    *
+    * `orderCols` must be a deterministic total order (e.g. ts then a
+    * unique id as tie-break) — the same `min_by/max_by` determinism
+    * contract as A1/A2.
+    */
+  def latest(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  def latestMerge(parts: Seq[DataFrame], keyCols: Seq[String],
+                  orderCols: Seq[String]): DataFrame =
+    latest(parts.reduce(_.unionByName(_)), keyCols, orderCols)
 }

@@ -25,6 +25,23 @@ object Envelope {
   def parse(df: DataFrame, schema: StructType): DataFrame =
     df.select(from_json(col("value"), schema).as("data")).select(col("data.*"))
 
+  /** Parse with malformed-record quarantine: good rows flatten as in
+    * [[parse]] with `_corrupt` NULL; rows whose JSON fails to parse
+    * (or fails a field's type) keep NULL for the broken fields and
+    * carry the raw wire text in `_corrupt` for a dead-letter sink.
+    * A stream that hard-fails on one bad producer message is not a
+    * pipeline — this is PERMISSIVE mode's `columnNameOfCorruptRecord`
+    * contract made explicit (a plain `from_json` returns an all-NULL
+    * struct for garbage, indistinguishable from a legitimately
+    * all-null record — QuarantineSpec pins the difference).
+    */
+  def parseWithQuarantine(df: DataFrame, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    df.select(from_json(col("value"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")).as("__data"))
+      .select(col("__data.*"))
+  }
+
   /** Whole row → single JSON `value` column. */
   def wrap(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))

@@ -114,6 +114,32 @@ object ScaleQueries {
     """)
   )
 
+  /** Upsert compaction: latest(latest(base) ∪ latest(delta)) must
+    * equal latest over the full table — the CDC snapshot+delta merge.
+    * Oracle = plain latest-per-key over everything.
+    */
+  val upsertLatest: Q = Q(
+    "upsert_latest",
+    (s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_type", "ts", "event_id", "value")
+      val cut = lit("2024-01-15").cast("timestamp")
+      Compaction.latestMerge(
+        Seq(Compaction.latest(ev.filter(col("ts") < cut),
+            Seq("user_id", "event_type"), Seq("ts", "event_id")),
+          Compaction.latest(ev.filter(col("ts") >= cut),
+            Seq("user_id", "event_type"), Seq("ts", "event_id"))),
+        Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    },
+    Some("""
+      SELECT user_id, event_type, ts, event_id, value
+      FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+              row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    """)
+  )
+
   /** Exact per-type value quantiles by integer rank selection. */
   val valueQuantiles: Q = Q(
     "value_quantiles",
@@ -132,5 +158,5 @@ object ScaleQueries {
   )
 
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg,
-    incrementalStats, valueQuantiles)
+    incrementalStats, upsertLatest, valueQuantiles)
 }

@@ -57,6 +57,23 @@ object Streams {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream band (interval) join: left rows match right rows
+    * of the same key whose event time is within `[leftTs − bandSec,
+    * leftTs]` — the trade↔quote enrichment join. In streaming both
+    * inputs MUST be watermarked and the join condition carries the
+    * time band on BOTH event-time columns: that is what lets Spark
+    * bound each side's state buffer (evict right rows older than
+    * watermark − band) instead of buffering the streams forever.
+    * Works identically in batch (StreamJoinSpec proves equality).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String, bandSec: Long): DataFrame =
+    left.join(right,
+      left(keyCol) === right(keyCol) &&
+        col(leftTs) >= col(rightTs) &&
+        col(leftTs) < col(rightTs) + expr(s"INTERVAL $bandSec SECONDS"))
+      .drop(right(keyCol))
+
   /** File sink with checkpoint + processing-time trigger (reference
     * K1: 30-min JSON sink partitioned by (processing_date, code)).
     */

@@ -79,6 +79,25 @@ class OpPropertySpec extends SparkSpec {
     }
   }
 
+  test("merged latest-state == direct latest-per-key under random splits (5 seeds)") {
+    (1L to 5L).foreach { seed =>
+      val rows = sample(userEventsGen, seed)
+      import spark.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((u, t, v), i) => (u, t, v, i.toLong) }
+        .toDF("k", "us", "v", "uid")
+      val parts = Seq(0, 1, 2).map(i => df.filter(pmod(col("uid"), lit(3)) === i))
+        .filter(_.count() > 0)
+      val merged = Compaction.latestMerge(
+          parts.map(p => Compaction.latest(p, Seq("k"), Seq("us", "uid"))),
+          Seq("k"), Seq("us", "uid"))
+        .collect().map(_.toSeq).toSet
+      val direct = Compaction.latest(df, Seq("k"), Seq("us", "uid"))
+        .collect().map(_.toSeq).toSet
+      assert(merged === direct, s"seed=$seed")
+    }
+  }
+
   test("merged incremental stats == direct full aggregate under random splits (5 seeds)") {
     (1L to 5L).foreach { seed =>
       val rows = sample(userEventsGen, seed)
