@@ -140,6 +140,77 @@ object ScaleQueries {
     """)
   )
 
+  /** Multi-granularity rollup: (event_type, day) → (event_type) →
+    * grand total in ONE pass — Spark expands grouping sets before the
+    * aggregation so the fact table is scanned once, not three times.
+    * `grouping_id` disambiguates the NULL markers.
+    */
+  val rollupStats: Q = Q(
+    "rollup_stats",
+    (s, dir) => events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"),
+        grouping_id().as("gid")),
+    Some("""
+      SELECT event_type, CAST(ts AS TIMESTAMP)::DATE AS day,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+             grouping(event_type, CAST(ts AS TIMESTAMP)::DATE) AS gid
+      FROM events
+      GROUP BY ROLLUP(event_type, CAST(ts AS TIMESTAMP)::DATE)
+    """)
+  )
+
+  /** Pivot: event types to columns (explicit value list ⇒ a single
+    * pass of conditional aggregates, no second distinct-values job;
+    * the oracle restates it as sum(CASE …) which is exactly Spark's
+    * physical rewrite).
+    */
+  val pivotDaily: Q = Q(
+    "pivot_daily",
+    (s, dir) => events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(sum(col("value").cast(DecimalType(20, 4))).cast("double")),
+    Some("""
+      SELECT CAST(ts AS TIMESTAMP)::DATE AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE) AS click,
+             CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE) AS view,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(20,4)) END) AS DOUBLE) AS purchase
+      FROM events GROUP BY 1
+    """)
+  )
+
+  /** Trailing 1-hour per-user sum via a RANGE window frame over epoch
+    * micros — the rolling-volume feature. RANGE (value-based) frames,
+    * unlike ROWS, include ALL rows inside the time interval
+    * regardless of ties.
+    */
+  val trailingSum: Q = Q(
+    "trailing_1h_sum",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("value").cast(DecimalType(20, 4)).as("dv"))
+        .withColumn("trailing_sum", sum(col("dv")).over(w).cast("double"))
+        .select("event_id", "user_id", "tus", "trailing_sum")
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_sum
+      FROM events
+    """)
+  )
+
   /** Exact per-type value quantiles by integer rank selection. */
   val valueQuantiles: Q = Q(
     "value_quantiles",
@@ -158,5 +229,6 @@ object ScaleQueries {
   )
 
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg,
-    incrementalStats, upsertLatest, valueQuantiles)
+    incrementalStats, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
+    trailingSum)
 }
