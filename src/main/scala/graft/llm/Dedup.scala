@@ -206,11 +206,17 @@ object Dedup {
     * @param edges (srcCol, dstCol) pairs, any orientation
     * @param nodes one row per node id (singletons become their own
     *              representative)
+    * @param strict when true (default), throw if labels are still
+    *               changing at `maxIter` — partially-converged labels
+    *               would silently split one component (e.g. a near-dup
+    *               chain longer than maxIter) into several clusters
+    *               downstream; when false, log and return the partial
+    *               labels (a caller that only needs "some grouping")
     * @return (id, rep) — rep = min id of the component
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           nodes: DataFrame, nodeCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25, strict: Boolean = true): DataFrame = {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
@@ -241,6 +247,13 @@ object Dedup {
       i += 1
     }
     und.unpersist()
+    if (!converged) {
+      val msg = s"connectedComponents hit maxIter=$maxIter before convergence " +
+        "(component diameter exceeds the iteration budget); labels are partial " +
+        "and would split one component into several representatives"
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 

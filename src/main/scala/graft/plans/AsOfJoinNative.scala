@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences,
-  Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -70,6 +70,14 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     rightTime.dataType == leftTime.dataType,
     s"as-of time columns must both be timestamp or long, got " +
       s"${leftTime.dataType.simpleString}/${rightTime.dataType.simpleString}")
+  // keys feed a hash ClusteredDistribution and an interpreted ordering,
+  // both type-sensitive: an int/bigint mismatch would pass analysis but
+  // mis-co-partition (or CCE at execution), so fail fast here
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key columns must have identical types, got " +
+      s"${leftKey.dataType.simpleString}/${rightKey.dataType.simpleString}")
+  require(RowOrdering.isOrderable(leftKey.dataType),
+    s"as-of key type ${leftKey.dataType.simpleString} has no ordering")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -132,16 +140,25 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
       val nullRight = new GenericInternalRow(rightLen)
 
       // one-row lookahead over the right side; rows are buffer-reused
-      // by the sorter, so the retained match is always a copy()
+      // by the sorter, so the retained match is always a copy().
+      // Null right times are skipped outright — a null comparison can
+      // never satisfy rightTime <= leftTime (matches the classic band
+      // join and the DuckDB oracle; unboxing null would read as 0L)
       var rCur: InternalRow = null
       var rCurKey: Any = null
       var rCurTime: Long = 0L
-      def advanceRight(): Unit =
-        if (rIt.hasNext) {
-          rCur = rIt.next()
-          rCurKey = rKeyExpr.eval(rCur)
-          rCurTime = rTimeExpr.eval(rCur).asInstanceOf[Long]
-        } else rCur = null
+      def advanceRight(): Unit = {
+        rCur = null
+        while (rCur == null && rIt.hasNext) {
+          val r = rIt.next()
+          val t = rTimeExpr.eval(r)
+          if (t != null) {
+            rCur = r
+            rCurKey = rKeyExpr.eval(r)
+            rCurTime = t.asInstanceOf[Long]
+          }
+        }
+      }
       advanceRight()
 
       var matchRow: InternalRow = null
@@ -150,9 +167,13 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
 
       lIt.map { l =>
         val k = lKeyExpr.eval(l)
-        if (k == null) joiner(joined(l, nullRight))
+        val tRaw = lTimeExpr.eval(l)
+        // null key or null left time: no right row can qualify (null
+        // comparisons are never true in the band-join form) → left
+        // outer row with an all-null right side
+        if (k == null || tRaw == null) joiner(joined(l, nullRight))
         else {
-          val t = lTimeExpr.eval(l).asInstanceOf[Long]
+          val t = tRaw.asInstanceOf[Long]
           if (matchRow != null && keyOrd.compare(matchKey, k) != 0) matchRow = null
           // skip right rows on earlier keys (or null keys, which sort
           // first and can never match)

@@ -63,16 +63,27 @@ object Streams {
     * inputs MUST be watermarked and the join condition carries the
     * time band on BOTH event-time columns: that is what lets Spark
     * bound each side's state buffer (evict right rows older than
-    * watermark − band) instead of buffering the streams forever.
-    * Works identically in batch (StreamJoinSpec proves equality).
+    * watermark − band) instead of buffering the streams forever. The
+    * helper therefore applies the watermarks itself (delays are
+    * parameters) rather than trusting callers to — an unwatermarked
+    * stream-stream inner join compiles and then buffers state without
+    * bound. Column refs are side-qualified so identical ts/key names
+    * on both inputs don't hit ambiguous-reference errors. In batch
+    * the watermark nodes are optimized away (no-op) and the plan is
+    * the plain band join (StreamJoinSpec proves stream==batch).
     */
   def bandJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               leftTs: String, rightTs: String, bandSec: Long): DataFrame =
-    left.join(right,
-      left(keyCol) === right(keyCol) &&
-        col(leftTs) >= col(rightTs) &&
-        col(leftTs) < col(rightTs) + expr(s"INTERVAL $bandSec SECONDS"))
-      .drop(right(keyCol))
+               leftTs: String, rightTs: String, bandSec: Long,
+               leftDelay: String = "5 seconds",
+               rightDelay: String = "5 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftDelay)
+    val r = right.withWatermark(rightTs, rightDelay)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        l(leftTs) >= r(rightTs) &&
+        l(leftTs) < r(rightTs) + expr(s"INTERVAL $bandSec SECONDS"))
+      .drop(r(keyCol))
+  }
 
   /** File sink with checkpoint + processing-time trigger (reference
     * K1: 30-min JSON sink partitioned by (processing_date, code)).

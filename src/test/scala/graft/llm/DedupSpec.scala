@@ -37,6 +37,21 @@ class DedupSpec extends SparkSpec {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: strict mode rejects partial convergence") {
+    import spark.implicits._
+    // a 5-node chain has diameter 4 > maxIter=1: labels still moving
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id", maxIter = 1)
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // non-strict returns the partial labels instead of throwing
+    val partial = Dedup.connectedComponents(edges, "id_a", "id_b", nodes, "id",
+      maxIter = 1, strict = false)
+    assert(partial.count() === 5)
+  }
+
   test("minhash clusters: members share a representative, sizes consistent") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 16, 4, 0.85).collect()

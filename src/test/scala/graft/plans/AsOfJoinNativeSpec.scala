@@ -61,6 +61,33 @@ class AsOfJoinNativeSpec extends SparkSpec {
     assert(n === c)
   }
 
+  test("mismatched key types are rejected at construction") {
+    import spark.implicits._
+    val left = Seq((1, 10L)).toDF("k", "t")          // int key
+    val right = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v") // bigint key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNative.join(left, right, "k", "t", "rk", "rt", 100L)
+    }
+    assert(e.getMessage.contains("identical types"))
+  }
+
+  test("null times: null left time -> outer row, null right times skipped") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(1000L), "a"),  // must match rt=900, not the null-rt row
+      (1L, None, "b")          // null left time -> no match (band-join semantics)
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, None, 99.0),        // null right time: can never satisfy rt <= t
+      (1L, Some(900L), 9.0)
+    ).toDF("rk", "rt", "v")
+    val out = AsOfJoinNative.join(left, right, "k", "t", "rk", "rt", 500L)
+      .select("tag", "rt", "v").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(out === Set(("a", Some(900L)), ("b", None)))
+  }
+
   test("physical plan is the single-merge operator, no band-join blowup") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("k", "t")

@@ -31,8 +31,9 @@ class StreamJoinSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val memT = MemoryStream[(String, Timestamp, Double)]
     val memQ = MemoryStream[(String, Timestamp, Double)]
-    val sT = memT.toDF().toDF("k", "trade_ts", "price").withWatermark("trade_ts", "5 seconds")
-    val sQ = memQ.toDF().toDF("k", "quote_ts", "bid").withWatermark("quote_ts", "5 seconds")
+    // no caller-side withWatermark: bandJoin applies both itself
+    val sT = memT.toDF().toDF("k", "trade_ts", "price")
+    val sQ = memQ.toDF().toDF("k", "quote_ts", "bid")
     val joined = Streams.bandJoin(sT, sQ, "k", "trade_ts", "quote_ts", bandSec = 10L)
     val q = joined.writeStream.format("memory").queryName("band_join_stream")
       .outputMode("append").start()
@@ -56,5 +57,16 @@ class StreamJoinSpec extends SparkSpec {
         Seq("a", t("2024-01-01 00:00:25"), 101.0, t("2024-01-01 00:00:24"), 100.5),
         Seq("b", t("2024-01-01 00:00:12"), 50.0, t("2024-01-01 00:00:03"), 49.5)))
     } finally q.stop()
+  }
+
+  test("identically-named key/ts columns resolve via side-qualified refs") {
+    import spark.implicits._
+    // both sides named (k, ts, v): unqualified col("ts") would throw
+    // AMBIGUOUS_REFERENCE; bandJoin qualifies through each input
+    val l = Seq(("a", t("2024-01-01 00:00:10"), 1.0)).toDF("k", "ts", "v")
+    val r = Seq(("a", t("2024-01-01 00:00:05"), 2.0),
+                ("a", t("2024-01-01 00:00:11"), 3.0)).toDF("k", "ts", "v")
+    val out = Streams.bandJoin(l, r, "k", "ts", "ts", bandSec = 10L)
+    assert(out.count() === 1) // only the 00:00:05 quote is in-band
   }
 }
