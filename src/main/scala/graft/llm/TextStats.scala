@@ -102,6 +102,56 @@ object TextStats {
       .filter(col("rank") <= k)
   }
 
+  /** Repetition quality signals (Gopher-style, Rae et al. 2021
+    * "Scaling Language Models" table A1 — public heuristics):
+    * duplicate-word fraction and the character fraction covered by
+    * the most frequent word bigram. Highly repetitive documents
+    * (boilerplate, keyword stuffing, generation loops) score high on
+    * both and fail `pass_repetition`.
+    *
+    * Scale design: the mode-of-bigrams is NOT an explode+groupBy —
+    * the bigram array is sorted per row and folded once
+    * (`aggregate` with a (prev, run, best_n, best) struct
+    * accumulator, longest run = most frequent value, ties →
+    * lexicographically smallest because the array is sorted and the
+    * comparison is strict). Pure map-side expression — scan speed at
+    * 100 TB, no shuffle; the DuckDB oracle restates it as the
+    * equivalent unnest + count + arg-top instead.
+    */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nW = size(w)
+    val bigrams = when(nW < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nW - 1),
+        i => array_join(slice(w, i, lit(2)), " ")))
+    val sorted = array_sort(bigrams)
+    val acc0 = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("best_n"), lit("").as("best"))
+    val top = aggregate(sorted, acc0, (acc, x) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+        .otherwise(lit(1))
+      val better = run > acc.getField("best_n")
+      struct(x.as("prev"), run.as("run"),
+        when(better, run).otherwise(acc.getField("best_n")).as("best_n"),
+        when(better, x).otherwise(acc.getField("best")).as("best"))
+    })
+    df.withColumn("n_words", nW)
+      .withColumn("dup_word_frac",
+        (nW - size(array_distinct(w))).cast("double") / nW)
+      .withColumn("top_bigram", top.getField("best"))
+      .withColumn("top_bigram_n", top.getField("best_n"))
+      .withColumn("top_bigram_char_frac",
+        // a bigram seen once is not repetition — short documents would
+        // otherwise fail on their first bigram alone
+        when(top.getField("best_n") >= 2,
+          (top.getField("best_n") * length(top.getField("best"))).cast("double")
+            / length(t))
+          .otherwise(lit(0.0)))
+      .withColumn("pass_repetition",
+        col("dup_word_frac") < 0.95 && col("top_bigram_char_frac") < 0.2)
+  }
+
   /** Rolling char-8-gram fingerprint: min 32-bit gram hash (1-perm
     * minhash over character shingles) + distinct gram count.
     */

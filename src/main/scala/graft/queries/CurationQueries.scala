@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Dedup, Sampling, TextHash, TextStats}
+import graft.llm.{Chunking, Decontam, Dedup, Sampling, TextHash, TextStats}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -214,6 +214,107 @@ object CurationQueries {
     """)
   )
 
+  /** Benchmark decontamination: train docs sharing any word 8-gram
+    * with the held-out (val+test) split. The held-out gram-hash set
+    * broadcasts (benchmark-sized at any corpus scale); the train side
+    * explodes grams map-side and only join survivors shuffle.
+    */
+  val decontamOverlap: Q = Q(
+    "decontam_overlap",
+    (s, dir) => {
+      val docs = Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Decontam.report(docs.filter(col("split") === "train"),
+        docs.filter(col("split") =!= "train"), "doc_id", "text", n = 8)
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 < 0.8 AS is_train
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_train,
+               list_distinct(list_transform(
+                 range(1, greatest(len(ws) - 7, 0) + 1),
+                 i -> ('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8))::BIGINT)) AS grams
+        FROM u),
+      banned AS (
+        SELECT DISTINCT gh
+        FROM (SELECT unnest(grams) AS gh FROM g WHERE NOT is_train) s),
+      tg AS (SELECT doc_id, unnest(grams) AS gh FROM g WHERE is_train),
+      ov AS (SELECT tg.doc_id, count(*) AS n_overlap
+             FROM tg JOIN banned USING (gh) GROUP BY 1)
+      SELECT t.doc_id, len(t.grams)::INT AS n_grams,
+             coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+             coalesce(o.n_overlap, 0) > 0 AS contaminated
+      FROM g t LEFT JOIN ov o USING (doc_id) WHERE t.is_train
+    """)
+  )
+
+  /** Gopher-style repetition signals: duplicate-word fraction + the
+    * character fraction of the most frequent word bigram. Spark
+    * computes the bigram mode with a map-side sorted-array fold (no
+    * shuffle); the oracle restates it as unnest + count + top-1.
+    */
+  val repetitionStats: Q = Q(
+    "repetition_stats",
+    (s, dir) => TextStats.withRepetition(Tables.documents(s, dir), "text")
+      .select("doc_id", "lang", "n_words", "dup_word_frac", "top_bigram",
+        "top_bigram_n", "top_bigram_char_frac", "pass_repetition"),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                 i -> ws[i] || ' ' || ws[i+1])) AS gm
+        FROM w),
+      cnt AS (SELECT doc_id, gm, count(*) AS n FROM g GROUP BY 1, 2),
+      top AS (
+        SELECT doc_id, gm, n FROM cnt
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gm) = 1)
+      SELECT w.doc_id, w.lang, len(ws)::INT AS n_words,
+             (len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws) AS dup_word_frac,
+             coalesce(t.gm, '') AS top_bigram,
+             coalesce(t.n, 0)::INT AS top_bigram_n,
+             CASE WHEN coalesce(t.n, 0) >= 2
+                  THEN (t.n * length(t.gm))::DOUBLE / length(w.text)
+                  ELSE 0.0 END AS top_bigram_char_frac,
+             ((len(ws) - len(list_distinct(ws)))::DOUBLE / len(ws) < 0.95
+              AND CASE WHEN coalesce(t.n, 0) >= 2
+                       THEN (t.n * length(t.gm))::DOUBLE / length(w.text)
+                       ELSE 0.0 END < 0.2) AS pass_repetition
+      FROM w LEFT JOIN top t USING (doc_id)
+    """)
+  )
+
+  /** Stride-overlap document chunking (32-token windows, stride 24).
+    * Map-side transform+explode — scan speed, no shuffle.
+    */
+  val docChunks: Q = Q(
+    "doc_chunks",
+    (s, dir) => Chunking.chunks(Tables.documents(s, dir), "doc_id", "text",
+      chunkSize = 32, stride = 24),
+    Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+               unnest(range(CASE WHEN len(ws) <= 32 THEN 1
+                            ELSE ceil((len(ws) - 32)::DOUBLE / 24)::BIGINT + 1
+                            END)) AS i
+        FROM w)
+      SELECT doc_id, i::INT AS chunk_idx,
+             array_to_string(ws[(i*24+1):(i*24+32)], ' ') AS chunk_text,
+             len(ws[(i*24+1):(i*24+32)])::INT AS n_tokens
+      FROM c
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
-    curationPipeline)
+    curationPipeline, decontamOverlap, repetitionStats, docChunks)
 }

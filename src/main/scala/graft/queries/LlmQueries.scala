@@ -575,8 +575,46 @@ object LlmQueries {
     """)
   )
 
+  /** Int8-quantized cosine top-5 (FAISS SQ8 shape): per-vector
+    * symmetric scalar quantization, cosine over the integer codes
+    * (scales cancel in the ratio). Integer dot products are exact in
+    * doubles, so the scores — and the full ranking — are
+    * oracle-verifiable bit-for-bit; recall vs the exact `cosine_topk`
+    * ranking is asserted in SimilaritySpec.
+    */
+  val quantizedTopK: Q = Q(
+    "quantized_topk",
+    (s, dir) => Similarity.bruteTopK(
+        Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding"),
+        "vec_id", "qvec", col("id") % 40 === 0, k = 5)
+      .withColumnRenamed("cosine", "qcosine"),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sc AS (SELECT vec_id, v,
+                    greatest(list_max(list_transform(v, y -> abs(y))), 1e-30)
+                      / 127.0 AS s
+             FROM e),
+      qv AS (SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS q
+             FROM sc),
+      n AS (SELECT vec_id, q,
+                   list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM qv),
+      qq AS (SELECT vec_id AS query_id, q AS qvq, nrm AS qn FROM n
+             WHERE vec_id % 40 = 0),
+      s2 AS (SELECT query_id, t.vec_id AS neighbor_id,
+                    list_reduce(list_transform(range(1, 65), i -> qvq[i::INT] * t.q[i::INT]),
+                                (a, b) -> a + b)
+                      / (sqrt(qn) * sqrt(t.nrm)) AS qcosine
+             FROM qq JOIN n t ON t.vec_id <> qq.query_id)
+      SELECT query_id, neighbor_id, qcosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qcosine DESC, neighbor_id) AS rank
+      FROM s2 QUALIFY rank <= 5
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
     dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
     embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
-    multimodalFeatures, piiScrub)
+    multimodalFeatures, piiScrub, quantizedTopK)
 }

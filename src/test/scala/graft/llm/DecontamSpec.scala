@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DecontamSpec extends SparkSpec {
+
+  test("known answer: 8-gram overlap flags exactly the leaking doc") {
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val train = Seq(
+      (1L, s"intro words here $leak trailing tail"), // contains the eval 8-gram
+      (2L, "totally different content with no shared sequences at all here"),
+      (3L, "short doc") // < 8 words -> zero grams
+    ).toDF("doc_id", "text")
+    val heldout = Seq((100L, s"benchmark prompt $leak and answer")).toDF("doc_id", "text")
+    val out = Decontam.report(train, heldout, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._3 === true)
+    assert(out(1L)._2 >= 1L)
+    assert(out(2L) === ((out(2L)._1, 0L, false)))
+    assert(out(3L) === ((0, 0L, false))) // no grams, not contaminated
+    assert(out.size === 3) // every train doc reported, hit or not
+  }
+
+  test("gram sets are distinct and empty below n words") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a b a b a b")) // repeated bigram, 10 words
+      .toDF("doc_id", "text")
+    val grams = df.select(Decontam.gramHashes(col("text"), 8).as("g"))
+      .selectExpr("size(g)").as[Int].head()
+    // 3 windows of 8 over 10 words, but only 2 distinct sequences
+    // ("a b a b a b a b" and "b a b a b a b a")
+    assert(grams === 2)
+    val short = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(Decontam.gramHashes(col("text"), 8).as("g"))
+      .selectExpr("size(g)").as[Int].head()
+    assert(short === 0)
+  }
+}

@@ -50,4 +50,30 @@ class SimilaritySpec extends SparkSpec {
     // than doubles recall at 2× probe cost
     assert(r2 >= 2 * r1 * 0.9 && r2 > 0.25)
   }
+
+  test("int8 quantization: codes integral in [-127,127], high recall vs exact") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").cache()
+    // every code is an integral double within the int8 range
+    val bad = q.select(explode(col("qvec")).as("c"))
+      .filter(col("c") =!= floor(col("c")) || abs(col("c")) > 127).count()
+    assert(bad === 0)
+    // each vector's max |code| is exactly 127 (symmetric scaling hits
+    // the extreme point by construction)
+    val notSaturated = q.select(array_max(transform(col("qvec"),
+      c => abs(c))).as("mx")).filter(col("mx") =!= 127.0).count()
+    assert(notSaturated === 0)
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteTopK(q, "vec_id", "qvec",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    info(s"int8 recall@5 = $recall")
+    assert(recall > 0.8) // 8-bit codes barely move a 64-dim cosine ranking
+    q.unpersist()
+  }
 }
