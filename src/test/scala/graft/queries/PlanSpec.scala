@@ -38,4 +38,20 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("doc_chunks and repetition_stats are shuffle-free map work") {
+    Seq("doc_chunks", "repetition_stats").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+    }
+  }
+
+  test("decontam_overlap: held-out gram set joins as broadcast, not shuffle") {
+    val df = Registry.byName("decontam_overlap").fn(spark, sf("sf0.01"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"banned-gram join must broadcast:\n$plan")
+  }
 }
