@@ -32,4 +32,26 @@ object Quantiles {
       .select(col(keyCol), col("pct"), col(valCol).as("quantile_value"),
         col("__cnt").as("n"))
   }
+
+  /** Per-group IQR outlier detection (Tukey fences): rows outside
+    * `[q1 − k·IQR, q3 + k·IQR]` of their group — the standard
+    * pre-training numeric-cleaning rule. Quartiles come from
+    * [[exactQuantiles]] (rank selection, engine-exact); the
+    * group-bounds table is group-count-sized and broadcasts, so the
+    * flagging pass is a map-side join over the fact scan. All bound
+    * arithmetic is plain IEEE on values selected from the data —
+    * bit-identical across engines.
+    */
+  def iqrOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  tieCol: String, k: Double = 1.5): DataFrame = {
+    val bounds = exactQuantiles(df, keyCol, valCol, tieCol, Seq(25, 75))
+      .groupBy(col(keyCol))
+      .agg(max(when(col("pct") === 25, col("quantile_value"))).as("q1"),
+        max(when(col("pct") === 75, col("quantile_value"))).as("q3"))
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.join(broadcast(bounds), keyCol)
+      .filter(col(valCol) < col("lo") || col(valCol) > col("hi"))
+      .select(col(keyCol), col(tieCol), col(valCol), col("lo"), col("hi"))
+  }
 }

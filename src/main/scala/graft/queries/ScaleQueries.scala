@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Compaction, Quantiles, Salting, Sessions}
+import graft.ops.{Compaction, Profiler, Quantiles, Salting, Sessions}
+import graft.sources.Layout
 
 /** Operators whose point is the 100 TB execution shape: gap-based
   * sessionization (window + native session_window forms), skew-safe
@@ -228,7 +229,81 @@ object ScaleQueries {
     """)
   )
 
+  /** Morton (Z-order) index over (value-bucket, time-bucket): the
+    * multi-dimensional clustering key `Layout.writeZOrdered` sorts
+    * files by. Pure bit arithmetic — scan speed; oracle restates the
+    * identical interleave (Layout.zValueSql).
+    */
+  val zorderIndex: Q = {
+    val zxSql = "(floor(value)::BIGINT & 1023)"
+    val zySql = "((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) & 1023)"
+    Q(
+      "zorder_index",
+      (s, dir) => {
+        val ev = events(s, dir)
+        ev.select(col("event_id"),
+            floor(col("value")).cast("long").bitwiseAND(lit(1023L)).as("zx"),
+            expr("(unix_micros(ts) div 1000000) & 1023").as("zy"))
+          .withColumn("zval", Layout.zValue(Seq(col("zx"), col("zy")), 10))
+      },
+      Some(s"""
+        SELECT event_id, $zxSql AS zx, $zySql AS zy,
+               ${Layout.zValueSql(Seq(zxSql, zySql), 10)} AS zval
+        FROM events
+      """)
+    )
+  }
+
+  /** Tukey-fence outlier flagging per event type (IQR rule, exact
+    * rank-selected quartiles, broadcast bounds join).
+    */
+  val outlierFilter: Q = Q(
+    "outlier_filter",
+    (s, dir) => Quantiles.iqrOutliers(events(s, dir), "event_type", "value",
+      "event_id", k = 1.5),
+    Some("""
+      WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events),
+      q AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (25 * cnt + 99) // 100 THEN value END) AS q1,
+               max(CASE WHEN rn = (75 * cnt + 99) // 100 THEN value END) AS q3
+        FROM r GROUP BY 1)
+      SELECT e.event_type, e.event_id, e.value,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM events e JOIN q USING (event_type)
+      WHERE e.value < q1 - 1.5 * (q3 - q1)
+         OR e.value > q3 + 1.5 * (q3 - q1)
+    """)
+  )
+
+  /** Single-pass numeric data-quality census over events. */
+  val profileNumeric: Q = Q(
+    "profile_numeric",
+    (s, dir) => Profiler.numericProfile(events(s, dir),
+      Seq("event_id", "user_id", "value")),
+    Some("""
+      SELECT 'event_id' AS column, count(*) AS n,
+             count(*) - count(event_id) AS n_null,
+             count(DISTINCT event_id) AS n_distinct,
+             min(event_id)::DOUBLE AS vmin, max(event_id)::DOUBLE AS vmax
+      FROM events
+      UNION ALL
+      SELECT 'user_id', count(*), count(*) - count(user_id),
+             count(DISTINCT user_id), min(user_id)::DOUBLE, max(user_id)::DOUBLE
+      FROM events
+      UNION ALL
+      SELECT 'value', count(*), count(*) - count(value),
+             count(DISTINCT value), min(value)::DOUBLE, max(value)::DOUBLE
+      FROM events
+    """)
+  )
+
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg,
     incrementalStats, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
-    trailingSum)
+    trailingSum, zorderIndex, outlierFilter, profileNumeric)
 }

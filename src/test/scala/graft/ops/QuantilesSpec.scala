@@ -15,6 +15,41 @@ class QuantilesSpec extends SparkSpec {
     assert(out === Set((25, 3.0), (50, 5.0), (99, 10.0)))
   }
 
+  test("iqr outliers: exactly the points outside the Tukey fences") {
+    import spark.implicits._
+    // 1..10 plus extremes -100 and 1000 -> 12 values; q1=rank 3, q3=rank 9
+    val vals = Seq(-100.0) ++ (1 to 10).map(_.toDouble) ++ Seq(1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("a", v, i.toLong) }
+      .toDF("k", "v", "id")
+    val out = Quantiles.iqrOutliers(df, "k", "v", "id", k = 1.5)
+      .collect().map(_.getAs[Double]("v")).toSet
+    // q1 = value at rank ceil(.25*12)=3 -> 2.0; q3 = rank 9 -> 8.0;
+    // fences: 2-9=-7, 8+9=17 -> only the planted extremes flagged
+    assert(out === Set(-100.0, 1000.0))
+    val bounds = Quantiles.iqrOutliers(df, "k", "v", "id", k = 1.5).head()
+    assert(bounds.getAs[Double]("lo") === -7.0)
+    assert(bounds.getAs[Double]("hi") === 17.0)
+  }
+
+  test("numeric profile: one-pass census matches direct aggregates") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(2.0)), (4L, Some(5.0)))
+      .toDF("id", "v")
+    val p = Profiler.numericProfile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getAs[Long]("n") === 4L)
+    assert(p("id").getAs[Long]("n_null") === 0L)
+    assert(p("id").getAs[Long]("n_distinct") === 4L)
+    assert(p("v").getAs[Long]("n_null") === 1L)
+    assert(p("v").getAs[Long]("n_distinct") === 2L)
+    assert(p("v").getAs[Double]("vmin") === 2.0 && p("v").getAs[Double]("vmax") === 5.0)
+    // single scan: exactly one leaf scan node in the plan
+    val q = Profiler.numericProfile(Tables.events(spark, sf("sf0.001")),
+      Seq("event_id", "user_id", "value"))
+    val leaves = q.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.size === 1, s"profiler must scan once:\n${q.queryExecution.executedPlan}")
+  }
+
   test("approx_percentile lands within 1% rank error of the exact quantiles") {
     val ev = Tables.events(spark, sf("sf0.01"))
     val exact = Quantiles.exactQuantiles(ev, "event_type", "value", "event_id",
