@@ -115,6 +115,99 @@ object Multimodal {
     }
   }
 
+  /** Real resize: average BT.601 luma per cell of a `gw`×`gh` grid
+    * (box filter over the pixel blocks `[x·w/gw, (x+1)·w/gw)` — the
+    * classic thumbnail used by perceptual hashing). Deterministic
+    * integer pixel partitioning, no resampling library needed.
+    */
+  def lumaGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0 = cy * h / gh
+      val y1 = math.max((cy + 1) * h / gh, y0 + 1)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = cx * w / gw
+        val x1 = math.max((cx + 1) * w / gw, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val px = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+        out(cy * gw + cx) = if (px == 0) 0.0 else s / (255.0 * px)
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** Average hash (aHash, public perceptual-hash family): bit i set
+    * iff grid cell i is brighter than the grid mean. Near-duplicate
+    * images differ in few bits — compose with the SimHash banding
+    * machinery (Dedup) for bucketed image dedup at scale.
+    */
+  def averageHash(grid: Array[Double]): Long = {
+    require(grid.length == 64, s"aHash needs an 8x8 grid, got ${grid.length}")
+    val mean = grid.sum / grid.length
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (grid(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  val HashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("ahash", LongType),
+    StructField("luma_grid", ArrayType(DoubleType))))
+
+  /** Perceptual image hashing over a binary column: real decode
+    * (`javax.imageio`) → 8×8 luma thumbnail → aHash. Non-image or
+    * unparseable payloads yield a null hash (callers filter or route
+    * them to the stub pipeline). Same mapPartitions streaming
+    * contract as [[extractFeatures]].
+    */
+  def imageHashes(df: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val decoded =
+          if (ImageIoCodec.looksLikeImage(bytes))
+            try {
+              javax.imageio.ImageIO.setUseCache(false)
+              Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            } catch { case _: Exception => None }
+          else None
+        decoded match {
+          case Some(img) =>
+            val grid = lumaGrid(img, 8, 8)
+            Row(r.getLong(idIdx), img.getWidth, img.getHeight,
+              averageHash(grid), grid.toSeq)
+          case None =>
+            Row(r.getLong(idIdx), null, null, null, null)
+        }
+      }
+    }(Encoders.row(HashSchema))
+  }
+
   val FeatureSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("modality", StringType),

@@ -63,4 +63,55 @@ class MultimodalSpec extends SparkSpec {
       "id", "bytes", "text").collect()(0)
     assert(txt.getAs[Int]("width") >= 16 && txt.getAs[Int]("width") < 32)
   }
+
+  /** A noisy gradient PNG: deterministic per-pixel pattern, optionally
+    * perturbed by a tiny per-pixel offset (near-duplicate generator).
+    */
+  private def gradientPng(w: Int, h: Int, noise: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (x * 255 / w + y * 255 / h) / 2
+      val v = math.min(255, math.max(0, base + ((x * 31 + y * 17) % 7 - 3) * noise))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image aHash: near-duplicates within few bits, distinct images far apart") {
+    import spark.implicits._
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1L, gradientPng(64, 64, 0)),      // original
+      (2L, gradientPng(64, 64, 2)),      // same image + slight noise
+      (3L, pngBytes(64, 64)),            // completely different content
+      (4L, "not an image".getBytes("UTF-8"))
+    ).toDF("id", "bytes")
+    val rows = Multimodal.imageHashes(df, "id", "bytes")
+      .orderBy("id").collect()
+    val h = rows.take(3).map(_.getAs[Long]("ahash"))
+    assert(hamming(h(0), h(1)) <= 6,
+      s"near-dup hash distance ${hamming(h(0), h(1))}")
+    assert(hamming(h(0), h(2)) > 16,
+      s"distinct images too close: ${hamming(h(0), h(2))}")
+    // grid: 64 cells, luma in [0,1]; real dimensions carried through
+    val grid = rows(0).getAs[scala.collection.Seq[Double]]("luma_grid")
+    assert(grid.length === 64 && grid.forall(v => v >= 0.0 && v <= 1.0))
+    assert(rows(0).getAs[Int]("width") === 64)
+    // non-image payload -> null hash (routed to the stub pipeline)
+    assert(rows(3).isNullAt(rows(3).fieldIndex("ahash")))
+  }
+
+  test("lumaGrid box filter: uniform halves average to their luma") {
+    // left half red (luma .299), right half blue (luma .114)
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0xFF0000 else 0x0000FF)
+    val g = Multimodal.lumaGrid(img, 8, 8)
+    (0 until 8).foreach { cy =>
+      (0 until 4).foreach(cx => assert(math.abs(g(cy * 8 + cx) - 0.299) < 1e-9))
+      (4 until 8).foreach(cx => assert(math.abs(g(cy * 8 + cx) - 0.114) < 1e-9))
+    }
+  }
 }
