@@ -184,9 +184,10 @@ object Similarity {
     *
     * Determinism: rounding is written as `floor(x/s + 0.5)` — plain
     * IEEE ops the oracle restates verbatim (`round()` half-even vs
-    * half-up varies by engine, floor does not). Codes stay integral
-    * doubles (|code| ≤ 127) so every downstream dot product is exact.
-    * The 1e-30 floor guards the all-zero vector.
+    * half-up varies by engine, floor does not). Spark's `floor`
+    * returns LongType, so `qvec` is a true integer array (|code| ≤
+    * 127) and every downstream dot product over it is exact in
+    * doubles. The 1e-30 floor guards the all-zero vector.
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = toDoubleVec(col(vecCol))
