@@ -175,6 +175,68 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Deterministic Lloyd k-means for IVF cell construction — the
+    * missing first stage of the [[ivfTopK]] index (which takes cells
+    * as given). Everything is pinned for engine-exact restatement:
+    * seeds are the `k` smallest ids (distributed top-k, no RNG),
+    * assignment is argmin of `‖v‖² + ‖c‖² − 2·v·c` with ties to the
+    * smallest cell id, centroid updates are order-pinned element-wise
+    * folds (vectors summed in id order), and empty cells keep their
+    * previous centroid.
+    *
+    * Scale design (100 TB): centroids are k·dim doubles — driver
+    * state by construction (the same O(small-metadata) pattern as
+    * PrefixSum). Each iteration is one broadcast cross join (k per
+    * row) + one per-cell aggregation; nothing ever shuffles the
+    * vectors except the k-row centroid agg. The collected doubles
+    * re-enter as exact binary literals, so iteration count does not
+    * erode determinism.
+    */
+  def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val spark = df.sparkSession
+    val base = withNorm(df.select(col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("v")), "v").persist()
+
+    def centFrame(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      import spark.implicits._
+      cents.toDF("cell", "cv").withColumn("cn", dot(col("cv"), col("cv")))
+    }
+    def assign(cdf: DataFrame): DataFrame = {
+      val scored = base.crossJoin(broadcast(cdf))
+        .select(col("id").as("vec_id"), col("cell"),
+          (col("__norm") + col("cn") - lit(2.0) * dot(col("v"), col("cv")))
+            .as("dist"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+
+    // seeds: the k smallest ids (TakeOrdered — distributed, no global sort)
+    var cents: Seq[(Int, Seq[Double])] = base.orderBy("id").limit(k)
+      .select("v").collect().toSeq
+      .map(_.getSeq[Double](0)).zipWithIndex.map { case (v, i) => (i, v) }
+    val dim = cents.head._2.length
+
+    (0 until iters).foreach { _ =>
+      val upd = assign(centFrame(cents))
+        .join(base, col("vec_id") === col("id"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("lst"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell"), transform(sequence(lit(0), lit(dim - 1)), i =>
+          aggregate(col("lst"), lit(0.0),
+            (acc, sv) => acc + element_at(sv.getField("v"), (i + 1).cast("int")))
+            / col("cnt")).as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.map { case (j, old) => (j, upd.getOrElse(j, old)) }
+    }
+    val out = assign(centFrame(cents))
+    base.unpersist()
+    out
+  }
+
   /** Symmetric per-vector int8 scalar quantization (the FAISS `SQ8`
     * shape, public knowledge): scale = max|x| / 127, code =
     * round(x / scale). At 100 TB this is the memory play that makes

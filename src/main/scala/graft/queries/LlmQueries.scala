@@ -575,6 +575,50 @@ object LlmQueries {
     """)
   )
 
+  /** Oracle CTE: argmin-distance assignment of every vector against
+    * centroid table `cents` — `‖v‖² + ‖c‖² − 2·v·c`, ties to the
+    * smallest cell (mirrors Similarity.kmeansCells.assign).
+    */
+  private def kmAssignCte(name: String, cents: String): String = s"""
+      $name AS (
+        SELECT vec_id, cell, dist FROM (
+          SELECT n.vec_id, c.cell,
+                 n.nrm + list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)
+                   - 2 * list_reduce(list_transform(range(1, 65), i -> n.v[i::INT] * c.cv[i::INT]), (a, b) -> a + b) AS dist
+          FROM n CROSS JOIN $cents c) t
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)"""
+
+  /** Deterministic Lloyd k-means (k=8, one update): seeds = 8 smallest
+    * ids, one assignment + order-pinned centroid update (empty cells
+    * keep their seed), final assignment under the updated centroids.
+    * Fully unrolled in the oracle — every distance is the same
+    * sequential fold on both engines.
+    */
+  val kmeansCellsQ: Q = Q(
+    "kmeans_cells",
+    (s, dir) => Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id",
+      "embedding", k = 8, iters = 1),
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS cv
+             FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+      ${kmAssignCte("a1", "c0")},
+      m1 AS (SELECT a.cell, list(n2.v ORDER BY n2.vec_id) AS vs, count(*) AS cnt
+             FROM a1 a JOIN n n2 USING (vec_id) GROUP BY 1),
+      c1 AS (SELECT p.cell,
+                    CASE WHEN m.cnt IS NULL THEN p.cv
+                         ELSE list_transform(range(64), kk ->
+                           list_reduce(list_transform(m.vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / m.cnt)
+                    END AS cv
+             FROM c0 p LEFT JOIN m1 m USING (cell)),
+      ${kmAssignCte("a2", "c1")}
+      SELECT vec_id, cell, dist FROM a2
+    """)
+  )
+
   /** Int8-quantized cosine top-5 (FAISS SQ8 shape): per-vector
     * symmetric scalar quantization, cosine over the integer codes
     * (scales cancel in the ratio). Integer dot products are exact in
@@ -616,5 +660,5 @@ object LlmQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
     dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
     embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
-    multimodalFeatures, piiScrub, quantizedTopK)
+    multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ)
 }

@@ -51,6 +51,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 >= 2 * r1 * 0.9 && r2 > 0.25)
   }
 
+  test("kmeans: inertia is non-increasing across Lloyd iterations, cells well-formed") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def inertia(iters: Int): (Double, Long, Set[Int]) = {
+      val a = Similarity.kmeansCells(emb, "vec_id", "embedding", k = 8, iters = iters)
+        .cache()
+      val s = a.agg(sum("dist")).head().getDouble(0)
+      val n = a.count()
+      val cells = a.select("cell").distinct().collect().map(_.getInt(0)).toSet
+      a.unpersist()
+      (s, n, cells)
+    }
+    val (i0, n0, c0) = inertia(0)
+    val (i1, n1, _) = inertia(1)
+    val (i2, n2, _) = inertia(2)
+    info(f"inertia: init $i0%.3f -> 1 iter $i1%.3f -> 2 iters $i2%.3f")
+    assert(n0 === emb.count() && n1 === n0 && n2 === n0) // every vector assigned once
+    assert(c0.subsetOf((0 until 8).toSet))
+    assert(i1 <= i0 && i2 <= i1) // Lloyd monotonicity
+    assert(i1 < i0 * 0.999)      // and the first update actually moves
+  }
+
+  test("kmeans cells drive ivfTopK (index construction composes with search)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", k = 8, iters = 1)
+      .select(col("vec_id").as("cid"), col("cell"))
+    val indexed = emb.join(cells, emb("vec_id") === cells("cid")).drop("cid")
+    val out = Similarity.ivfTopK(indexed, "vec_id", "embedding", "cell",
+      col("id") % 40 === 0, k = 5, dim = 64)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) === 5L))
+  }
+
   test("int8 quantization: codes integral in [-127,127], high recall vs exact") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val q = Similarity.quantizeInt8(emb, "vec_id", "embedding").cache()
