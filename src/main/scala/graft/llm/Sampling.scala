@@ -48,6 +48,29 @@ object Sampling {
     df.withColumn("split_u", u).withColumn("split", label)
   }
 
+  /** Square-root temperature rebalancing across strata (the
+    * multilingual-corpus mixing rule: sample language l at a rate
+    * ∝ n_l^(α-1) with α = 0.5, so over-represented languages are
+    * downsampled toward balance and the smallest stratum keeps
+    * everything). Rates derive from a per-stratum count aggregate —
+    * a |strata|-row broadcast — and the keep decision is the same
+    * md5-deviate threshold as [[stratifiedSample]]: map-side,
+    * reproducible, restatable in SQL. `sqrt` and the integer→double
+    * division are correctly-rounded IEEE ops, so rates are
+    * bit-identical across engines (unlike `pow(n, alpha)` for general
+    * α, whose libm last-ulp varies — the reason α is fixed at 0.5).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        salt: String = "langbal"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val floorN = counts.agg(min(col("__n")).as("__n_min"))
+    val rates = counts.join(broadcast(floorN))
+      .select(col(strataCol),
+        sqrt(col("__n_min").cast("double") / col("__n")).as("sample_rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(u01(col(idCol), salt) < col("sample_rate"))
+  }
+
   /** Per-stratum deterministic Bernoulli sample: keep a row iff its
     * deviate falls below the stratum's fraction. Exactly-once
     * per-row decision — unlike `df.sample` / `sampleBy`, re-running

@@ -1,0 +1,338 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.llm.{Sampling, TextHash}
+import graft.ops.Analytics
+
+/** Product/OLAP analytics over `events` plus relational breadth ops
+  * (explicit set operations, semi/anti joins, CUBE, exact
+  * correlation): the query surface a warehouse team runs next to the
+  * market pipelines. Every query carries a full DuckDB oracle; the
+  * determinism policy is Registry's (DECIMAL-exact sums, md5-derived
+  * randomness, IEEE-identical double expressions).
+  */
+object AnalyticsQueries {
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+
+  /** DuckDB reads the events parquet as TIMESTAMP_NS; normalize to
+    * microseconds to match `Tables.events`.
+    */
+  private val evCte =
+    "ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)"
+
+  /** Ordered conversion funnel signup → view → click → purchase:
+    * stage i counts only events strictly after the user's stage-(i-1)
+    * time. Per-stage per-user aggregates joined on the shared user
+    * key (one partitioning reused across all four stages).
+    */
+  val funnelSteps: Q = Q(
+    "funnel_steps",
+    (s, dir) => Analytics.funnel(events(s, dir), "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase")),
+    Some(s"""
+      WITH $evCte,
+      s0 AS (SELECT user_id, min(ts) AS t0 FROM ev
+             WHERE event_type = 'signup' GROUP BY 1),
+      s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e
+             JOIN s0 ON e.user_id = s0.user_id
+             WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT s0.user_id, t0, t1, t2, t3,
+             1 + CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS stage_reached
+      FROM s0
+      LEFT JOIN s1 ON s0.user_id = s1.user_id
+      LEFT JOIN s2 ON s0.user_id = s2.user_id
+      LEFT JOIN s3 ON s0.user_id = s3.user_id
+    """)
+  )
+
+  /** Cohort retention: first-activity-day cohorts × active-day
+    * offsets (0..14), distinct users per cell.
+    */
+  val cohortRetention: Q = Q(
+    "cohort_retention",
+    (s, dir) => Analytics.cohortRetention(events(s, dir), "user_id", "ts", 14),
+    Some(s"""
+      WITH $evCte,
+      f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM ev GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev)
+      SELECT cohort_day,
+             CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+             count(DISTINCT a.user_id) AS users
+      FROM a JOIN f ON a.user_id = f.user_id
+      WHERE date_diff('day', cohort_day, day) <= 14
+      GROUP BY 1, 2
+    """)
+  )
+
+  /** 16-bucket equal-width histogram of `events.value`: 1-row bounds
+    * aggregate broadcast into the bucketing projection (never a
+    * driver collect), DECIMAL-exact per-bucket sums.
+    */
+  val histogramValue: Q = Q(
+    "histogram_value",
+    (s, dir) => Analytics.histogram(events(s, dir), "value", 16),
+    Some("""
+      WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      x AS (SELECT value,
+                   CAST(least(floor((value - lo) / ((hi - lo) / 16)), 15) AS INT) AS bucket
+            FROM events, b)
+      SELECT bucket, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM x GROUP BY 1
+    """)
+  )
+
+  /** The ranking-window suite (§2.5 breadth): ntile quartiles over a
+    * unique (ts, event_id) order; rank / percent_rank / cume_dist over
+    * a tying value order (exercises peer-group semantics — identical
+    * in any engine); lead over the unique order. percent_rank =
+    * (rank-1)/(n-1) and cume_dist = peers/n are exact integer ratios
+    * in doubles, so both engines agree bitwise.
+    */
+  val windowRanks: Q = Q(
+    "window_ranks",
+    (s, dir) => {
+      val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val byValue = Window.partitionBy("user_id").orderBy(col("value").desc)
+      events(s, dir).select(
+        col("event_id"), col("user_id"), col("value"),
+        ntile(4).over(seq).as("quartile"),
+        lead("value", 1).over(seq).as("next_value"),
+        rank().over(byValue).as("value_rank"),
+        percent_rank().over(byValue).as("value_pct_rank"),
+        cume_dist().over(byValue).as("value_cume_dist"))
+    },
+    Some(s"""
+      WITH $evCte
+      SELECT event_id, user_id, value,
+             CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+               AS quartile,
+             lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_value,
+             CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS INT)
+               AS value_rank,
+             percent_rank() OVER (PARTITION BY user_id ORDER BY value DESC)
+               AS value_pct_rank,
+             cume_dist() OVER (PARTITION BY user_id ORDER BY value DESC)
+               AS value_cume_dist
+      FROM ev
+    """)
+  )
+
+  /** Explicit set operations (§2.8): EXCEPT / INTERSECT between the
+    * purchaser and error-reporter user sets, tagged and unioned.
+    * Distinct-set semantics (Spark `except`/`intersect` = SQL
+    * EXCEPT/INTERSECT).
+    */
+  val userSetOps: Q = Q(
+    "user_set_ops",
+    (s, dir) => {
+      val ev = events(s, dir)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id").distinct()
+      val p = users("purchase")
+      val e = users("error")
+      p.except(e).withColumn("op", lit("purchase_only"))
+        .unionByName(p.intersect(e).withColumn("op", lit("both")))
+        .unionByName(e.except(p).withColumn("op", lit("error_only")))
+        .select("op", "user_id")
+    },
+    Some("""
+      WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      SELECT 'purchase_only' AS op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+      UNION ALL
+      SELECT 'both' AS op, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+      UNION ALL
+      SELECT 'error_only' AS op, user_id FROM (SELECT user_id FROM e EXCEPT SELECT user_id FROM p)
+    """)
+  )
+
+  /** Left-semi join: orders with at least one near-max-quantity line.
+    * The probe side streams; only the filtered build side shuffles
+    * (and broadcasts below the AQE threshold).
+    */
+  val semiJoinHot: Q = Q(
+    "semi_join_hot",
+    (s, dir) => {
+      val hot = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 49).select("l_orderkey")
+      Tables.orders(s, dir)
+        .join(hot, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """)
+  )
+
+  /** Exact decontamination: anti-join train+val docs against the
+    * held-out split's content hashes (md5 of whitespace-normalized
+    * text). The complement of `decontam_overlap`'s n-gram filter:
+    * exact-match removal with a broadcast-sized eval side; the corpus
+    * never shuffles (left_anti against a broadcast hash set).
+    */
+  val decontamExact: Q = Q(
+    "decontam_exact",
+    (s, dir) => {
+      val split = Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .withColumn("content_hash", md5(TextHash.normalize(col("text"))))
+      val evalHashes = split.filter(col("split") === "test")
+        .select(col("content_hash").as("h")).distinct()
+      split.filter(col("split") =!= "test")
+        .join(broadcast(evalHashes), col("content_hash") === col("h"), "left_anti")
+        .select("doc_id", "lang", "content_hash")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 AS su
+        FROM documents),
+      t AS (SELECT doc_id, lang, content_hash FROM u WHERE su < 0.9),
+      e AS (SELECT DISTINCT content_hash FROM u WHERE su >= 0.9)
+      SELECT doc_id, lang, content_hash
+      FROM t WHERE NOT EXISTS
+        (SELECT 1 FROM e WHERE e.content_hash = t.content_hash)
+    """)
+  )
+
+  /** Square-root temperature rebalancing of the language mix
+    * (multilingual-corpus sampling): language l kept at rate
+    * sqrt(n_min/n_l) via the md5-deviate threshold. Rates are a
+    * |langs|-row broadcast; the keep decision is map-side.
+    */
+  val langBalanceSample: Q = Q(
+    "lang_balance_sample",
+    (s, dir) => Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang")
+      .select("doc_id", "lang", "sample_rate"),
+    Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      m AS (SELECT min(n) AS n_min FROM c),
+      r AS (SELECT lang, sqrt(CAST(n_min AS DOUBLE) / n) AS sample_rate FROM c, m)
+      SELECT d.doc_id, d.lang, r.sample_rate
+      FROM documents d JOIN r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5('langbal:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 < r.sample_rate
+    """)
+  )
+
+  /** Exact per-group Pearson correlation from DECIMAL-exact raw
+    * moments: the sums are exact (DECIMAL(12,4) inputs, DECIMAL(25,8)
+    * products, no rounding), so both engines start the final IEEE
+    * double arithmetic from bit-identical values. DuckDB casts the
+    * scale-8 decimals through VARCHAR (its direct decimal→double cast
+    * double-rounds past 2^53 — Registry note).
+    */
+  val corrFeatures: Q = Q(
+    "corr_features",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        col("l_quantity").cast(DecimalType(12, 4)).as("q"),
+        col("l_extendedprice").cast(DecimalType(12, 4)).as("p"),
+        col("l_discount").cast(DecimalType(12, 4)).as("d"))
+      val m = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("p")).as("sp"), sum(col("d")).as("sd"),
+        sum(col("q") * col("p")).as("sqp"), sum(col("q") * col("d")).as("sqd"),
+        sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+        sum(col("d") * col("d")).as("sdd"))
+      def dbl(name: String) = col(name).cast("double")
+      val nD = col("n").cast("double")
+      def corr(sxy: String, sx: String, sxx: String, sy: String, syy: String) =
+        (nD * dbl(sxy) - dbl(sx) * dbl(sy)) /
+          (sqrt(nD * dbl(sxx) - dbl(sx) * dbl(sx)) *
+           sqrt(nD * dbl(syy) - dbl(sy) * dbl(sy)))
+      m.select(col("l_returnflag"), col("n"),
+        corr("sqp", "sq", "sqq", "sp", "spp").as("corr_qty_price"),
+        corr("sqd", "sq", "sqq", "sd", "sdd").as("corr_qty_discount"))
+    },
+    Some("""
+      -- width 19 forces DuckDB's int128 decimal kernel: its int64
+      -- kernel overflows on (12,4)×(12,4) products, and 19+19 → an
+      -- exact DECIMAL(38,8), matching Spark's exact (12,4)×(12,4) →
+      -- DECIMAL(25,8) value-for-value.
+      WITH li AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS DECIMAL(19,4)) AS q,
+               CAST(l_extendedprice AS DECIMAL(19,4)) AS p,
+               CAST(l_discount AS DECIMAL(19,4)) AS d
+        FROM lineitem),
+      m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(q) AS sq, sum(p) AS sp, sum(d) AS sd,
+               sum(q * p) AS sqp, sum(q * d) AS sqd,
+               sum(q * q) AS sqq, sum(p * p) AS spp, sum(d * d) AS sdd
+        FROM li GROUP BY 1),
+      dm AS (
+        SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+               CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sq,
+               CAST(CAST(sp AS VARCHAR) AS DOUBLE) AS sp,
+               CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sd,
+               CAST(CAST(sqp AS VARCHAR) AS DOUBLE) AS sqp,
+               CAST(CAST(sqd AS VARCHAR) AS DOUBLE) AS sqd,
+               CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS sqq,
+               CAST(CAST(spp AS VARCHAR) AS DOUBLE) AS spp,
+               CAST(CAST(sdd AS VARCHAR) AS DOUBLE) AS sdd
+        FROM m)
+      SELECT l_returnflag, n,
+             (nd * sqp - sq * sp)
+               / (sqrt(nd * sqq - sq * sq) * sqrt(nd * spp - sp * sp))
+               AS corr_qty_price,
+             (nd * sqd - sq * sd)
+               / (sqrt(nd * sqq - sq * sq) * sqrt(nd * sdd - sd * sd))
+               AS corr_qty_discount
+      FROM dm
+    """)
+  )
+
+  /** CUBE over (returnflag, linestatus) — all four grouping-set
+    * levels in one pass (Expand + partial agg; complements
+    * `rollup_stats`'s hierarchy). NULL group labels coalesced to
+    * 'ALL' so the hash compare is label-stable.
+    */
+  val cubeStats: Q = Q(
+    "cube_stats",
+    (s, dir) => Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(20, 4))).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty")),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """)
+  )
+
+  val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
+    windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
+    corrFeatures, cubeStats)
+}

@@ -55,4 +55,39 @@ class SamplingSpec extends SparkSpec {
     assert(s1.filter(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet
       .subsetOf(s2.filter(col("lang") === "en").select("doc_id").collect().map(_.getLong(0)).toSet))
   }
+
+  test("temperature sample keeps the smallest stratum whole and evens the mix") {
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = before.values.min
+    val out = Sampling.temperatureSample(docs, "doc_id", "lang")
+    val after = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = before.minBy(_._2)._1
+    // rate for the smallest stratum is sqrt(n_min/n_min) = 1 → all kept
+    assert(after(minLang) === before(minLang))
+    // every stratum's expectation is sqrt(n_min * n_l); check within 5 sd
+    before.foreach { case (lang, n) =>
+      val p = math.sqrt(nMin.toDouble / n)
+      val sd = math.sqrt(n * p * (1 - p))
+      assert(math.abs(after.getOrElse(lang, 0L) - p * n) <= 5 * sd + 1,
+        s"$lang: ${after.get(lang)} of $n, expect ${p * n}")
+    }
+    // post-sample imbalance (max/min) must shrink toward sqrt of the original
+    val ratioBefore = before.values.max.toDouble / nMin
+    val ratioAfter = after.values.max.toDouble / after.values.min
+    assert(ratioAfter < ratioBefore)
+  }
+
+  test("temperature sample is deterministic and a pure broadcast-join plan") {
+    val a = Sampling.temperatureSample(docs, "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(docs.repartition(7), "doc_id", "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // the corpus side must not shuffle: rates join via broadcast
+    val plan = Sampling.temperatureSample(docs, "doc_id", "lang")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
