@@ -20,10 +20,11 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (explain) df.explain("formatted")
+      if (explain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // time fn() too: iterative operators (connected components) do
+      // eager checkpointed work during construction, as Bench does
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name  ($n rows)")
     }
     spark.stop()

@@ -220,13 +220,19 @@ object Dedup {
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
+    // The loop runs ONLY over edge-endpoint nodes: in a near-dup
+    // graph the pair set is tiny relative to the corpus, so the
+    // iterative state is O(|edge nodes|), not O(|corpus|); singletons
+    // join back once at the end. At 100 TB this is the difference
+    // between iterating over megabytes and iterating over the corpus.
+    //
     // localCheckpoint (eager) TRUNCATES LINEAGE each iteration — the
     // load-bearing detail of iterative DataFrame algorithms: without
     // it the logical plan doubles per iteration (self-joins on the
     // previous result) and planning/plan-stringification goes
     // exponential long before the data does. On a cluster with
     // dynamic executors, swap for reliable `checkpoint()`.
-    var labels = nodes.select(col(nodeCol).as("id")).distinct()
+    var labels = und.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id")).localCheckpoint()
     var converged = false
     var i = 0
@@ -237,6 +243,10 @@ object Dedup {
       // previous labels (one shuffle less per iteration)
       val nbMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nb_rep"))
+      // (pointer doubling — rep ← rep(rep) per round — was measured
+      // here and LOST: the extra self-join materialization costs more
+      // than the O(diameter) → O(log d) iteration savings at every
+      // tested scale; the single-checkpoint round is the fast shape)
       val step = labels.join(nbMin, labels("id") === nbMin("src"), "left")
         .select(col("id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("nb_rep"), col("rep"))).as("rep"))
@@ -254,7 +264,11 @@ object Dedup {
       if (strict) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
     }
-    labels
+    // singletons (no edges) never iterate: rep = own id
+    nodes.select(col(nodeCol).as("id")).distinct()
+      .join(labels.withColumnsRenamed(Map("id" -> "l_id", "rep" -> "l_rep")),
+        col("id") === col("l_id"), "left")
+      .select(col("id"), coalesce(col("l_rep"), col("id")).as("rep"))
   }
 
   /** Near-dup clusters over [[minHashNearDups]] pairs: every document
