@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Technical-indicator operators over trade/price series — the
+  * feature layer a market-data pipeline runs downstream of the
+  * reference's candle/bar jobs (the reference stops at OHLC + EWMA,
+  * `kafka_upbit_realtime_processing.py:99-104`; these are the standard
+  * next indicators over the same series).
+  *
+  * Numeric policy (Registry): every order-independent sum goes through
+  * fixed-scale DECIMAL (exact, associative — partitioning-proof);
+  * derived ratios/roots are computed in DOUBLE with one fixed
+  * expression shape so Spark and DuckDB execute identical IEEE ops.
+  * Order-sensitive folds (Wilder smoothing) reuse [[Ewma.EwmaAgg]],
+  * whose recurrence the oracle restates via `list_reduce`.
+  *
+  * Scale notes (100 TB):
+  * - [[vwap]] is one partial-aggregated groupBy — shuffle bounded by
+  *   |groups|, not row count.
+  * - [[bollinger]] / [[drawdown]] are single-window scans: one shuffle
+  *   on the series key, ROWS frames evaluated in one pass per
+  *   partition (no per-row re-aggregation; Spark's running-frame
+  *   window implementation is O(n) per key for UNBOUNDED and sliding
+  *   SUM/COUNT frames, O(n·log frame) for MAX).
+  * - [[rsi]] shuffles twice (lag window + groupBy) on the SAME key, so
+  *   the exchange is reused; the EWMA buffer is O(group size) — for
+  *   unbounded histories use Ewma.rowwise-style sequential scan.
+  */
+object Indicators {
+
+  /** Volume-weighted average price per group: Σ(p·q)/Σ(q), both sums
+    * DECIMAL-exact ((12,4)×(12,4) → (25,8) products stay exact; cast
+    * to DOUBLE only for the final division). Also emits total volume
+    * and trade count.
+    */
+  def vwap(df: DataFrame, keyCols: Seq[String], priceCol: String,
+           qtyCol: String): DataFrame = {
+    val p = col(priceCol).cast(DecimalType(12, 4))
+    val q = col(qtyCol).cast(DecimalType(12, 4))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        (sum(p * q).cast("double") / sum(q).cast("double")).as("vwap"),
+        sum(q).cast("double").as("volume"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  /** Bollinger bands: rolling mean ± k·σ over the trailing `n`-row
+    * frame (population σ from exact decimal moments: the frame's
+    * count/sum/sum-of-squares are windowed DECIMAL sums, variance
+    * `(s2 − s²/c)/c` evaluated in DOUBLE). Rows earlier than `n` use
+    * the shorter available frame (standard SQL ROWS semantics).
+    *
+    * `orderCols` must totally order each key's rows (pass a unique
+    * tie-breaker).
+    */
+  def bollinger(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                valueCol: String, n: Int, k: Double): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val v = col(valueCol).cast(DecimalType(12, 4))
+    val cD = count(lit(1)).over(w).cast("double")
+    val sD = sum(v).over(w).cast("double")
+    val s2D = sum(v * v).over(w).cast("double")
+    val mid = sD / cD
+    val sd = sqrt(greatest(s2D - sD * sD / cD, lit(0.0)) / cD)
+    df.withColumn("mid", mid)
+      .withColumn("upper", mid + lit(k) * sd)
+      .withColumn("lower", mid - lit(k) * sd)
+  }
+
+  /** Running-peak drawdown per key: peak = running max of `valueCol`,
+    * `drawdown` = peak − value, `drawdown_pct` = (peak − value)/peak
+    * (NaN when the peak is 0 — identical IEEE behavior in any engine).
+    * One window scan; all per-row arithmetic.
+    */
+  def drawdown(df: DataFrame, keyCol: String, orderCols: Seq[String],
+               valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = max(col(valueCol)).over(w)
+    df.withColumn("peak", peak)
+      .withColumn("drawdown", col("peak") - col(valueCol))
+      // zero peak → null pct (ANSI sessions reject x/0; CASE branches
+      // evaluate lazily in both engines, so the division never runs)
+      .withColumn("drawdown_pct",
+        when(col("peak") === 0.0, lit(null).cast("double"))
+          .otherwise((col("peak") - col(valueCol)) / col("peak")))
+  }
+
+  /** Wilder RSI over each key's full series: up/down moves from
+    * `lag(1)`, both smoothed by the Wilder recurrence
+    * `a_i = α·x_i + (1−α)·a_{i−1}` with α = 1/period and a₀ = x₀
+    * (i.e. [[Ewma.EwmaAgg]] adjust=false — the reference's own EWMA
+    * form; classic Wilder seeds with an SMA of the first `period`
+    * moves instead, a deliberate, documented simplification that keeps
+    * the fold oracle-restatable), then the division-stable equivalent
+    * of `100 − 100/(1 + RS)`:
+    * `rsi = 100·avg_gain/(avg_gain + avg_loss)`.
+    *
+    * The denominator is 0 only for a perfectly flat series (every
+    * move 0); that case is pinned to the neutral 50 via a lazy CASE —
+    * ANSI sessions reject x/0, and the single-division form makes the
+    * only special case explicit instead of riding on ±∞ arithmetic.
+    *
+    * @return one row per key: (key, avg_gain, avg_loss, rsi, n_moves)
+    */
+  def rsi(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+          period: Int): DataFrame = {
+    val alpha = 1.0 / period
+    val lagW = Window.partitionBy(keyCol).orderBy(tsCol)
+    val diffed = df
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__ts_us"),
+        (col(valueCol) - lag(col(valueCol), 1).over(lagW)).as("__diff"))
+      .filter(col("__diff").isNotNull)
+    val ew = Ewma.ewmaUdaf(alpha)
+    diffed
+      .select(col(keyCol), col("__ts_us"),
+        when(col("__diff") > 0, col("__diff")).otherwise(lit(0.0)).as("__gain"),
+        when(col("__diff") < 0, -col("__diff")).otherwise(lit(0.0)).as("__loss"))
+      .groupBy(col(keyCol))
+      .agg(
+        ew(col("__ts_us"), col("__gain")).as("avg_gain"),
+        ew(col("__ts_us"), col("__loss")).as("avg_loss"),
+        count(lit(1)).as("n_moves"))
+      .withColumn("rsi",
+        when(col("avg_gain") + col("avg_loss") === 0.0, lit(50.0))
+          .otherwise(lit(100.0) * col("avg_gain") / (col("avg_gain") + col("avg_loss"))))
+  }
+}

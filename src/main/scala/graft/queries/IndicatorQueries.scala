@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Indicators
+
+/** Technical-indicator queries (the feature layer downstream of the
+  * reference's candle/EWMA jobs — `kafka_upbit_realtime_processing.py`
+  * stops at OHLC+EWMA; these are the standard indicators computed over
+  * the same series). `events` plays the trade-stream role
+  * (FIXTURES.md §B): `user_id` → instrument, `ts` → exchange time,
+  * `value` → price; `lineitem` provides the (price, quantity) pairs
+  * for VWAP. All four carry full DuckDB oracles under Registry's
+  * determinism policy.
+  */
+object IndicatorQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private val evCte =
+    "ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)"
+
+  /** Daily VWAP per returnflag over lineitem's (extendedprice,
+    * quantity): Σ(p·q)/Σ(q), decimal-exact sums, one
+    * partial-aggregated groupBy (shuffle bounded by |flag×day|).
+    */
+  val vwapDaily: Q = Q(
+    "vwap_daily",
+    (s, dir) => Indicators.vwap(
+      Tables.lineitem(s, dir).withColumn("day", to_date(col("l_shipdate"))),
+      Seq("l_returnflag", "day"), "l_extendedprice", "l_quantity"),
+    Some("""
+      WITH li AS (
+        SELECT l_returnflag, CAST(l_shipdate AS TIMESTAMP)::DATE AS day,
+               CAST(l_extendedprice AS DECIMAL(19,4)) AS p,
+               CAST(l_quantity AS DECIMAL(19,4)) AS q
+        FROM lineitem)
+      SELECT l_returnflag, day,
+             CAST(CAST(sum(p * q) AS VARCHAR) AS DOUBLE)
+               / CAST(sum(q) AS DOUBLE) AS vwap,
+             CAST(sum(q) AS DOUBLE) AS volume,
+             count(*) AS n_trades
+      FROM li GROUP BY 1, 2
+    """)
+  )
+
+  /** Bollinger bands: 20-row trailing mean ± 2σ per instrument over a
+    * unique (ts, event_id) order. Windowed DECIMAL moment sums keep
+    * the bands bit-identical cross-engine; one window scan — a single
+    * key shuffle at any scale.
+    */
+  val bollingerBands: Q = Q(
+    "bollinger_bands",
+    (s, dir) => Indicators.bollinger(
+      events(s, dir).select("event_id", "user_id", "ts", "value"),
+      "user_id", Seq("ts", "event_id"), "value", n = 20, k = 2.0),
+    Some(s"""
+      WITH $evCte,
+      m AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(count(*) OVER w AS DOUBLE) AS cd,
+               CAST(sum(CAST(value AS DECIMAL(19,4))) OVER w AS DOUBLE) AS sd,
+               CAST(CAST(sum(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)))
+                         OVER w AS VARCHAR) AS DOUBLE) AS s2d
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, ts, value,
+             sd / cd AS mid,
+             sd / cd + 2.0::DOUBLE * sqrt(greatest(s2d - sd * sd / cd, 0.0::DOUBLE) / cd) AS upper,
+             sd / cd - 2.0::DOUBLE * sqrt(greatest(s2d - sd * sd / cd, 0.0::DOUBLE) / cd) AS lower
+      FROM m
+    """)
+  )
+
+  /** Running-peak drawdown per instrument: one window scan (running
+    * MAX), per-row arithmetic; `drawdown_pct` is NaN while the peak is
+    * 0 — shared IEEE semantics, no special-casing.
+    */
+  val drawdownSeries: Q = Q(
+    "drawdown_series",
+    (s, dir) => Indicators.drawdown(
+      events(s, dir).select("event_id", "user_id", "ts", "value"),
+      "user_id", Seq("ts", "event_id"), "value"),
+    Some(s"""
+      WITH $evCte
+      SELECT event_id, user_id, ts, value,
+             max(value) OVER w AS peak,
+             max(value) OVER w - value AS drawdown,
+             CASE WHEN max(value) OVER w = 0.0::DOUBLE THEN NULL
+                  ELSE (max(value) OVER w - value) / max(value) OVER w
+             END AS drawdown_pct
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """)
+  )
+
+  /** Wilder RSI(14) per instrument: lag-diff gains/losses smoothed by
+    * the EwmaAgg recurrence (α = 1/14, a₀ = first move — the
+    * documented seeding simplification), restated in the oracle as two
+    * `list_reduce` folds over the ts-ordered move lists;
+    * `rsi = 100·g/(g+l)` (the division-stable form), flat series
+    * pinned to 50.
+    */
+  val rsiWilder: Q = Q(
+    "rsi_wilder",
+    (s, dir) => Indicators.rsi(events(s, dir), "user_id", "ts", "value", period = 14),
+    Some(s"""
+      WITH $evCte,
+      d AS (
+        SELECT user_id, ts,
+               value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS diff
+        FROM ev),
+      f AS (
+        SELECT user_id,
+               list_reduce(
+                 list(CASE WHEN diff > 0 THEN diff ELSE 0.0::DOUBLE END ORDER BY ts),
+                 (acc, x) -> (1.0::DOUBLE / 14.0::DOUBLE) * x
+                   + (1.0::DOUBLE - 1.0::DOUBLE / 14.0::DOUBLE) * acc) AS avg_gain,
+               list_reduce(
+                 list(CASE WHEN diff < 0 THEN -diff ELSE 0.0::DOUBLE END ORDER BY ts),
+                 (acc, x) -> (1.0::DOUBLE / 14.0::DOUBLE) * x
+                   + (1.0::DOUBLE - 1.0::DOUBLE / 14.0::DOUBLE) * acc) AS avg_loss,
+               count(*) AS n_moves
+        FROM d WHERE diff IS NOT NULL GROUP BY 1)
+      SELECT user_id, avg_gain, avg_loss, n_moves,
+             CASE WHEN avg_gain + avg_loss = 0.0::DOUBLE THEN 50.0::DOUBLE
+                  ELSE 100.0::DOUBLE * avg_gain / (avg_gain + avg_loss)
+             END AS rsi
+      FROM f
+    """)
+  )
+
+  val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder)
+}

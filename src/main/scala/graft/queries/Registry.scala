@@ -31,7 +31,8 @@ final case class Q(
 object Registry {
   val all: Seq[Q] =
     MarketQueries.all ++ RelationalQueries.all ++ LlmQueries.all ++
-      CurationQueries.all ++ ScaleQueries.all ++ AnalyticsQueries.all
+      CurationQueries.all ++ ScaleQueries.all ++ AnalyticsQueries.all ++
+      IndicatorQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
