@@ -38,6 +38,38 @@ object Decontam {
         i => h32(array_join(slice(w, i, lit(n)), " ")))))
   }
 
+  /** Within-corpus exact n-gram overlap pairs — the verbatim-span
+    * dedup signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": substring-level duplication that
+    * MinHash's whole-document Jaccard misses). Two documents pair iff
+    * they share ≥1 word n-gram; `n_shared` counts the distinct shared
+    * grams (a proxy for shared-span length: a verbatim k-word span
+    * contributes k−n+1 grams).
+    *
+    * Scale design (100 TB): the corpus explodes to (doc, gram_hash)
+    * map-side; the only wide ops are one gram-keyed window (document
+    * frequency) and the gram-keyed self-join. Grams in more than
+    * `maxDf` documents are dropped BEFORE the join — they are
+    * boilerplate (licenses, headers), and an uncapped hot gram
+    * produces df² join rows; the cap bounds per-gram fanout at
+    * maxDf² while true long-span duplicates still collide on their
+    * rarer grams. Deterministic (df depends only on data) and
+    * restated in the oracle.
+    */
+  def selfOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDf: Int = 64): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val capped = grams.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    capped.as("a").join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-train-document contamination report against `heldout`:
     * (doc_id, n_grams, n_overlap, contaminated). `n_overlap` counts
     * DISTINCT shared grams (gram sets are deduped per document).

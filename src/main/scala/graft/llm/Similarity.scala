@@ -65,6 +65,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** k-nearest-neighbor edge list within blocks: for every vector,
+    * its top-k cosine neighbors among vectors sharing `blockCol` —
+    * the k-NN graph that seeds near-dup clustering, label
+    * propagation, and diversity sampling over an embedded corpus.
+    *
+    * Scale design: the pair space is block-bounded (Σ cell²), exactly
+    * like `dedup_embedding`; at 100 TB the block key comes from IVF
+    * cells ([[kmeansCells]]) or LSH buckets instead of a label. The
+    * per-source top-k plans as WindowGroupLimit (rank pushed below
+    * the final sort), so only k edges per source survive the window
+    * shuffle. Deterministic: cosine tie broken by neighbor id.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+               blockCol: String, k: Int): DataFrame = {
+    val base = withNorm(df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      toDoubleVec(col(vecCol)).as("v")), "v")
+    val dotF = dotAdaptive(base)(_, _)
+    val scored = base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        (dotF(col("a.v"), col("b.v")) / (sqrt(col("a.__norm")) * sqrt(col("b.__norm"))))
+          .as("cosine"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("src", "dst", "cosine", "rank")
+  }
+
   /** All group buckets at once (bit p of group g set iff
     * v·plane_{g,p} > 0), with the planes as ONE nested-array
     * literal instead of groups×bits×dim inline `lit` nodes: the

@@ -364,7 +364,36 @@ object CurationQueries {
     """)
   )
 
+  /** Within-corpus verbatim-span dedup signal (Lee et al.): document
+    * pairs sharing ≥1 word 8-gram, with the distinct shared-gram
+    * count. Grams in > 64 documents are dropped pre-join (boilerplate;
+    * bounds per-gram join fanout at 64²) — mirrored in the oracle.
+    */
+  val dupNgramPairs: Q = Q(
+    "dup_ngram_pairs",
+    (s, dir) => Decontam.selfOverlapPairs(Tables.documents(s, dir),
+      "doc_id", "text", n = 8, maxDf = 64),
+    Some("""
+      WITH u AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      g0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(ws) - 7, 0) + 1),
+                 i -> ('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8))::BIGINT))) AS g
+        FROM u),
+      g AS (
+        SELECT doc_id, g FROM (
+          SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM g0)
+        WHERE df <= 64)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, repetitionStats, docChunks,
-    packSequences, tfidfTopTerms)
+    packSequences, tfidfTopTerms, dupNgramPairs)
 }

@@ -657,8 +657,36 @@ object LlmQueries {
     """)
   )
 
+  /** k-NN edge list within label blocks: every vector's top-3 cosine
+    * neighbors in its cell — the graph that seeds near-dup clustering
+    * and diversity sampling. Pair space block-bounded (Σ cell²) as in
+    * dedup_embedding; per-source top-k plans as WindowGroupLimit. At
+    * 100 TB the block key comes from kmeansCells/LSH instead of the
+    * label.
+    */
+  val knnGraphQ: Q = Q(
+    "knn_graph",
+    (s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", k = 3),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]),
+                               (x, y) -> x + y)
+                     / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rank
+      FROM s QUALIFY rank <= 3
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
     dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
     embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
-    multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ)
+    multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ, knnGraphQ)
 }

@@ -25,6 +25,29 @@ class DecontamSpec extends SparkSpec {
     assert(out.size === 3) // every train doc reported, hit or not
   }
 
+  test("selfOverlapPairs: shared span pairs, gram-count proxy, df cap") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight nine" // 9 words -> 2 distinct 8-grams
+    val docs = Seq(
+      (1L, s"prefix a b c $span"),
+      (2L, s"$span different suffix words here"),
+      (3L, "unrelated text with nothing shared at all among these words")
+    ).toDF("doc_id", "text")
+    val out = Decontam.selfOverlapPairs(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only (1,2) pair; the 9-word span holds both of its 8-grams
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+
+    // df cap: a gram shared by all 3 docs disappears at maxDf=2
+    val common = Seq(
+      (1L, span), (2L, span), (3L, span)
+    ).toDF("doc_id", "text")
+    assert(Decontam.selfOverlapPairs(common, "doc_id", "text", n = 8, maxDf = 2)
+      .count() == 0L)
+    assert(Decontam.selfOverlapPairs(common, "doc_id", "text", n = 8, maxDf = 3)
+      .count() == 3L) // all three pairs
+  }
+
   test("gram sets are distinct and empty below n words") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a b a b a b")) // repeated bigram, 10 words

@@ -108,4 +108,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.8) // 8-bit codes barely move a 64-dim cosine ranking
     q.unpersist()
   }
+
+  test("knnGraph: known answers within blocks, k bound, no self/cross-block edges") {
+    import spark.implicits._
+    val vecs = Seq(
+      // block 0: three axis-ish vectors — 1's nearest is 2, then 3
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 0),
+      // block 1: an isolated pair
+      (4L, Seq(0.0f, 0.0f, 1.0f), 1),
+      (5L, Seq(0.0f, 0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val edges = Similarity.knnGraph(vecs, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val bySrc = edges.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 2))
+    assert(bySrc(1L).sortBy(_._3).map(_._2).toSeq == Seq(2L, 3L))
+    // block-1 nodes only see each other
+    assert(bySrc(4L).map(_._2).toSeq == Seq(5L) && bySrc(5L).map(_._2).toSeq == Seq(4L))
+    assert(edges.forall { case (s, d, _) => s != d })
+  }
 }
