@@ -106,4 +106,41 @@ object Candles {
 
   val aggNames: Seq[String] =
     Seq("open", "high", "low", "close", "volume", "side_volume", "avg_value", "volatility", "n_events")
+
+  /** Gap-fill a bucketed-candle table to a regular grid: groupBy-based
+    * candles emit NO row for an empty interval, but downstream
+    * consumers (charting, feature windows, resample joins) need one
+    * row per (key, bucket) with the last close carried forward.
+    *
+    * Each key's spine spans its own [min, max] bucket range —
+    * `sequence(min, max, step)` exploded map-side off a 1-row-per-key
+    * aggregate (never a driver-side loop), then a left join back and
+    * a forward-fill window (`last ignoreNulls`) per fill column.
+    *
+    * Scale notes: the spine explode is O(#keys × #buckets) — the size
+    * of the OUTPUT, not the input; the join and window shuffle on the
+    * same key so the exchange is reused. Dense-output gap fill at
+    * 100 TB is dominated by the output write, as it should be.
+    *
+    * @param step a calendar-interval expression, e.g.
+    *             `expr("interval 1 hour")` — must match the bucketing
+    *             of `bucketCol`
+    * @return the spine row set with original columns (null on empty
+    *         buckets) plus `<c>_ff` forward-filled variants of
+    *         `fillCols` and a `has_data` flag
+    */
+  def gapFill(candles: DataFrame, keyCol: String, bucketCol: String,
+              step: Column, fillCols: Seq[String]): DataFrame = {
+    val spine = candles.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("__mn"), max(col(bucketCol)).as("__mx"))
+      .select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"), step)).as(bucketCol))
+    val joined = spine.join(candles, Seq(keyCol, bucketCol), "left")
+      .withColumn("has_data", col(fillCols.head).isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    fillCols.foldLeft(joined)((d, c) =>
+      d.withColumn(s"${c}_ff", last(col(c), ignoreNulls = true).over(w)))
+  }
 }

@@ -585,8 +585,47 @@ object MarketQueries {
     Some("SELECT event_id, user_id, event_type, value FROM events")
   )
 
+  /** Hourly candles gap-filled to each instrument's full [min, max]
+    * hour spine (groupBy candles emit nothing for empty intervals;
+    * consumers need one row per bucket with the close carried
+    * forward). Spine = per-key `sequence()` explode — output-sized,
+    * never a driver loop; fill = `last ignoreNulls` window on the
+    * same key partitioning the join used.
+    */
+  val candlesGapFilled: Q = Q(
+    "candles_gap_filled",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .groupBy("user_id", "hour")
+        .agg(max_by(col("value"), col("ts")).as("close"),
+          count(lit(1)).as("n_trades"))
+      Candles.gapFill(hourly, "user_id", "hour", expr("interval 1 hour"), Seq("close"))
+        .select(col("user_id"), col("hour"), col("close"), col("close_ff"),
+          coalesce(col("n_trades"), lit(0L)).as("n_trades"), col("has_data"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      c AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                   arg_max(value, ts) AS close, count(*) AS n_trades
+            FROM ev GROUP BY 1, 2),
+      b AS (SELECT user_id, min(hour) AS mn, max(hour) AS mx FROM c GROUP BY 1),
+      sp AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b),
+      j AS (SELECT sp.user_id, sp.hour, c.close, c.n_trades
+            FROM sp LEFT JOIN c ON sp.user_id = c.user_id AND sp.hour = c.hour)
+      SELECT user_id, hour, close,
+             last_value(close IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+             coalesce(n_trades, 0) AS n_trades,
+             n_trades IS NOT NULL AS has_data
+      FROM j
+    """)
+  )
+
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
-    candlesTumbling, candlesSliding, candlesVolume, asofJoin, asofJoinScalable,
-    asofJoinNative, ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook,
-    rangePairs, distinctUsers, latestPerKey, eventEnrich, envelopeRoundtrip)
+    candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled, asofJoin,
+    asofJoinScalable, asofJoinNative, ewmaLast, ewmaAdjusted, ewmaRowwise,
+    ofiFlow, ofiBook, rangePairs, distinctUsers, latestPerKey, eventEnrich,
+    envelopeRoundtrip)
 }

@@ -103,5 +103,53 @@ object RelationalQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(q1Pricing, q3TopOrders)
+  /** Snapshot reconciliation via FULL OUTER join: every order matched
+    * against its lineitem rollup, tagged present / missing_order /
+    * missing_lines — the CDC-audit shape (compare a dimension snapshot
+    * with an aggregated fact delta, keep the orphans on BOTH sides,
+    * which inner/left joins silently drop).
+    *
+    * Scale: full-outer can't broadcast (both sides' unmatched rows
+    * must survive) — it shuffles both sides on the key; the fact side
+    * is pre-aggregated map-side so the exchange carries one row per
+    * orderkey, and the groupBy and join reuse one partitioning.
+    */
+  val orderReconcile: Q = Q(
+    "order_reconcile",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(20, 4))).cast("double")
+          .as("li_total"), count(lit(1)).as("n_lines"))
+      Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+        .join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("l_orderkey")).as("orderkey"),
+          col("o_totalprice"), col("li_total"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+          when(col("o_orderkey").isNull, "missing_order")
+            .when(col("l_orderkey").isNull, "missing_lines")
+            .otherwise("present").as("status"),
+          when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull,
+            col("o_totalprice") - col("li_total")).as("price_diff"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS li_total,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY 1)
+      SELECT coalesce(o_orderkey, l_orderkey) AS orderkey,
+             o_totalprice, li_total,
+             coalesce(n_lines, 0) AS n_lines,
+             CASE WHEN o_orderkey IS NULL THEN 'missing_order'
+                  WHEN l_orderkey IS NULL THEN 'missing_lines'
+                  ELSE 'present' END AS status,
+             CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+                  THEN o_totalprice - li_total END AS price_diff
+      FROM orders FULL JOIN li ON o_orderkey = l_orderkey
+    """)
+  )
+
+  val all: Seq[Q] = Seq(q1Pricing, q3TopOrders, orderReconcile)
 }

@@ -49,4 +49,23 @@ class CandlesSpec extends SparkSpec {
     val totalEvents = out.agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
     assert(totalEvents === df.count() * 2)
   }
+
+  test("gapFill emits every bucket on the key's spine and carries close forward") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def h(hr: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $hr%02d:00:00")
+    // key "a" trades at hours 1, 4 (gap at 2, 3); key "b" only at hour 7
+    val candles = Seq(
+      ("a", h(1), 10.0, 3L), ("a", h(4), 12.0, 1L), ("b", h(7), 5.0, 2L)
+    ).toDF("k", "hour", "close", "n")
+    val out = Candles.gapFill(candles, "k", "hour", expr("interval 1 hour"), Seq("close"))
+      .orderBy("k", "hour").collect()
+    assert(out.length === 5) // a: 1,2,3,4; b: 7
+    val a2 = out(1) // hour 2, empty
+    assert(a2.isNullAt(a2.fieldIndex("close")))
+    assert(a2.getAs[Double]("close_ff") === 10.0)
+    assert(!a2.getAs[Boolean]("has_data"))
+    assert(out(3).getAs[Double]("close_ff") === 12.0) // hour 4, real close
+    assert(out(4).getAs[String]("k") === "b" && out(4).getAs[Boolean]("has_data"))
+  }
 }
