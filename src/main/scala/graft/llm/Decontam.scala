@@ -58,8 +58,12 @@ object Decontam {
     */
   def selfOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, maxDf: Int = 64): DataFrame = {
+    // persist: the df-window and both self-join sides would otherwise
+    // re-run the md5 gram hashing (the dominant map-side cost) 3×; at
+    // production scale write the gram table out instead of caching.
     val grams = df.select(col(idCol).as("doc_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
+      .persist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val capped = grams.withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") <= maxDf)

@@ -54,4 +54,23 @@ object Quantiles {
       .filter(col(valCol) < col("lo") || col(valCol) > col("hi"))
       .select(col(keyCol), col(tieCol), col(valCol), col("lo"), col("hi"))
   }
+
+  /** Per-group winsorization: clip values into their group's
+    * [p_lo, p_hi] exact-quantile envelope instead of dropping them —
+    * the gentler sibling of [[iqrOutliers]] for feature pipelines
+    * where row loss is worse than tail distortion. The bounds come
+    * from rank selection (values FROM the data, no float arithmetic),
+    * the clip is `least(greatest(...))` on a broadcast bounds join —
+    * map-side at any scale.
+    */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+                tieCol: String, loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    val bounds = exactQuantiles(df, keyCol, valCol, tieCol, Seq(loPct, hiPct))
+      .groupBy(col(keyCol))
+      .agg(max(when(col("pct") === loPct, col("quantile_value"))).as("lo"),
+        max(when(col("pct") === hiPct, col("quantile_value"))).as("hi"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn(s"${valCol}_wins",
+        least(greatest(col(valCol), col("lo")), col("hi")))
+  }
 }

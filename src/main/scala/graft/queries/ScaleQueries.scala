@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.ops.{Compaction, Profiler, Quantiles, Salting, Sessions}
+import graft.ops.{Compaction, Features, Profiler, Quantiles, Salting, Sessions}
 import graft.sources.Layout
 
 /** Operators whose point is the 100 TB execution shape: gap-based
@@ -303,7 +303,64 @@ object ScaleQueries {
     """)
   )
 
+  /** Per-type winsorization: values clipped into their group's exact
+    * [p1, p99] envelope — row-preserving tail control (the gentler
+    * sibling of outlier_filter); broadcast bounds ⇒ map-side clip.
+    */
+  val winsorizeValues: Q = Q(
+    "winsorize_values",
+    (s, dir) => Quantiles.winsorize(
+      events(s, dir).select("event_type", "event_id", "value"),
+      "event_type", "value", "event_id", loPct = 1, hiPct = 99),
+    Some("""
+      WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events),
+      q AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (1 * cnt + 99) // 100 THEN value END) AS lo,
+               max(CASE WHEN rn = (99 * cnt + 99) // 100 THEN value END) AS hi
+        FROM r GROUP BY 1)
+      SELECT e.event_type, e.event_id, e.value, lo, hi,
+             least(greatest(e.value, lo), hi) AS value_wins
+      FROM events e JOIN q USING (event_type)
+    """)
+  )
+
+  /** Per-type feature normalization (min-max + population z-score):
+    * one stats groupBy (|groups| rows, broadcast) + a map-side
+    * projection — zero wide shuffles of the fact side. Constant
+    * groups yield null, pinned by lazy CASE in both engines.
+    */
+  val featureScale: Q = Q(
+    "feature_scale",
+    (s, dir) => Features.scale(
+      events(s, dir).select("event_type", "event_id", "value"),
+      "event_type", "value"),
+    Some("""
+      WITH st AS (
+        SELECT event_type, count(*) AS n, min(value) AS mn, max(value) AS mx,
+               CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS s,
+               CAST(CAST(sum(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)))
+                         AS VARCHAR) AS DOUBLE) AS s2
+        FROM events GROUP BY 1)
+      SELECT e.event_type, e.event_id, e.value,
+             CASE WHEN mx = mn THEN NULL
+                  ELSE (e.value - mn) / (mx - mn) END AS minmax,
+             CASE WHEN sqrt(greatest(s2 - s * s / CAST(n AS DOUBLE), 0.0::DOUBLE)
+                            / CAST(n AS DOUBLE)) = 0.0::DOUBLE THEN NULL
+                  ELSE (e.value - s / CAST(n AS DOUBLE))
+                       / sqrt(greatest(s2 - s * s / CAST(n AS DOUBLE), 0.0::DOUBLE)
+                              / CAST(n AS DOUBLE))
+             END AS zscore
+      FROM events e JOIN st USING (event_type)
+    """)
+  )
+
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg,
     incrementalStats, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
-    trailingSum, zorderIndex, outlierFilter, profileNumeric)
+    trailingSum, zorderIndex, outlierFilter, profileNumeric, winsorizeValues,
+    featureScale)
 }

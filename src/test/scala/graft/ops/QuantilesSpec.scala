@@ -76,4 +76,16 @@ class QuantilesSpec extends SparkSpec {
         s"$k p$p: approx $v outside [${lo((k, p - 1))}, ${hi((k, p + 1))}]")
     }
   }
+
+  test("winsorize clips into the group's [p-lo, p-hi] envelope, keeps all rows") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val out = Quantiles.winsorize(df, "k", "v", "id", loPct = 10, hiPct = 90)
+    assert(out.count() === 100)
+    val clipped = out.select("v", "v_wins").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // p10 of 1..100 by rank ceil(10*100/100)=10 -> 10.0; p90 -> 90.0
+    assert(clipped.forall { case (v, w) => w == math.min(math.max(v, 10.0), 90.0) })
+    assert(clipped.count { case (v, w) => v != w } === 19) // 1..9 and 91..100
+  }
 }
