@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.llm.{Sampling, TextHash}
-import graft.ops.Analytics
+import graft.ops.{Analytics, PageRank}
 
 /** Product/OLAP analytics over `events` plus relational breadth ops
   * (explicit set operations, semi/anti joins, CUBE, exact
@@ -332,7 +332,57 @@ object AnalyticsQueries {
     """)
   )
 
+  /** PageRank over the customer→supplier order-flow graph (customers
+    * even node ids, suppliers odd — the raw keys share an id space),
+    * 3 fixed iterations of INTEGER fixed-point arithmetic (scale
+    * 10¹²): BIGINT sums and `div` are exact and associative, so the
+    * iteration is bit-reproducible under any partitioning and the
+    * oracle unrolls the identical math — a float PageRank could never
+    * hash-match across engines. Suppliers are pure sinks here
+    * (dangling — the documented simplification in PageRank).
+    */
+  val supplierPagerank: Q = Q(
+    "supplier_pagerank",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select("src", "dst")
+      PageRank.ranks(edges, "src", "dst", iters = 3)
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      c0 AS (SELECT 1000000000000 // count(*) AS init,
+                    (15 * (1000000000000 // count(*))) // 100 AS base
+             FROM nodes),
+      r0 AS (SELECT id, init AS r FROM nodes CROSS JOIN c0),
+      c1 AS (SELECT e.dst, sum(r.r // d.outdeg) AS s
+             FROM e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      r1 AS (SELECT id, base + (85 * coalesce(s, 0)) // 100 AS r
+             FROM nodes CROSS JOIN c0 LEFT JOIN c1 ON id = c1.dst),
+      c2 AS (SELECT e.dst, sum(r.r // d.outdeg) AS s
+             FROM e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      r2 AS (SELECT id, base + (85 * coalesce(s, 0)) // 100 AS r
+             FROM nodes CROSS JOIN c0 LEFT JOIN c2 ON id = c2.dst),
+      c3 AS (SELECT e.dst, sum(r.r // d.outdeg) AS s
+             FROM e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
+             GROUP BY 1),
+      r3 AS (SELECT id, base + (85 * coalesce(s, 0)) // 100 AS r
+             FROM nodes CROSS JOIN c0 LEFT JOIN c3 ON id = c3.dst)
+      SELECT id, CAST(r AS BIGINT) AS rank_fp,
+             CAST(r AS DOUBLE) / 1e12 AS rank
+      FROM r3
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
-    corrFeatures, cubeStats)
+    corrFeatures, cubeStats, supplierPagerank)
 }
