@@ -236,4 +236,159 @@ object Multimodal {
       }
     }(Encoders.row(FeatureSchema))
   }
+
+  /** Minimal RIFF/WAVE parser — REAL audio decoding with zero
+    * dependencies (PCM16 is just little-endian shorts; only exotic
+    * codecs need a library). Multi-channel audio is averaged to mono.
+    */
+  object WavCodec {
+    def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length > 44 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (java.lang.Byte.toUnsignedInt(b(i + 1)) << 8) | java.lang.Byte.toUnsignedInt(b(i))
+    private def le32(b: Array[Byte], i: Int): Int =
+      (le16(b, i + 2) << 16) | le16(b, i)
+
+    /** Walk the chunk list; decode PCM16 to mono [-1, 1] doubles.
+      * @return (sampleRate, nChannels, monoSamples); None unless
+      *         format is PCM (1) at 16 bits.
+      */
+    def decode(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+      if (!looksLikeWav(b)) return None
+      var pos = 12
+      var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
+      var data: Option[(Int, Int)] = None // (offset, len)
+      while (pos + 8 <= b.length) {
+        val id = new String(b.slice(pos, pos + 4), "US-ASCII")
+        val sz = le32(b, pos + 4)
+        if (id == "fmt " && pos + 24 <= b.length) {
+          fmtOk = le16(b, pos + 8) == 1 // PCM
+          channels = le16(b, pos + 10)
+          rate = le32(b, pos + 12)
+          bits = le16(b, pos + 22)
+        } else if (id == "data") {
+          data = Some((pos + 8, math.min(sz, b.length - pos - 8)))
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      for ((off, len) <- data if fmtOk && bits == 16 && channels >= 1) yield {
+        val nFrames = len / (2 * channels)
+        val mono = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var s = 0.0
+          var c = 0
+          while (c < channels) {
+            s += le16(b, off + 2 * (f * channels + c)).toShort / 32768.0
+            c += 1
+          }
+          mono(f) = s / channels
+          f += 1
+        }
+        (rate, channels, mono)
+      }
+    }
+  }
+
+  val AudioWindowSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("window_idx", IntegerType),
+    StructField("start_sample", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType)))
+
+  /** Audio feature windows over a binary column: WAV payloads decode
+    * for REAL ([[WavCodec]] — PCM16 needs no codec library); anything
+    * else is interpreted as headerless 16 kHz mono PCM16 (the
+    * deterministic fallback, flagged by sample_rate = 16000 &
+    * n_channels = 1 defaults). Each payload explodes partition-locally
+    * into hop-strided RMS/peak windows — the mapPartitions `flatMap`
+    * shape is the 100 TB contract: row explosion happens inside the
+    * task (bounded by one payload at a time), never via a
+    * shuffle-backed explode of pre-materialized arrays.
+    */
+  def audioWindows(df: DataFrame, idCol: String, bytesCol: String,
+                   winSamples: Int, hopSamples: Int): DataFrame = {
+    require(winSamples > 0 && hopSamples > 0, "window/hop must be positive")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val (rate, channels, mono) = WavCodec.decode(bytes).getOrElse {
+          val n = bytes.length / 2
+          val m = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            m(i) = (((java.lang.Byte.toUnsignedInt(bytes(2 * i + 1)) << 8) |
+              java.lang.Byte.toUnsignedInt(bytes(2 * i))).toShort) / 32768.0
+            i += 1
+          }
+          (16000, 1, m)
+        }
+        val nWin = if (mono.length < winSamples) 0
+                   else (mono.length - winSamples) / hopSamples + 1
+        (0 until nWin).iterator.map { w =>
+          val start = w * hopSamples
+          var ss = 0.0
+          var pk = 0.0
+          var i = start
+          while (i < start + winSamples) {
+            val s = mono(i)
+            ss += s * s
+            if (math.abs(s) > pk) pk = math.abs(s)
+            i += 1
+          }
+          Row(r.getLong(idIdx), rate, channels, w, start,
+            math.sqrt(ss / winSamples), pk)
+        }
+      }
+    }(Encoders.row(AudioWindowSchema))
+  }
+
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("byte_offset", IntegerType),
+    StructField("n_bytes", IntegerType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** Video frame sampling: every `stride`-th fixed-size frame payload,
+    * feature-extracted. The DEMUX IS A STUB — a real container
+    * (mp4/mkv) needs a demuxer this environment lacks, so "frames"
+    * are fixed `frameBytes` slices; each sampled frame then goes
+    * through the usual decode path (image-magic frames decode for
+    * real, others take [[StubCodec]]). What is real and tested is the
+    * Spark contract: partition-local 1→N explosion with one frame
+    * materialized at a time, fixed output schema, sampled frames
+    * composing directly with imageHashes/Similarity downstream.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes/stride must be positive")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator
+          .filter(_ % stride == 0)
+          .map { f =>
+            val off = f * frameBytes
+            val frame = java.util.Arrays.copyOfRange(bytes, off,
+              math.min(off + frameBytes, bytes.length))
+            val (_, _, feats) =
+              (if (ImageIoCodec.looksLikeImage(frame)) ImageIoCodec.decode(frame) else None)
+                .getOrElse(StubCodec.decode(frame))
+            Row(r.getLong(idIdx), f, off, frame.length, feats.toSeq)
+          }
+      }
+    }(Encoders.row(FrameSchema))
+  }
 }

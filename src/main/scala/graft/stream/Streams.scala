@@ -105,4 +105,41 @@ object Streams {
     */
   def awaitAny(spark: SparkSession, queries: Seq[StreamingQuery]): Unit =
     spark.streams.awaitAnyTermination()
+
+  /** `foreachBatch` upsert sink: maintains a latest-state table at
+    * `statePath` keyed by `keyCols` with `orderCols` deciding
+    * recency — the streaming face of `Compaction.latestMerge`
+    * (CDC-style upsert into a file-backed snapshot; file sinks alone
+    * are append-only).
+    *
+    * Idempotence is the contract that makes this exactly-once:
+    * `latest(state ∪ batch)` applied twice with the same batch equals
+    * applying it once (proved for latestMerge in `OpsPropertySpec`),
+    * so a batch replayed after a crash-before-commit converges to the
+    * same table.
+    *
+    * Scale notes: each micro-batch is one keyed reduction over
+    * state ∪ batch. Rewriting full state per batch is the
+    * object-store-compatible lowest common denominator (and what
+    * Delta/Iceberg MERGE does under the hood per touched file);
+    * partition `statePath` by a key prefix so a batch rewrites only
+    * the partitions it touches.
+    */
+  def upsertSink(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+                 statePath: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(statePath)
+        val existing =
+          if (dir.isDirectory && dir.list().exists(_.endsWith(".parquet")))
+            Some(spark.read.parquet(statePath))
+          else None
+        val merged = graft.ops.Compaction.latestMerge(
+          existing.toSeq :+ batch.localCheckpoint(), keyCols, orderCols)
+        // localCheckpoint pins the merged result BEFORE the overwrite:
+        // the merge plan reads the same files the write replaces
+        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+      }
 }

@@ -114,4 +114,57 @@ class MultimodalSpec extends SparkSpec {
       (4 until 8).foreach(cx => assert(math.abs(g(cy * 8 + cx) - 0.114) < 1e-9))
     }
   }
+
+  /** Hand-built PCM16 mono WAV: RIFF header + sine samples. */
+  private def wavBytes(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("audioWindows: real WAV parse — rate from header, sine RMS = A/sqrt(2)") {
+    import spark.implicits._
+    val rate = 8000
+    val amp = 0.5
+    // whole number of cycles per 400-sample window -> exact RMS
+    val samples = Array.tabulate[Short](1200) { i =>
+      (amp * 32767 * math.sin(2 * math.Pi * 100 * i / rate)).toShort
+    }
+    val df = Seq((7L, wavBytes(rate, samples))).toDF("id", "payload")
+    val out = Multimodal.audioWindows(df, "id", "payload",
+      winSamples = 400, hopSamples = 400).collect()
+    assert(out.length === 3) // 1200 / 400 exact tiling
+    assert(out.forall(_.getInt(1) === rate))
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(5) - amp / math.sqrt(2)) < 0.01, s"rms ${r.getDouble(5)}")
+      assert(math.abs(r.getDouble(6) - amp) < 0.01)
+    }
+    // non-WAV payload takes the headerless-PCM fallback (rate 16000)
+    val raw = Seq((8L, Array.fill[Byte](1600)(0))).toDF("id", "payload")
+    val fb = Multimodal.audioWindows(raw, "id", "payload", 400, 200).collect()
+    assert(fb.length === 3 && fb.forall(_.getInt(1) === 16000)) // (800-400)/200+1
+    assert(fb.forall(_.getDouble(5) === 0.0))
+  }
+
+  test("sampleFrames: stride sampling over fixed-size frames, offsets correct") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+    val df = Seq((3L, payload)).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "id", "payload",
+      frameBytes = 1000, stride = 3).collect()
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 3, 6, 9))
+    assert(out.map(_.getInt(2)).toSeq === Seq(0, 3000, 6000, 9000))
+    assert(out.forall(_.getInt(3) === 1000))
+    // deterministic stub features per frame
+    val again = Multimodal.sampleFrames(df, "id", "payload", 1000, 3).collect()
+    assert(out.map(_.getSeq[Double](4)).toSeq === again.map(_.getSeq[Double](4)).toSeq)
+  }
 }

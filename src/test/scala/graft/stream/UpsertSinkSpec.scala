@@ -1,0 +1,59 @@
+package graft.stream
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** foreachBatch upsert sink: the state table converges to
+  * latest-per-key across micro-batches, and re-merging an
+  * already-applied batch is a no-op (the idempotence that makes
+  * crash-replay exactly-once).
+  */
+class UpsertSinkSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("state table is latest-per-key across batches; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("upsert_sink").toFile
+    val statePath = s"${dir.getAbsolutePath}/state"
+    val ckpt = s"${dir.getAbsolutePath}/ckpt"
+
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = Streams.upsertSink(mem.toDF().toDF("k", "ts", "v"),
+      Seq("k"), Seq("ts"), statePath, ckpt).start()
+    try {
+      mem.addData(Seq(
+        (1L, t("2024-01-01 00:00:00"), 1.0),
+        (2L, t("2024-01-01 00:00:00"), 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (1L, t("2024-01-01 00:01:00"), 10.0), // newer → replaces
+        (3L, t("2024-01-01 00:00:30"), 3.0))) // new key
+      q.processAllAvailable()
+      // a LATE row older than the current state must NOT win
+      mem.addData(Seq((2L, t("2023-12-31 23:59:00"), -2.0)))
+      q.processAllAvailable()
+
+      def state() = spark.read.parquet(statePath)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val s1 = state()
+      assert(s1 === Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0))
+
+      // replay: re-apply batch-2's data against the existing state —
+      // converges to the same table (crash-before-commit recovery)
+      val replay = Seq(
+        (1L, t("2024-01-01 00:01:00"), 10.0),
+        (3L, t("2024-01-01 00:00:30"), 3.0)).toDF("k", "ts", "v")
+      val merged = graft.ops.Compaction.latestMerge(
+        Seq(spark.read.parquet(statePath).localCheckpoint(), replay),
+        Seq("k"), Seq("ts")).localCheckpoint()
+      merged.write.mode("overwrite").parquet(statePath)
+      assert(state() === s1)
+    } finally q.stop()
+  }
+}
