@@ -93,6 +93,65 @@ object Similarity {
       .select("src", "dst", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar vectors carrying a DIFFERENT
+    * label — the negatives that actually move an embedding model.
+    * Exact scoring (BroadcastNestedLoopJoin over the query sample —
+    * the same inherent-cost baseline as [[bruteTopK]]); at corpus
+    * scale generate candidates from LSH buckets / IVF cells first and
+    * exact-verify, exactly as ann_lsh/ann_ivf do for positives.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val base = withNorm(df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      toDoubleVec(col(vecCol)).as("v")), "v")
+    val q = base.filter(queryPred).select(col("id").as("query_id"),
+      col("lbl").as("qlbl"), col("v").as("qv"), col("__norm").as("qn"))
+    val scored = q.join(base, col("lbl") =!= col("qlbl"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (dotAdaptive(df)(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** k-NN majority-vote classification: each query vector takes the
+    * modal label of its k nearest LABELED neighbors (queries are
+    * excluded from the reference set); ties break to the smallest
+    * label, then-tied cosine ranks to the smallest neighbor id —
+    * fully deterministic. The semi-supervised labeling pass a
+    * curation pipeline runs to extend sparse labels over an embedded
+    * corpus. Exact scoring baseline; blocked candidates at scale, as
+    * [[hardNegatives]].
+    */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, queryPred: Column, k: Int): DataFrame = {
+    val base = withNorm(df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      toDoubleVec(col(vecCol)).as("v")), "v")
+    val q = base.filter(queryPred).select(col("id").as("query_id"),
+      col("lbl").as("true_label"), col("v").as("qv"), col("__norm").as("qn"))
+    val refs = base.filter(!queryPred)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val nn = q.join(refs, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("id").as("neighbor_id"),
+        col("lbl").as("nlbl"),
+        (dotAdaptive(df)(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("nlbl"))
+    nn.groupBy("query_id", "true_label", "nlbl")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nlbl").as("predicted_label"),
+        col("votes"), col("true_label"),
+        (col("nlbl") === col("true_label")).as("correct"))
+  }
+
   /** All group buckets at once (bit p of group g set iff
     * v·plane_{g,p} > 0), with the planes as ONE nested-array
     * literal instead of groups×bits×dim inline `lit` nodes: the

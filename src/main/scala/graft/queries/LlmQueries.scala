@@ -685,8 +685,71 @@ object LlmQueries {
     """)
   )
 
+  /** Contrastive hard negatives: top-5 most-similar DIFFERENT-label
+    * vectors per query — exact-scoring baseline (as cosine_topk); LSH/
+    * IVF candidate generation is the scale path.
+    */
+  val hardNegativesQ: Q = Q(
+    "hard_negatives",
+    (s, dir) => Similarity.hardNegatives(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", col("id") % 40 === 0, k = 5),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      q AS (SELECT vec_id AS query_id, label AS qlbl, v AS qv, nrm AS qn
+            FROM n WHERE vec_id % 40 = 0),
+      s AS (SELECT query_id, t.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]),
+                               (a, b) -> a + b)
+                     / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+            FROM q JOIN n t ON t.label <> q.qlbl)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
+  /** k-NN majority-vote label propagation: queries (sampled out of
+    * the labeled set) take the modal label of their 5 nearest labeled
+    * neighbors; vote ties to the smallest label. The semi-supervised
+    * labeling pass over an embedded corpus.
+    */
+  val knnClassifyQ: Q = Q(
+    "knn_classify",
+    (s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", col("id") % 40 === 0, k = 5),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qn
+            FROM n WHERE vec_id % 40 = 0),
+      r AS (SELECT * FROM n WHERE NOT (vec_id % 40 = 0)),
+      s AS (SELECT query_id, true_label, t.vec_id AS neighbor_id, t.label AS nlbl,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]),
+                               (a, b) -> a + b)
+                     / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+            FROM q JOIN r t ON t.vec_id <> q.query_id),
+      rk AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM s) WHERE rank <= 5),
+      v AS (SELECT query_id, true_label, nlbl, count(*) AS votes
+            FROM rk GROUP BY 1, 2, 3)
+      SELECT query_id, nlbl AS predicted_label, votes, true_label,
+             nlbl = true_label AS correct
+      FROM v
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlbl) = 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
     dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
     embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
-    multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ, knnGraphQ)
+    multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ, knnGraphQ,
+    hardNegativesQ, knnClassifyQ)
 }

@@ -109,6 +109,35 @@ class SimilaritySpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("hardNegatives excludes same-label vectors; knnClassify recovers clustered labels") {
+    import spark.implicits._
+    // two tight clusters: label 0 near x-axis, label 1 near z-axis;
+    // query 100 (label 0) sits inside cluster 0
+    val vecs = Seq(
+      (100L, Seq(1.0f, 0.05f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.95f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.9f, 0.0f, 0.1f), 0),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 1),
+      (5L, Seq(0.1f, 0.0f, 0.95f), 1),
+      (6L, Seq(0.0f, 0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val qp = col("id") === 100L
+    val neg = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label", qp, k = 2)
+      .collect()
+    assert(neg.length == 2)
+    assert(neg.forall(r => Set(4L, 5L, 6L).contains(r.getLong(1)))) // only label-1
+    // 5 is the closest label-1 vector to the x-axis query
+    assert(neg.minBy(_.getInt(3)).getLong(1) == 5L)
+
+    val cls = Similarity.knnClassify(vecs, "vec_id", "embedding", "label", qp, k = 3)
+      .collect()
+    assert(cls.length == 1)
+    val r = cls(0)
+    assert(r.getLong(0) == 100L && r.getInt(1) == 0 &&
+      r.getLong(2) == 3L && r.getBoolean(4)) // 3 of 3 votes from cluster 0
+  }
+
   test("knnGraph: known answers within blocks, k bound, no self/cross-block edges") {
     import spark.implicits._
     val vecs = Seq(
