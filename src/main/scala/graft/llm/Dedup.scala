@@ -240,7 +240,12 @@ object Dedup {
       // smallest representative among each node's neighbors; the old
       // rep rides along so the convergence check reads the SAME
       // checkpointed result instead of re-joining against the
-      // previous labels (one shuffle less per iteration)
+      // previous labels (one shuffle less per iteration).
+      // (broadcast(labels) was measured here and LOST 2×: the
+      // per-iteration synchronous broadcast build costs more than the
+      // shuffle it saves on a near-dup pair graph, whose edge table is
+      // itself small — unlike PageRank, where edges outnumber nodes
+      // 30:1 and the broadcast pays for itself)
       val nbMin = und.join(labels, und("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("rep")).as("nb_rep"))
       // (pointer doubling — rep ← rep(rep) per round — was measured

@@ -58,15 +58,14 @@ object PageRank {
       .select(col("id"), col("init").as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      // The rank table is |nodes|-sized while the probe side is
-      // |edges|-sized — broadcast it so no iteration re-shuffles the
-      // edge table (localCheckpoint hides size stats from AQE, which
-      // would otherwise sort-merge). The contrib groupBy then
-      // collapses map-side to |dst nodes| rows per partition. At
-      // billion-node scale drop the hint (rank table outgrows the
-      // driver) and pre-bucket eDeg by src instead — GraphX's
-      // vertex-replication trade, made explicit.
-      val contrib = eDeg.join(broadcast(r), eDeg("src") === r("id"))
+      // Shuffle join on src each iteration. broadcast(r) was measured
+      // here and was a wash at 30:1 edges:nodes (the per-iteration
+      // synchronous broadcast build eats what the saved exchange
+      // gains — same finding as connectedComponents, where it LOST
+      // 2×), so the scale-robust default wins: no driver-size
+      // assumption on the rank table. The contrib groupBy collapses
+      // map-side to |dst nodes| rows per partition either way.
+      val contrib = eDeg.join(r, eDeg("src") === r("id"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       r = nodes.crossJoin(broadcast(c0))
