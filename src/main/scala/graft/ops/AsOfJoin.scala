@@ -28,22 +28,55 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Reference-shaped join + row_number dedup.
+  /** Reference-shaped join + row_number dedup (backward direction).
     *
     * @param leftKeys  columns uniquely identifying a left row (used to
     *                  partition the dedup window)
     */
   def joined(left: DataFrame, right: DataFrame, key: String,
              leftTs: String, rightTs: String, lookback: Column,
-             leftKeys: Seq[String]): DataFrame = {
+             leftKeys: Seq[String]): DataFrame =
+    directional(left, right, key, leftTs, rightTs, lookback, leftKeys, "backward")
+
+  /** All three pandas-`merge_asof` directions on the join+rank shape:
+    *
+    * - `backward` — most recent right row in `[t − tol, t]` (the
+    *   reference's semantics; [[joined]] delegates here)
+    * - `forward`  — earliest right row in `[t, t + tol]`
+    * - `nearest`  — right row minimizing |rt − t| within `[t − tol,
+    *   t + tol]`; equidistant ties break to the EARLIER right row
+    *   (deterministic, restated in oracles via the same integer-µs
+    *   distance)
+    *
+    * Right timestamps must be unique per key (the shared determinism
+    * contract of every rank-1 dedup in this engine).
+    */
+  def directional(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, tolerance: Column,
+                  leftKeys: Seq[String], direction: String): DataFrame = {
     val l = left.as("l")
     val r = right.as("r")
-    val cond = col(s"l.$key") === col(s"r.$key") &&
-      col(s"r.$rightTs") <= col(s"l.$leftTs") &&
-      col(s"r.$rightTs") >= col(s"l.$leftTs") - lookback
+    val lt = col(s"l.$leftTs")
+    val rt = col(s"r.$rightTs")
+    val keyEq = col(s"l.$key") === col(s"r.$key")
+    val (cond, order) = direction match {
+      case "backward" =>
+        (keyEq && rt <= lt && rt >= lt - tolerance,
+          Seq(rt.desc_nulls_last))
+      case "forward" =>
+        (keyEq && rt >= lt && rt <= lt + tolerance,
+          Seq(rt.asc_nulls_last))
+      case "nearest" =>
+        (keyEq && rt >= lt - tolerance && rt <= lt + tolerance,
+          Seq(abs(unix_micros(rt) - unix_micros(lt)).asc_nulls_last,
+            rt.asc_nulls_last))
+      case other =>
+        throw new IllegalArgumentException(
+          s"direction must be backward|forward|nearest, got $other")
+    }
     val w = Window
       .partitionBy(leftKeys.map(k => col(s"l.$k")): _*)
-      .orderBy(col(s"r.$rightTs").desc_nulls_last)
+      .orderBy(order: _*)
     l.join(r, cond, "left")
       .withColumn("row_num", row_number().over(w))
       .filter(col("row_num") === 1)

@@ -134,5 +134,55 @@ object IndicatorQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder)
+  /** Daily TWAP per instrument over IRREGULAR ticks: each price is
+    * weighted by how long it was the live price (µs until the next
+    * tick that day; each day's last tick has no forward interval and
+    * drops out — the standard open-interval convention). Exact:
+    * weights are integer microseconds, price·weight sums are DECIMAL;
+    * only the final ratio is DOUBLE. One lead-window scan + one
+    * groupBy, both on the same key.
+    */
+  val twapDaily: Q = Q(
+    "twap_daily",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val ticks = events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("dt_us",
+          lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+      val p = col("value").cast(DecimalType(12, 4))
+      val dt = col("dt_us").cast(DecimalType(18, 0))
+      ticks.groupBy("user_id", "day")
+        .agg(
+          (sum(p * dt).cast("double") / sum(dt).cast("double")).as("twap"),
+          sum(dt).cast("double").as("covered_us"),
+          count(lit(1)).as("n_intervals"))
+    },
+    Some(s"""
+      WITH $evCte,
+      d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                        ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dt_us
+        FROM ev),
+      f AS (SELECT user_id, day,
+                   CAST(value AS DECIMAL(19,4)) AS p,
+                   CAST(dt_us AS DECIMAL(19,0)) AS dt
+            FROM d WHERE dt_us IS NOT NULL)
+      SELECT user_id, day,
+             CAST(CAST(sum(p * dt) AS VARCHAR) AS DOUBLE)
+               / CAST(sum(dt) AS DOUBLE) AS twap,
+             CAST(sum(dt) AS DOUBLE) AS covered_us,
+             count(*) AS n_intervals
+      FROM f GROUP BY 1, 2
+    """)
+  )
+
+  val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
+    twapDaily)
 }

@@ -247,6 +247,96 @@ object MarketQueries {
     * the latest click event within a 3-day lookback (left outer —
     * bars with no click in range keep nulls).
     */
+  /** The (bars, clicks) pair every as-of variant joins: purchase
+    * dollar-bars as the left/sparse side, clicks as the right/dense
+    * side (reference roles).
+    */
+  private def barsAndClicks(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("value").cast(DecimalType(20, 4)).as("notional"))
+    val bars = DollarBars
+      .bars(purchases, "user_id", "ts", "value", "notional", BarSize)
+      .select("user_id", "bar_num", "close", "end_ts")
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    (bars, clicks)
+  }
+
+  /** Oracle CTEs shared by the as-of direction variants. */
+  private val asofCtes = """
+      WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      t AS (
+        SELECT user_id, ts, value,
+               CAST(sum(CAST(value AS DECIMAL(20,4)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS cumsum
+        FROM p),
+      b AS (SELECT *, CAST(floor(cumsum / 500.0) AS INT) AS bar_num FROM t),
+      bars AS (
+        SELECT user_id, bar_num, arg_max(value, ts) AS close, max(ts) AS end_ts
+        FROM b GROUP BY 1, 2),
+      c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')"""
+
+  /** Forward as-of: the EARLIEST click within 3 days AFTER each bar
+    * close — the "next event after" join (pandas merge_asof
+    * direction='forward'); same join+WindowGroupLimit shape as the
+    * backward form, rank ascending.
+    */
+  val asofJoinForward: Q = Q(
+    "asof_join_forward",
+    (s, dir) => {
+      val (bars, clicks) = barsAndClicks(s, dir)
+      graft.ops.AsOfJoin.directional(bars, clicks, "user_id", "end_ts", "click_ts",
+        expr("INTERVAL 3 DAYS"), Seq("user_id", "bar_num"), "forward")
+        .select(col("user_id"), col("bar_num"), col("close"), col("end_ts"),
+          col("click_ts").as("next_click_ts"), col("click_value").as("next_click_value"))
+    },
+    Some(s"""
+      $asofCtes
+      SELECT bars.user_id, bars.bar_num, bars.close, bars.end_ts,
+             c.ts AS next_click_ts, c.value AS next_click_value
+      FROM bars LEFT JOIN c
+        ON bars.user_id = c.user_id
+       AND c.ts >= bars.end_ts
+       AND c.ts <= bars.end_ts + INTERVAL 3 DAY
+      QUALIFY row_number() OVER (PARTITION BY bars.user_id, bars.bar_num
+                                 ORDER BY c.ts ASC NULLS LAST) = 1
+    """)
+  )
+
+  /** Nearest as-of: the click minimizing |click − bar close| within
+    * ±3 days (direction='nearest'); the distance ranks in exact
+    * integer microseconds, equidistant ties to the earlier click —
+    * deterministic on both engines.
+    */
+  val asofJoinNearest: Q = Q(
+    "asof_join_nearest",
+    (s, dir) => {
+      val (bars, clicks) = barsAndClicks(s, dir)
+      graft.ops.AsOfJoin.directional(bars, clicks, "user_id", "end_ts", "click_ts",
+        expr("INTERVAL 3 DAYS"), Seq("user_id", "bar_num"), "nearest")
+        .select(col("user_id"), col("bar_num"), col("close"), col("end_ts"),
+          col("click_ts").as("near_click_ts"), col("click_value").as("near_click_value"))
+    },
+    Some(s"""
+      $asofCtes
+      SELECT bars.user_id, bars.bar_num, bars.close, bars.end_ts,
+             c.ts AS near_click_ts, c.value AS near_click_value
+      FROM bars LEFT JOIN c
+        ON bars.user_id = c.user_id
+       AND c.ts >= bars.end_ts - INTERVAL 3 DAY
+       AND c.ts <= bars.end_ts + INTERVAL 3 DAY
+      QUALIFY row_number() OVER (PARTITION BY bars.user_id, bars.bar_num
+                                 ORDER BY abs(epoch_us(c.ts) - epoch_us(bars.end_ts)) ASC NULLS LAST,
+                                          c.ts ASC NULLS LAST) = 1
+    """)
+  )
+
   val asofJoin: Q = Q(
     "asof_join",
     (s, dir) => {
@@ -625,7 +715,7 @@ object MarketQueries {
 
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
     candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled, asofJoin,
-    asofJoinScalable, asofJoinNative, ewmaLast, ewmaAdjusted, ewmaRowwise,
-    ofiFlow, ofiBook, rangePairs, distinctUsers, latestPerKey, eventEnrich,
-    envelopeRoundtrip)
+    asofJoinScalable, asofJoinNative, asofJoinForward, asofJoinNearest,
+    ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook, rangePairs,
+    distinctUsers, latestPerKey, eventEnrich, envelopeRoundtrip)
 }

@@ -39,4 +39,37 @@ class AsOfJoinSpec extends SparkSpec {
       .select("user_id", "ts", "event_id", "click_ts", "click_value")
     assert(a.collect().toSeq === b.collect().toSeq)
   }
+
+  test("directional: forward/nearest known answers") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 12:00:00"), 100L))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, t("2024-01-01 11:59:00"), "before_1m"),
+      (1L, t("2024-01-01 12:03:00"), "after_3m"),
+      (1L, t("2024-01-01 12:10:00"), "after_10m")
+    ).toDF("k", "rts", "tag")
+    def run(dir: String) = AsOfJoin.directional(left, right, "k", "ts", "rts",
+      expr("INTERVAL 5 MINUTES"), Seq("k", "lid"), dir)
+      .select("tag").head().getString(0)
+    assert(run("backward") === "before_1m") // only one at/before t
+    assert(run("forward") === "after_3m")   // earliest at/after t within 5m
+    assert(run("nearest") === "before_1m")  // 1m beats 3m
+
+    // equidistant tie -> earlier right row
+    val tie = Seq(
+      (1L, t("2024-01-01 11:58:00"), "before_2m"),
+      (1L, t("2024-01-01 12:02:00"), "after_2m")
+    ).toDF("k", "rts", "tag")
+    val near = AsOfJoin.directional(left, tie, "k", "ts", "rts",
+      expr("INTERVAL 5 MINUTES"), Seq("k", "lid"), "nearest")
+      .select("tag").head().getString(0)
+    assert(near === "before_2m")
+
+    // out-of-tolerance on the forward side -> null match
+    val far = AsOfJoin.directional(left, right.filter(col("tag") === "after_10m"),
+      "k", "ts", "rts", expr("INTERVAL 5 MINUTES"), Seq("k", "lid"), "forward")
+    assert(far.filter(col("tag").isNull).count() === 1)
+  }
 }
