@@ -62,14 +62,23 @@ object Indicators {
     val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
       .rowsBetween(-(n - 1), Window.currentRow)
     val v = col(valueCol).cast(DecimalType(12, 4))
-    val cD = count(lit(1)).over(w).cast("double")
-    val sD = sum(v).over(w).cast("double")
-    val s2D = sum(v * v).over(w).cast("double")
-    val mid = sD / cD
-    val sd = sqrt(greatest(s2D - sD * sD / cD, lit(0.0)) / cD)
-    df.withColumn("mid", mid)
+    // materialize the three moment sums in ONE select (= one Window
+    // node), derive the bands in a plain projection. Chained
+    // withColumns each wrap Project(Window(...)), and the interposed
+    // Projects keep CollapseWindow from merging them — the plan ends
+    // up re-sorting and re-scanning the frame once per column (caught
+    // by PlanSpec's one-Window contract).
+    val d = df.select(df.columns.map(col) ++ Seq(
+      count(lit(1)).over(w).cast("double").as("__c"),
+      sum(v).over(w).cast("double").as("__s"),
+      sum(v * v).over(w).cast("double").as("__s2")): _*)
+    val mid = col("__s") / col("__c")
+    val sd = sqrt(greatest(col("__s2") - col("__s") * col("__s") / col("__c"),
+      lit(0.0)) / col("__c"))
+    d.withColumn("mid", mid)
       .withColumn("upper", mid + lit(k) * sd)
       .withColumn("lower", mid - lit(k) * sd)
+      .drop("__c", "__s", "__s2")
   }
 
   /** Running-peak drawdown per key: peak = running max of `valueCol`,

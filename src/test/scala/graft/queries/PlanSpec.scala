@@ -54,4 +54,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"banned-gram join must broadcast:\n$plan")
   }
+
+  test("feature_scale/winsorize_values: stats broadcast onto an unshuffled fact scan") {
+    Seq("feature_scale", "winsorize_values").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name bounds table must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name fact side must not shuffle for the join:\n$plan")
+    }
+  }
+
+  /** Shuffle-exchange count (excludes BroadcastExchange). */
+  private def shuffles(plan: String): Int =
+    "(?m)[+:]- Exchange ".r.findAllIn(plan).length
+
+  test("vwap_daily: single partial+final aggregate, filter-free pruned scan") {
+    val df = Registry.byName("vwap_daily").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    // one shuffle total: the groupBy exchange
+    assert(shuffles(plan) == 1,
+      s"vwap must be one partial-aggregated groupBy:\n$plan")
+    assert(plan.contains("partial_sum"), s"map-side combine missing:\n$plan")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_returnflag") && scan.contains("l_shipdate") &&
+      !scan.contains("l_orderkey"), s"scan not pruned: $scan")
+  }
+
+  test("bollinger_bands/drawdown_series: ONE key shuffle, ONE Window node") {
+    Seq("bollinger_bands", "drawdown_series").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(shuffles(plan) == 1,
+        s"$name must shuffle once (the series key):\n$plan")
+      // a second Window node means the moment sums are being computed
+      // twice (the withColumn-inlining trap — see Indicators.bollinger)
+      assert("(?m)[+:]- Window ".r.findAllIn(plan).length == 1,
+        s"$name must evaluate its window functions in one pass:\n$plan")
+    }
+  }
 }
