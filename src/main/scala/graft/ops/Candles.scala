@@ -140,7 +140,10 @@ object Candles {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(bucketCol)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    fillCols.foldLeft(joined)((d, c) =>
-      d.withColumn(s"${c}_ff", last(col(c), ignoreNulls = true).over(w)))
+    // all fills in ONE select = one Window node; a withColumn per fill
+    // column would plan one Window (sort + frame scan) each — the
+    // CollapseWindow-blocked-by-Project trap (see Indicators.bollinger)
+    joined.select(joined.columns.map(col) ++ fillCols.map(c =>
+      last(col(c), ignoreNulls = true).over(w).as(s"${c}_ff")): _*)
   }
 }
