@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Redact, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, Redact, Similarity, Sparse, TextStats}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup family, similarity search, text analysis, multimodal
@@ -747,9 +747,66 @@ object LlmQueries {
     """)
   )
 
+  /** Oracle CTE: sparse (id, term_hash, tf) rows over documents —
+    * TextHash.h32 term hashing, tokenTopK tokenization convention.
+    */
+  private val sparseTfCte = """
+      t AS (
+        SELECT doc_id AS id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT AS term,
+               count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents)
+        GROUP BY 1, 2)"""
+
+  /** Feature hashing (hashing trick): vocabulary folded into 64
+    * buckets, sparse (id, bucket, tf) output — a fixed-width text
+    * embedding with zero model dependencies, map-side + one groupBy.
+    */
+  val hashedTfQ: Q = Q(
+    "hashed_tf",
+    (s, dir) => Sparse.hashedTf(Tables.documents(s, dir), "doc_id", "text", dim = 64),
+    Some(s"""
+      WITH $sparseTfCte
+      SELECT id, term % 64 AS bucket, sum(tf) AS tf
+      FROM t GROUP BY 1, 2
+    """)
+  )
+
+  /** Inverted-index sparse cosine join: all document pairs ≥ 0.8
+    * cosine over df-pruned tf vectors. Pair space = Σ_term df² after
+    * pruning (terms in > max(64, n_docs/10) docs dropped —
+    * corpus-relative stopword cap), never |n|²; BIGINT dots/norms,
+    * one double ratio at the edge.
+    */
+  val sparseCosineQ: Q = Q(
+    "sparse_cosine_pairs",
+    (s, dir) => Sparse.sparseCosinePairs(Tables.documents(s, dir), "doc_id", "text",
+      tau = 0.8, minDfCap = 64, dfDenom = 10),
+    Some(s"""
+      WITH $sparseTfCte,
+      p AS (SELECT id, term, tf FROM (
+              SELECT *, count(*) OVER (PARTITION BY term) AS df FROM t)
+            WHERE df <= greatest(64, (SELECT count(DISTINCT doc_id) FROM documents) // 10)),
+      n AS (SELECT id, sum(tf * tf) AS n2 FROM p GROUP BY 1),
+      d AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS dot
+            FROM p a JOIN p b ON a.term = b.term AND a.id < b.id
+            GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+      FROM d
+      JOIN (SELECT id AS id_a, n2 AS n2a FROM n) USING (id_a)
+      JOIN (SELECT id AS id_b, n2 AS n2b FROM n) USING (id_b)
+      WHERE CAST(dot AS DOUBLE)
+              / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.8
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
     dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
     embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
     multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ, knnGraphQ,
-    hardNegativesQ, knnClassifyQ)
+    hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ)
 }
