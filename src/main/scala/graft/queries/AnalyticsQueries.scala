@@ -382,7 +382,62 @@ object AnalyticsQueries {
     """)
   )
 
+  /** Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) over
+    * the purchase/error user multisets — multiplicity-preserving
+    * complements of `user_set_ops`' distinct forms: a user with 3
+    * purchases and 1 error keeps 2 `purchase_minus_error` rows and 1
+    * `both` row. Spark plans these as aggregate count-difference
+    * replication, not joins — no distinct collapse.
+    */
+  val userBagOps: Q = Q(
+    "user_bag_ops",
+    (s, dir) => {
+      val ev = events(s, dir)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select("user_id")
+      val p = users("purchase")
+      val e = users("error")
+      p.exceptAll(e).withColumn("op", lit("purchase_minus_error"))
+        .unionByName(p.intersectAll(e).withColumn("op", lit("both")))
+        .select("op", "user_id")
+    },
+    Some("""
+      SELECT 'purchase_minus_error' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'error')
+      UNION ALL
+      SELECT 'both' AS op, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'error')
+    """)
+  )
+
+  /** Unpivot (melt) — the inverse of `pivot_daily`'s reshape: the
+    * three lineitem measure columns become (metric, value) rows. One
+    * Expand node, scan-speed, zero shuffle (the Generate/Expand
+    * analogue of the pivot's conditional aggregation).
+    */
+  val meltMetrics: Q = Q(
+    "melt_metrics",
+    (s, dir) => Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
-    corrFeatures, cubeStats, supplierPagerank)
+    corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics)
 }
