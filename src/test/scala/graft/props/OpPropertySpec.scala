@@ -117,4 +117,100 @@ class OpPropertySpec extends SparkSpec {
       assert(merged === direct, s"seed=$seed")
     }
   }
+
+  private val valuesGen: Gen[List[Double]] = for {
+    n <- Gen.choose(5, 80)
+    vs <- Gen.listOfN(n, Gen.choose(-1000.0, 1000.0))
+  } yield vs
+
+  test("winsorize: row-preserving, idempotent, outputs inside the envelope (5 seeds)") {
+    import spark.implicits._
+    import graft.ops.Quantiles
+    (1L to 5L).foreach { seed =>
+      val vs = sample(valuesGen, seed)
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+        .toDF("k", "id", "v")
+      val once = Quantiles.winsorize(df, "k", "v", "id", 10, 90)
+      assert(once.count() === vs.length.toLong, s"seed=$seed row loss")
+      val rows = once.select("v_wins", "lo", "hi").collect()
+      assert(rows.forall(r => r.getDouble(0) >= r.getDouble(1) &&
+        r.getDouble(0) <= r.getDouble(2)), s"seed=$seed outside envelope")
+      // idempotence: clipping the clipped column with the same bounds
+      // changes nothing (quantiles of the clipped data can only move
+      // inward, and every value already sits inside the fences)
+      val twice = Quantiles.winsorize(
+        once.select(col("k"), col("id"), col("v_wins").as("v")), "k", "v", "id", 10, 90)
+      assert(twice.filter(col("v_wins") =!= col("v")).count() === 0L, s"seed=$seed")
+    }
+  }
+
+  test("vwap lies within [min, max] price of its group (5 seeds)") {
+    import spark.implicits._
+    import graft.ops.Indicators
+    (1L to 5L).foreach { seed =>
+      val vs = sample(valuesGen, seed)
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("g" + (i % 3), math.abs(v), 1.0 + (i % 7)) // price >= 0, qty > 0
+      }.toDF("k", "p", "q")
+      val bounds = df.groupBy("k")
+        .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+      val out = Indicators.vwap(df, Seq("k"), "p", "q").join(bounds, "k")
+      val bad = out.filter(col("vwap") < col("mn") - lit(1e-9) ||
+        col("vwap") > col("mx") + lit(1e-9))
+      assert(bad.count() === 0L, s"seed=$seed")
+    }
+  }
+
+  test("pagerank: mass bounded, every node >= teleport floor, reruns bit-identical (3 seeds)") {
+    import spark.implicits._
+    import graft.ops.PageRank
+    (1L to 3L).foreach { seed =>
+      val edges = sample(Gen.listOfN(25,
+        Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L))), seed)
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("s", "d")
+        val out = PageRank.ranks(df, "s", "d", iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val n = out.length
+        val floor = 15L * (PageRank.FP / n) / 100
+        assert(out.forall(_._2 >= floor), s"seed=$seed below teleport floor")
+        // truncating integer division only LOSES mass: total <= FP
+        assert(out.map(_._2).sum <= PageRank.FP, s"seed=$seed mass created")
+        val again = PageRank.ranks(df, "s", "d", iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        assert(out.toMap === again.toMap, s"seed=$seed nondeterministic")
+      }
+    }
+  }
+
+  test("asof nearest: |match distance| <= both backward and forward distances (3 seeds)") {
+    import spark.implicits._
+    import graft.ops.AsOfJoin
+    (1L to 3L).foreach { seed =>
+      val ts = sample(eventsGen, seed)
+      val left = ts.take(10).map { case (i, t) =>
+        (1L, new java.sql.Timestamp(t / 1000), i)
+      }.toDF("k", "ts", "lid")
+      val right = ts.drop(10).map { case (i, t) =>
+        (1L, new java.sql.Timestamp(t / 1000), i)
+      }.toDF("k", "rts", "rid")
+      if (right.count() > 0) {
+        def dist(dir: String) = AsOfJoin.directional(left, right, "k", "ts", "rts",
+            expr("INTERVAL 2 HOURS"), Seq("k", "lid"), dir)
+          .select(col("lid"),
+            abs(unix_micros(col("rts")) - unix_micros(col("ts"))).as("d"))
+          .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+        val near = dist("nearest")
+        val back = dist("backward")
+        val fwd = dist("forward")
+        near.foreach { case (lid, nd) =>
+          Seq(back(lid), fwd(lid)).flatten.foreach { other =>
+            assert(nd.exists(_ <= other), s"seed=$seed lid=$lid nearest $nd > $other")
+          }
+        }
+      }
+    }
+  }
 }
