@@ -237,26 +237,30 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // smallest representative among each node's neighbors; the old
-      // rep rides along so the convergence check reads the SAME
-      // checkpointed result instead of re-joining against the
-      // previous labels (one shuffle less per iteration).
+      // propagate-union-aggregate round: each node's new rep is the
+      // min over {own rep} ∪ {neighbor reps}, computed as ONE join
+      // (reps onto edges by dst) + ONE keyed aggregate over the union
+      // — the old three-wide-op form (neighbor groupBy THEN a second
+      // join back onto labels) was measured and loses ~1 shuffle per
+      // iteration. The own-rep rows ride through the same aggregate
+      // tagged __old, so the convergence check (min < old rep) reads
+      // the SAME checkpointed result; no extra join.
       // (broadcast(labels) was measured here and LOST 2×: the
       // per-iteration synchronous broadcast build costs more than the
       // shuffle it saves on a near-dup pair graph, whose edge table is
       // itself small — unlike PageRank, where edges outnumber nodes
-      // 30:1 and the broadcast pays for itself)
-      val nbMin = und.join(labels, und("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("rep")).as("nb_rep"))
-      // (pointer doubling — rep ← rep(rep) per round — was measured
-      // here and LOST: the extra self-join materialization costs more
-      // than the O(diameter) → O(log d) iteration savings at every
-      // tested scale; the single-checkpoint round is the fast shape)
-      val step = labels.join(nbMin, labels("id") === nbMin("src"), "left")
-        .select(col("id"), col("rep").as("old_rep"),
-          least(col("rep"), coalesce(col("nb_rep"), col("rep"))).as("rep"))
+      // 30:1. Pointer doubling — rep ← rep(rep) per round — also
+      // LOST: extra self-join materialization beats the O(diameter) →
+      // O(log d) savings at every tested scale.)
+      val prop = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("rep"), lit(0).as("__old"))
+      val step = labels.select(col("id"), col("rep"), lit(1).as("__old"))
+        .unionByName(prop)
+        .groupBy("id")
+        .agg(min(col("rep")).as("rep"),
+          min(when(col("__old") === 1, col("rep"))).as("old_rep"))
         .localCheckpoint()
-      val changed = step.filter(col("rep") =!= col("old_rep")).count()
+      val changed = step.filter(col("rep") < col("old_rep")).count()
       labels = step.select("id", "rep")
       converged = changed == 0
       i += 1
