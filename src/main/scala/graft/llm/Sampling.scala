@@ -28,6 +28,18 @@ object Sampling {
   def u01(key: Column, salt: String): Column =
     h32(concat_ws(":", lit(salt), key.cast("string"))) / 4294967296.0
 
+  /** Per-row weighted Bernoulli sample: keep a row iff its uniform
+    * deviate < its OWN inclusion probability (clamped to [0, 1]) —
+    * quality-weighted subsampling (keep good documents with
+    * probability ∝ quality, CCNet-style) as a pure map-side filter:
+    * deterministic (md5 deviate), reproducible under retries, no
+    * shuffle, and adding rows never reconsiders existing ones.
+    */
+  def weightedSample(df: DataFrame, idCol: String, probCol: Column,
+                     salt: String = "wsample"): DataFrame =
+    df.filter(u01(col(idCol), salt) <
+      greatest(lit(0.0), least(probCol, lit(1.0))))
+
   /** Assign each row a split label from cumulative weight ranges over
     * the deviate: weights (train 0.8, val 0.1, test 0.1) map to
     * [0, .8) → train, [.8, .9) → val, [.9, 1) → test. Pure map-side

@@ -393,7 +393,48 @@ object CurationQueries {
     """)
   )
 
+  /** Quality-weighted Bernoulli subsample: each document survives with
+    * probability = its quality score (md5 deviate < score) — the
+    * CCNet-style "keep good data more often" stage, as a
+    * deterministic map-side filter (no shuffle, retry-stable).
+    */
+  val qualityWeightedSample: Q = Q(
+    "quality_weighted_sample",
+    (s, dir) => Sampling.weightedSample(
+      TextStats.withQuality(Tables.documents(s, dir), "text"),
+      "doc_id", col("quality_score"), salt = "qws")
+      .select("doc_id", "lang", "quality_score"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id, lang, toks,
+               length(text) AS len0,
+               string_split_regex(trim(text), '\s+') AS ws,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+               len(list_intersect(toks, ['the','a','of','and','to','is','in'])) AS stop_hits
+        FROM t),
+      f2 AS (
+        SELECT doc_id, lang, len0, len(ws) AS n_words,
+               list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS sum_word_len,
+               digits, stop_hits, len(toks) AS n_distinct
+        FROM f),
+      q AS (
+        SELECT doc_id, lang,
+               0.4 * (stop_hits::DOUBLE / n_distinct)
+                 + 0.3 * (1.0 - digits::DOUBLE / len0)
+                 + 0.3 * least(sum_word_len::DOUBLE / n_words / 8.0, 1.0) AS quality_score
+        FROM f2)
+      SELECT doc_id, lang, quality_score
+      FROM q
+      WHERE ('0x' || substr(md5('qws:' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+            < greatest(0.0::DOUBLE, least(quality_score, 1.0::DOUBLE))
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, repetitionStats, docChunks,
-    packSequences, tfidfTopTerms, dupNgramPairs)
+    packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample)
 }

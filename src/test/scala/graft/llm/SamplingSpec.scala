@@ -90,4 +90,21 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("weightedSample: p=0 keeps none, p>=1 keeps all, monotone in p, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 400L).map(i => (i, (i % 10) / 10.0)).toDF("id", "p")
+    assert(Sampling.weightedSample(df, "id", lit(0.0)).count() === 0L)
+    assert(Sampling.weightedSample(df, "id", lit(1.0)).count() === 400L)
+    assert(Sampling.weightedSample(df, "id", lit(7.0)).count() === 400L) // clamped
+    val lo = Sampling.weightedSample(df, "id", col("p"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.weightedSample(df, "id", col("p") + 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi)) // raising every probability only ADDS rows
+    val again = Sampling.weightedSample(df.repartition(7), "id", col("p"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === lo) // partitioning-independent
+  }
 }
