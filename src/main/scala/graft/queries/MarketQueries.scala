@@ -713,9 +713,52 @@ object MarketQueries {
     """)
   )
 
+  /** Best-book microstructure features over the ofi_book fixture:
+    * spread, mid, size-weighted microprice, and book imbalance — the
+    * standard per-quote feature map next to OFI. Pure row-local
+    * arithmetic (scan-speed, zero shuffle); the imbalance denominator
+    * is structurally nonzero here (sizes sum to 100 by construction),
+    * and a real feed would guard it the drawdown_pct way.
+    */
+  val bookFeatures: Q = Q(
+    "book_features",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val k = withK(ev).cast("double")
+      ev.select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("value").as("bid_price"), k.as("bid_size"),
+        (lit(200.0) - col("value")).as("ask_price"),
+        (lit(100.0) - k).as("ask_size"))
+        .withColumn("spread", col("ask_price") - col("bid_price"))
+        .withColumn("mid", (col("ask_price") + col("bid_price")) / 2.0)
+        .withColumn("microprice",
+          (col("bid_size") * col("ask_price") + col("ask_size") * col("bid_price"))
+            / (col("bid_size") + col("ask_size")))
+        .withColumn("imbalance",
+          (col("bid_size") - col("ask_size")) / (col("bid_size") + col("ask_size")))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               value AS bid_price,
+               CAST(CAST(props->>'k' AS INT) AS DOUBLE) AS bid_size,
+               200.0::DOUBLE - value AS ask_price,
+               100.0::DOUBLE - CAST(CAST(props->>'k' AS INT) AS DOUBLE) AS ask_size
+        FROM events)
+      SELECT event_id, user_id, ts, bid_price, bid_size, ask_price, ask_size,
+             ask_price - bid_price AS spread,
+             (ask_price + bid_price) / 2.0::DOUBLE AS mid,
+             (bid_size * ask_price + ask_size * bid_price)
+               / (bid_size + ask_size) AS microprice,
+             (bid_size - ask_size) / (bid_size + ask_size) AS imbalance
+      FROM e
+    """)
+  )
+
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
     candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled, asofJoin,
     asofJoinScalable, asofJoinNative, asofJoinForward, asofJoinNearest,
-    ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook, rangePairs,
-    distinctUsers, latestPerKey, eventEnrich, envelopeRoundtrip)
+    ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook, bookFeatures,
+    rangePairs, distinctUsers, latestPerKey, eventEnrich, envelopeRoundtrip)
 }
