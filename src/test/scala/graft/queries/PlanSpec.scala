@@ -82,6 +82,21 @@ class PlanSpec extends SparkSpec {
       !scan.contains("l_orderkey"), s"scan not pruned: $scan")
   }
 
+  test("book_features: pure row-local projection — zero shuffles") {
+    val df = Registry.byName("book_features").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0, s"feature map must not shuffle:\n$plan")
+  }
+
+  test("twap_daily: lead window and groupBy share one key partitioning") {
+    val df = Registry.byName("twap_daily").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    // window shuffles on (user, day); the groupBy on the same key
+    // must NOT add a second exchange (hash(user, day) satisfies it)
+    assert(shuffles(plan) == 1,
+      s"twap must reuse the window's partitioning for the groupBy:\n$plan")
+  }
+
   test("bollinger_bands/drawdown_series: ONE key shuffle, ONE Window node") {
     Seq("bollinger_bands", "drawdown_series").foreach { name =>
       val df = Registry.byName(name).fn(spark, sf("sf0.01"))
