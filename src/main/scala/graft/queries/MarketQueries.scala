@@ -756,9 +756,57 @@ object MarketQueries {
     """)
   )
 
+  /** OHLC re-aggregation: hourly candles computed FROM minutely
+    * candles — the mergeability property candle stores depend on
+    * (store fine buckets once, serve any coarser granularity by
+    * re-aggregation instead of rescanning ticks). The oracle computes
+    * the hour DIRECTLY from raw events, so a hash match PROVES the
+    * two-level rollup is lossless: open/close via min_by/max_by on
+    * the carried first/last event times, high/low as max/min of
+    * maxes/mins, volumes as exact decimal sums (associative ⇒
+    * regroupable).
+    */
+  val candlesReagg: Q = Q(
+    "candles_reagg",
+    (s, dir) => {
+      val minutely = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("mnt"))
+        .agg(
+          min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("close"),
+          sum(col("value").cast(DecimalType(20, 4))).as("vol_dec"),
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+      minutely
+        .groupBy(col("user_id"), date_trunc("hour", col("mnt")).as("hour"))
+        .agg(
+          min_by(col("open"), col("first_ts")).as("open"),
+          max(col("high")).as("high"),
+          min(col("low")).as("low"),
+          max_by(col("close"), col("last_ts")).as("close"),
+          sum(col("vol_dec")).cast("double").as("volume"),
+          sum(col("n_events")).as("n_events"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             arg_min(value, ts) AS open,
+             max(value) AS high,
+             min(value) AS low,
+             arg_max(value, ts) AS close,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS volume,
+             count(*) AS n_events
+      FROM ev GROUP BY 1, 2
+    """)
+  )
+
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
-    candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled, asofJoin,
-    asofJoinScalable, asofJoinNative, asofJoinForward, asofJoinNearest,
-    ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook, bookFeatures,
-    rangePairs, distinctUsers, latestPerKey, eventEnrich, envelopeRoundtrip)
+    candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled,
+    candlesReagg, asofJoin, asofJoinScalable, asofJoinNative, asofJoinForward,
+    asofJoinNearest, ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook,
+    bookFeatures, rangePairs, distinctUsers, latestPerKey, eventEnrich,
+    envelopeRoundtrip)
 }
