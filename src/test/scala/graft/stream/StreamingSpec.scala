@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode: re-emits a window as late-but-in-watermark rows refine it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, String, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "k", "side", "v").withWatermark("ts", "1 hour")
+    val agg = Candles.tumbling(sdf, "ts", "k", "v", "side", "ASK", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("candles_update")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq((t("2024-01-01 00:00:01"), "a", "ASK", 10.0)))
+      q.processAllAvailable()
+      // append mode would emit nothing yet (watermark hasn't closed the
+      // window); update mode already emitted the provisional candle
+      val first = spark.table("candles_update").collect()
+      assert(first.length == 1 && first(0).getAs[Double]("high") == 10.0)
+      // a second in-window row REFINES the same window: update emits a
+      // second (newer) row for the identical window key
+      mem.addData(Seq((t("2024-01-01 00:00:05"), "a", "ASK", 14.0)))
+      q.processAllAvailable()
+      val rows = spark.table("candles_update")
+        .filter(col("k") === "a").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Double]("high")).sorted.toSeq == Seq(10.0, 14.0))
+      assert(rows.map(_.getAs[Timestamp]("window_start")).distinct.length == 1)
+    } finally q.stop()
+  }
+
   test("stateful EWMA+OFI stream equals batch operators on ordered input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
