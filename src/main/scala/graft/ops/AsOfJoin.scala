@@ -100,7 +100,7 @@ object AsOfJoin {
     val lTagged = left
       .select(col(key), col(leftTs).as("__t"), lit(1).as("__is_left"),
         lit(null).cast(rBase.schema("__payload").dataType).as("__payload"),
-        struct(left.columns.map(col): _*).as("__lrow"))
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"))
     val rTagged = rBase
       .withColumn("__lrow", lit(null).cast(lTagged.schema("__lrow").dataType))
     val w = Window

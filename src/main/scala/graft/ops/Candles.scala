@@ -143,7 +143,7 @@ object Candles {
     // all fills in ONE select = one Window node; a withColumn per fill
     // column would plan one Window (sort + frame scan) each — the
     // CollapseWindow-blocked-by-Project trap (see Indicators.bollinger)
-    joined.select(joined.columns.map(col) ++ fillCols.map(c =>
+    joined.select(joined.columns.toIndexedSeq.map(col) ++ fillCols.map(c =>
       last(col(c), ignoreNulls = true).over(w).as(s"${c}_ff")): _*)
   }
 }

@@ -44,7 +44,7 @@ object Envelope {
 
   /** Whole row → single JSON `value` column. */
   def wrap(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Wrap selected columns only. */
   def wrap(df: DataFrame, cols: Seq[String]): DataFrame =

@@ -68,7 +68,7 @@ object Indicators {
     // Projects keep CollapseWindow from merging them — the plan ends
     // up re-sorting and re-scanning the frame once per column (caught
     // by PlanSpec's one-Window contract).
-    val d = df.select(df.columns.map(col) ++ Seq(
+    val d = df.select(df.columns.toIndexedSeq.map(col) ++ Seq(
       count(lit(1)).over(w).cast("double").as("__c"),
       sum(v).over(w).cast("double").as("__s"),
       sum(v * v).over(w).cast("double").as("__s2")): _*)

@@ -21,9 +21,9 @@ object AsOfStress {
       println(f"$tag: ${(System.nanoTime()-t0)/1e9}%.1f s ($n rows)")
     }
     // tolerance 50_000 ticks => ~500 right rows in band per left row
-    time("native ")(AsOfJoinNative.join(left.toDF, right.toDF, "k", "t", "rk", "rt", 50000L).count())
+    time("native ")(AsOfJoinNative.join(left.toDF(), right.toDF(), "k", "t", "rk", "rt", 50000L).count())
     if (!args.contains("nativeonly")) time("classic")(graft.ops.AsOfJoin.joined(
-      left.toDF, right.toDF.withColumnRenamed("rk", "k"),
+      left.toDF(), right.toDF().withColumnRenamed("rk", "k"),
       "k", "t", "rt", expr("CAST(50000 AS BIGINT)"), Seq("k", "lid")).count())
     spark.stop()
   }
