@@ -232,8 +232,14 @@ object Dedup {
     // previous result) and planning/plan-stringification goes
     // exponential long before the data does. On a cluster with
     // dynamic executors, swap for reliable `checkpoint()`.
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint()
+    // initialize at the ROUND-1 state directly: rep₀(v) = min(v, min
+    // neighbor of v) is what the first loop pass would compute from
+    // rep = id, but as a plain aggregate it needs no join and no
+    // convergence bookkeeping — one full iteration (join + checkpoint
+    // + count) cheaper on every graph
+    var labels = und.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("rep"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
