@@ -437,7 +437,36 @@ object AnalyticsQueries {
     """)
   )
 
+  /** Explicit GROUPING SETS — the third grouping-set form next to
+    * `rollup_stats` (hierarchy) and `cube_stats` (all combinations):
+    * exactly the listed groupings ((returnflag), (linestatus)), one
+    * Expand pass, no unwanted intermediate levels. NULL labels
+    * coalesced as in cube_stats for hash-stable output.
+    */
+  val groupingSetsStats: Q = Q(
+    "grouping_sets_stats",
+    (s, dir) => Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(20, 4))).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty")),
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
-    corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics)
+    corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
+    groupingSetsStats)
 }
