@@ -33,10 +33,21 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Record robustness (BENCH_r03 lost its head to a bounded tail
+    // capture): millisecond-rounded times keep the line small; logs go
+    // quiet and spark stops BEFORE the print so the JSON is the final
+    // stdout line; a file copy survives any capture truncation.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

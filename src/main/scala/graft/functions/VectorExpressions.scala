@@ -251,6 +251,49 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       mins.map(x => if (x == Long.MaxValue) null else (x: Any)))
   }
+
+  /** All LSH sign-buckets of a vector in one pass: bucket g =
+    * Σ_{p: v·plane_{g,p} > 0} 2^p over the flattened `groups×bits×dim`
+    * plane matrix. Dot products accumulate in element order (the same
+    * sequential IEEE fold as [[DotProduct]]), so buckets are
+    * bit-identical to the HOF form `aggregate(transform(...))` they
+    * replace. A ragged vector (length ≠ dim) or any NULL element makes
+    * every dot NULL in the HOF form, whose `when` then contributes 0
+    * to every bit — mirrored here by returning all-zero buckets.
+    */
+  def planeBuckets(v: ArrayData, flat: Array[Double], groups: Int,
+                   bits: Int, dim: Int): ArrayData = {
+    val out = new Array[Long](groups)
+    val n = v.numElements()
+    var degenerate = n != dim
+    var i = 0
+    while (!degenerate && i < n) {
+      if (v.isNullAt(i)) degenerate = true
+      i += 1
+    }
+    if (!degenerate) {
+      var g = 0
+      var off = 0
+      while (g < groups) {
+        var sig = 0L
+        var p = 0
+        while (p < bits) {
+          var acc = 0.0
+          var d = 0
+          while (d < dim) {
+            acc += v.getDouble(d) * flat(off + d)
+            d += 1
+          }
+          if (acc > 0) sig |= 1L << p
+          p += 1
+          off += dim
+        }
+        out(g) = sig
+        g += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `intersect_card(a, b)` — see [[VectorKernels.intersectCard]]. */
@@ -293,6 +336,76 @@ case class MinHashSig(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** `plane_buckets(vec, planes)` — all LSH sign-buckets in one fused
+  * pass ([[VectorKernels.planeBuckets]]). `planes` must be a foldable
+  * `array<array<array<double>>>` literal (groups × bits × dim); it is
+  * flattened ONCE per plan into a primitive `double[]` carried as a
+  * codegen reference object, replacing the groups×bits HOF tree whose
+  * generated code dominated `ann_lsh_topk`'s cold time
+  * (janino-compiling the nested-literal fold — NOTES_r3 item 4).
+  */
+case class PlaneBuckets(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _),
+          ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"plane_buckets expects (array<double>, foldable array<array<array<double>>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  /** (flat planes, groups, bits, dim) — evaluated once per plan. */
+  @transient private lazy val flattened: (Array[Double], Int, Int, Int) = {
+    val top = right.eval(null).asInstanceOf[ArrayData]
+    val groups = top.numElements()
+    require(groups > 0, "plane_buckets needs at least one plane group")
+    val g0 = top.getArray(0)
+    val bits = g0.numElements()
+    require(bits > 0 && bits < 64, s"bits per group must be in [1, 63], got $bits")
+    val dim = g0.getArray(0).numElements()
+    val flat = new Array[Double](groups * bits * dim)
+    var g = 0
+    while (g < groups) {
+      val ga = top.getArray(g)
+      require(ga.numElements() == bits, "ragged plane groups")
+      var p = 0
+      while (p < bits) {
+        val pa = ga.getArray(p)
+        require(pa.numElements() == dim, "ragged planes")
+        var d = 0
+        while (d < dim) {
+          flat((g * bits + p) * dim + d) = pa.getDouble(d)
+          d += 1
+        }
+        p += 1
+      }
+      g += 1
+    }
+    (flat, groups, bits, dim)
+  }
+
+  override protected def nullSafeEval(v: Any, planes: Any): Any = {
+    val (flat, groups, bits, dim) = flattened
+    VectorKernels.planeBuckets(v.asInstanceOf[ArrayData], flat, groups, bits, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (flat, groups, bits, dim) = flattened
+    val flatRef = ctx.addReferenceObj("planesFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (x, _) =>
+      s"${ev.value} = graft.functions.VectorKernels.planeBuckets(" +
+        s"$x, $flatRef, $groups, $bits, $dim);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PlaneBuckets =
+    copy(left = l, right = r)
+}
+
 /** Engine extensions — wire with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or `.withExtensions(new GraftExtensions)`.
@@ -326,6 +439,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "minhash_sig takes exactly 2 arguments")
         MinHashSig(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("plane_buckets"),
+      new ExpressionInfo(classOf[PlaneBuckets].getName, "plane_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "plane_buckets takes exactly 2 arguments")
+        PlaneBuckets(children.head, children(1))
       }))
     // whole-operator extension: native as-of join (SURVEY §7.3 (c))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)

@@ -79,6 +79,33 @@ object Multimodal {
         (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF))                 // JPEG
     }
 
+    /** Channel-mean feature vector of a decoded frame — shared by the
+      * single-image path and the GIF container demux.
+      */
+    def features(img: java.awt.image.BufferedImage): Array[Double] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xFF
+          sg += (rgb >> 8) & 0xFF
+          sb += rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val mr = sr.toDouble / (255.0 * n)
+      val mg = sg.toDouble / (255.0 * n)
+      val mb = sb.toDouble / (255.0 * n)
+      val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+      Array(mr, mg, mb, luma, w.toDouble, h.toDouble, n.toDouble, w.toDouble / h)
+    }
+
     /** Decode bytes → (width, height, features); None when imageio
       * cannot parse them (caller falls back to the stub).
       */
@@ -87,30 +114,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // memory-only, no /tmp files
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) None
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xFF
-              sg += (rgb >> 8) & 0xFF
-              sb += rgb & 0xFF
-              x += 1
-            }
-            y += 1
-          }
-          val n = w.toLong * h
-          val mr = sr.toDouble / (255.0 * n)
-          val mg = sg.toDouble / (255.0 * n)
-          val mb = sb.toDouble / (255.0 * n)
-          val luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
-          Some((w, h, Array(mr, mg, mb, luma,
-            w.toDouble, h.toDouble, n.toDouble, w.toDouble / h)))
-        }
+        else Some((img.getWidth, img.getHeight, features(img)))
       } catch { case _: Exception => None }
     }
   }
@@ -253,6 +257,11 @@ object Multimodal {
       (le16(b, i + 2) << 16) | le16(b, i)
 
     /** Walk the chunk list; decode PCM16 to mono [-1, 1] doubles.
+      * Untrusted corpus bytes reach this path, so the walk is hardened:
+      * chunk sizes are read as UNSIGNED 32-bit (a high-bit size must
+      * not turn into a negative Int that stalls or reverses `pos`),
+      * the data length is clamped to what the buffer actually holds,
+      * and the walk terminates unless the cursor strictly advances.
       * @return (sampleRate, nChannels, monoSamples); None unless
       *         format is PCM (1) at 16 bits.
       */
@@ -261,18 +270,19 @@ object Multimodal {
       var pos = 12
       var rate = 0; var channels = 0; var bits = 0; var fmtOk = false
       var data: Option[(Int, Int)] = None // (offset, len)
-      while (pos + 8 <= b.length) {
-        val id = new String(b.slice(pos, pos + 4), "US-ASCII")
-        val sz = le32(b, pos + 4)
+      while (pos >= 0 && pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val sz = le32(b, pos + 4).toLong & 0xFFFFFFFFL // unsigned
         if (id == "fmt " && pos + 24 <= b.length) {
           fmtOk = le16(b, pos + 8) == 1 // PCM
           channels = le16(b, pos + 10)
           rate = le32(b, pos + 12)
           bits = le16(b, pos + 22)
         } else if (id == "data") {
-          data = Some((pos + 8, math.min(sz, b.length - pos - 8)))
+          data = Some((pos + 8, math.min(sz, (b.length - pos - 8).toLong).toInt))
         }
-        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+        val next = pos.toLong + 8L + sz + (sz & 1L) // chunks are word-aligned
+        pos = if (next > pos && next <= Int.MaxValue) next.toInt else -1
       }
       for ((off, len) <- data if fmtOk && bits == 16 && channels >= 1) yield {
         val nFrames = len / (2 * channels)
@@ -358,15 +368,55 @@ object Multimodal {
     StructField("n_bytes", IntegerType),
     StructField("features", ArrayType(DoubleType))))
 
-  /** Video frame sampling: every `stride`-th fixed-size frame payload,
-    * feature-extracted. The DEMUX IS A STUB — a real container
-    * (mp4/mkv) needs a demuxer this environment lacks, so "frames"
-    * are fixed `frameBytes` slices; each sampled frame then goes
-    * through the usual decode path (image-magic frames decode for
-    * real, others take [[StubCodec]]). What is real and tested is the
-    * Spark contract: partition-local 1→N explosion with one frame
-    * materialized at a time, fixed output schema, sampled frames
-    * composing directly with imageHashes/Similarity downstream.
+  /** REAL container demux for the one animated format the JDK ships a
+    * multi-frame reader for: GIF (`ImageReader.getNumImages(true)` /
+    * `read(i)` — javax.imageio, zero dependencies). mp4/mkv still need
+    * an external demuxer and keep the fixed-slice stub path.
+    */
+  object GifDemux {
+    def looksLikeGif(b: Array[Byte]): Boolean =
+      b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+
+    /** Demux and decode every `stride`-th frame.
+      * @return (frameIdx, width, height, features) per sampled frame;
+      *         None when the payload is not GIF or the reader fails
+      *         (caller falls back to the stub demux).
+      */
+    def sampleFrames(bytes: Array[Byte],
+                     stride: Int): Option[Seq[(Int, Int, Int, Array[Double])]] = {
+      if (!looksLikeGif(bytes)) return None
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false, true) // allowSearch needs seekForwardOnly=false
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else Some((0 until n).filter(_ % stride == 0).map { i =>
+          val img = reader.read(i)
+          (i, img.getWidth, img.getHeight, ImageIoCodec.features(img))
+        })
+      } catch { case _: Exception => None }
+      finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
+  /** Video frame sampling: every `stride`-th frame, feature-extracted.
+    * GIF payloads demux for REAL ([[GifDemux]] — true per-frame decode
+    * through the JDK's multi-frame reader; `byte_offset` is -1 because
+    * codec-delimited frames have no fixed byte range, and `n_bytes` is
+    * the decoded frame's pixel count). Other containers (mp4/mkv) need
+    * a demuxer this environment lacks and take the STUB path: fixed
+    * `frameBytes` slices, each through the usual decode chain
+    * (image-magic slices decode for real, others [[StubCodec]]). The
+    * Spark contract is identical for both: partition-local 1→N
+    * explosion with one frame materialized at a time, fixed output
+    * schema, frames composing with imageHashes/Similarity downstream.
     */
   def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
                    frameBytes: Int, stride: Int): DataFrame = {
@@ -376,18 +426,26 @@ object Multimodal {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](bIdx)
-        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-        (0 until nFrames).iterator
-          .filter(_ % stride == 0)
-          .map { f =>
-            val off = f * frameBytes
-            val frame = java.util.Arrays.copyOfRange(bytes, off,
-              math.min(off + frameBytes, bytes.length))
-            val (_, _, feats) =
-              (if (ImageIoCodec.looksLikeImage(frame)) ImageIoCodec.decode(frame) else None)
-                .getOrElse(StubCodec.decode(frame))
-            Row(r.getLong(idIdx), f, off, frame.length, feats.toSeq)
-          }
+        val id = r.getLong(idIdx)
+        GifDemux.sampleFrames(bytes, stride) match {
+          case Some(frames) =>
+            frames.iterator.map { case (f, w, h, feats) =>
+              Row(id, f, -1, w * h, feats.toSeq)
+            }
+          case None =>
+            val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+            (0 until nFrames).iterator
+              .filter(_ % stride == 0)
+              .map { f =>
+                val off = f * frameBytes
+                val frame = java.util.Arrays.copyOfRange(bytes, off,
+                  math.min(off + frameBytes, bytes.length))
+                val (_, _, feats) =
+                  (if (ImageIoCodec.looksLikeImage(frame)) ImageIoCodec.decode(frame) else None)
+                    .getOrElse(StubCodec.decode(frame))
+                Row(id, f, off, frame.length, feats.toSeq)
+              }
+        }
       }
     }(Encoders.row(FrameSchema))
   }

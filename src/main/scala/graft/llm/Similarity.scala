@@ -153,25 +153,33 @@ object Similarity {
   }
 
   /** All group buckets at once (bit p of group g set iff
-    * v·plane_{g,p} > 0), with the planes as ONE nested-array
-    * literal instead of groups×bits×dim inline `lit` nodes: the
-    * per-element form builds a ~6k-node expression tree whose
-    * generated code takes seconds to janino-compile per session
-    * (measured 12.6 s first-run / 3.2 s warm on 16×6×64 planes; this
-    * form is 1.3 s / 0.2 s). The HOF fold preserves the exact
-    * accumulation order, so bucket values are bit-identical.
+    * v·plane_{g,p} > 0). With GraftExtensions the whole matrix runs
+    * through the fused `plane_buckets` kernel (the planes flatten ONCE
+    * into a primitive double[] reference object — no plane expression
+    * tree to janino-compile at all). Fallback: the planes as ONE
+    * nested-array literal instead of groups×bits×dim inline `lit`
+    * nodes — the per-element form builds a ~6k-node expression tree
+    * whose generated code takes seconds to compile per session
+    * (measured 12.6 s first-run / 3.2 s warm on 16×6×64 planes; the
+    * HOF-literal form is 1.3 s / 0.2 s; the native kernel removes the
+    * residual cold cost). Both preserve the exact sequential
+    * accumulation order, so bucket values are bit-identical
+    * (VectorExpressionsSpec).
     */
-  private def bucketsAll(vecCol: Column, planes: Seq[Seq[Seq[Double]]],
-                         dotFn: (Column, Column) => Column): Column = {
-    val bits = planes.head.length
-    val weights = typedLit(Seq.tabulate(bits)(1L << _))
-    transform(typedLit(planes), g =>
-      aggregate(
-        transform(g, (plane, p) =>
-          when(dotFn(vecCol, plane) > 0, element_at(weights, p + 1))
-            .otherwise(0L)),
-        lit(0L), (acc, x) => acc + x))
-  }
+  private def bucketsAll(df: DataFrame, vecCol: Column, planes: Seq[Seq[Seq[Double]]],
+                         dotFn: (Column, Column) => Column): Column =
+    if (df.sparkSession.catalog.functionExists("plane_buckets"))
+      call_function("plane_buckets", vecCol, typedLit(planes))
+    else {
+      val bits = planes.head.length
+      val weights = typedLit(Seq.tabulate(bits)(1L << _))
+      transform(typedLit(planes), g =>
+        aggregate(
+          transform(g, (plane, p) =>
+            when(dotFn(vecCol, plane) > 0, element_at(weights, p + 1))
+              .otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+    }
 
   /** Deterministic hyperplanes: seeded JVM RNG, `groups` independent
     * tables of `bitsPerGroup` planes each (multi-probe via OR of
@@ -257,7 +265,7 @@ object Similarity {
               queryPred: Column, k: Int,
               planes: Seq[Seq[Seq[Double]]]): DataFrame = {
     val base = withNorm(df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
-      .withColumn("__buckets", bucketsAll(col("v"), planes, dotAdaptive(df)))
+      .withColumn("__buckets", bucketsAll(df, col("v"), planes, dotAdaptive(df)))
     val exploded = base.select(col("id"), col("v"), col("__norm"),
       posexplode(col("__buckets")).as(Seq("grp", "bucket")))
     val q = exploded.filter(queryPred).select(col("id").as("query_id"),

@@ -23,15 +23,22 @@ object Features {
 
   /** Appends `minmax` and `zscore` (population σ) for `valCol` within
     * each `keyCol` group.
+    *
+    * Decimal headroom matches the DECIMAL(19,4) oracles: plain sums at
+    * (20,4); the squared-moment operands at (18,4) so the product is
+    * (37,8) — still exact at scale 8 ((19,4)² would cap at Spark's
+    * 38-precision limit and LOSE a scale digit). Input contract:
+    * |value| < 10¹⁴.
     */
   def scale(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
-    val v = col(valCol).cast(DecimalType(12, 4))
+    val v = col(valCol).cast(DecimalType(20, 4))
+    val vSq = col(valCol).cast(DecimalType(18, 4))
     val stats = df.groupBy(col(keyCol)).agg(
       count(lit(1)).as("__n"),
       min(col(valCol)).as("__mn"),
       max(col(valCol)).as("__mx"),
       sum(v).cast("double").as("__s"),
-      sum(v * v).cast("double").as("__s2"))
+      sum(vSq * vSq).cast("double").as("__s2"))
     val nD = col("__n").cast("double")
     val mean = col("__s") / nD
     val sd = sqrt(greatest(col("__s2") - col("__s") * col("__s") / nD, lit(0.0)) / nD)

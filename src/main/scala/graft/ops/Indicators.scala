@@ -33,14 +33,17 @@ import org.apache.spark.sql.types.DecimalType
 object Indicators {
 
   /** Volume-weighted average price per group: Σ(p·q)/Σ(q), both sums
-    * DECIMAL-exact ((12,4)×(12,4) → (25,8) products stay exact; cast
-    * to DOUBLE only for the final division). Also emits total volume
-    * and trade count.
+    * DECIMAL-exact ((18,4)×(18,4) → (37,8) products stay exact at
+    * scale 8, matching the DECIMAL(19,4) oracle's headroom — a (19,4)²
+    * product would cap at Spark's 38-precision limit and lose a scale
+    * digit; cast to DOUBLE only for the final division). Input
+    * contract: |price|, |qty| < 10¹⁴. Also emits total volume and
+    * trade count.
     */
   def vwap(df: DataFrame, keyCols: Seq[String], priceCol: String,
            qtyCol: String): DataFrame = {
-    val p = col(priceCol).cast(DecimalType(12, 4))
-    val q = col(qtyCol).cast(DecimalType(12, 4))
+    val p = col(priceCol).cast(DecimalType(18, 4))
+    val q = col(qtyCol).cast(DecimalType(18, 4))
     df.groupBy(keyCols.map(col): _*)
       .agg(
         (sum(p * q).cast("double") / sum(q).cast("double")).as("vwap"),
@@ -61,7 +64,9 @@ object Indicators {
                 valueCol: String, n: Int, k: Double): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
       .rowsBetween(-(n - 1), Window.currentRow)
-    val v = col(valueCol).cast(DecimalType(12, 4))
+    // (18,4) keeps v·v exact at scale 8 within the 38-precision cap
+    // (DECIMAL(19,4)-oracle headroom; input contract |value| < 10^14)
+    val v = col(valueCol).cast(DecimalType(18, 4))
     // materialize the three moment sums in ONE select (= one Window
     // node), derive the bands in a plain projection. Chained
     // withColumns each wrap Project(Window(...)), and the interposed

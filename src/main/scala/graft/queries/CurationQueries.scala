@@ -207,7 +207,8 @@ object CurationQueries {
         SELECT k.doc_id, k.lang, k.quality_score, k.re_tokens
         FROM kept k JOIN comp c ON c.doc_id = k.doc_id AND c.rep_id = k.doc_id),
       ranked AS (
-        SELECT *, sum(re_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS cum
+        SELECT *, CAST(sum(re_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+                       AS BIGINT) AS cum
         FROM surv)
       SELECT doc_id, lang, quality_score, re_tokens, cum::BIGINT AS cum_tokens
       FROM ranked WHERE cum <= $TokenBudget
@@ -330,7 +331,7 @@ object CurationQueries {
                len(string_split_regex(trim(text), '\s+')) AS n_tok
         FROM documents),
       c AS (SELECT doc_id, n_tok,
-                   sum(n_tok) OVER (ORDER BY doc_id) AS cum
+                   CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum
             FROM w)
       SELECT doc_id, n_tok::INT AS n_tok, cum::BIGINT AS cum_tokens,
              ((cum - n_tok) // 512)::BIGINT AS seq_id,

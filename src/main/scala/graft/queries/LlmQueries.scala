@@ -769,7 +769,7 @@ object LlmQueries {
     (s, dir) => Sparse.hashedTf(Tables.documents(s, dir), "doc_id", "text", dim = 64),
     Some(s"""
       WITH $sparseTfCte
-      SELECT id, term % 64 AS bucket, sum(tf) AS tf
+      SELECT id, term % 64 AS bucket, CAST(sum(tf) AS BIGINT) AS tf
       FROM t GROUP BY 1, 2
     """)
   )

@@ -32,8 +32,8 @@ object ScaleQueries {
                         > ${GapSec * 1000000L}
                    THEN 1 ELSE 0 END AS is_new
             FROM ev),
-      s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                                        ROWS UNBOUNDED PRECEDING) AS session_idx
+      s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
             FROM d)"""
 
   private val sessionAggSql = """

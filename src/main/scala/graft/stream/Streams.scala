@@ -106,40 +106,85 @@ object Streams {
   def awaitAny(spark: SparkSession, queries: Seq[StreamingQuery]): Unit =
     spark.streams.awaitAnyTermination()
 
-  /** `foreachBatch` upsert sink: maintains a latest-state table at
+  /** `foreachBatch` upsert sink: maintains a latest-state table under
     * `statePath` keyed by `keyCols` with `orderCols` deciding
     * recency — the streaming face of `Compaction.latestMerge`
     * (CDC-style upsert into a file-backed snapshot; file sinks alone
     * are append-only).
     *
-    * Idempotence is the contract that makes this exactly-once:
-    * `latest(state ∪ batch)` applied twice with the same batch equals
-    * applying it once (proved for latestMerge in `OpsPropertySpec`),
-    * so a batch replayed after a crash-before-commit converges to the
-    * same table.
+    * Durability protocol — generation dirs + atomic pointer commit. A
+    * naive `mode("overwrite")` of the state dir deletes the ONLY copy
+    * of accumulated state before the replacement commits: a crash in
+    * that window loses everything and the replayed batch silently
+    * rebuilds from itself alone. Instead each micro-batch writes a
+    * fresh `gen-<batchId>` subdirectory (reading the PREVIOUS
+    * generation — reader and writer never touch the same files, so no
+    * lineage pinning is needed), then commits it by atomically
+    * renaming a temp pointer file onto `_LATEST`. A crash at ANY
+    * point leaves `_LATEST` on the last fully-written generation;
+    * Spark replays the uncommitted batch, which rewrites its own
+    * `gen-<batchId>` dir (deterministic name) and re-commits.
+    * Superseded generations are reaped only after the swap.
+    *
+    * Exactly-once then follows from latestMerge idempotence
+    * (`latest(state ∪ batch)` twice = once, proved in
+    * `OpsPropertySpec`) — now for crash-DURING-write as well as
+    * crash-before-write.
     *
     * Scale notes: each micro-batch is one keyed reduction over
-    * state ∪ batch. Rewriting full state per batch is the
+    * state ∪ batch. Rewriting full state per generation is the
     * object-store-compatible lowest common denominator (and what
     * Delta/Iceberg MERGE does under the hood per touched file);
-    * partition `statePath` by a key prefix so a batch rewrites only
-    * the partitions it touches.
+    * partition the generation write by a key prefix so a batch
+    * rewrites only the partitions it touches.
     */
   def upsertSink(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                  statePath: String, checkpoint: String): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new java.io.File(statePath)
-        val existing =
-          if (dir.isDirectory && dir.list().exists(_.endsWith(".parquet")))
-            Some(spark.read.parquet(statePath))
-          else None
         val merged = graft.ops.Compaction.latestMerge(
-          existing.toSeq :+ batch.localCheckpoint(), keyCols, orderCols)
-        // localCheckpoint pins the merged result BEFORE the overwrite:
-        // the merge plan reads the same files the write replaces
-        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+          latestState(spark, statePath).toSeq :+ batch, keyCols, orderCols)
+        val gen = f"gen-$batchId%020d"
+        val root = new java.io.File(statePath)
+        merged.write.mode("overwrite").parquet(new java.io.File(root, gen).getPath)
+        commitGeneration(root, gen)
       }
+
+  /** Read the committed state table written by [[upsertSink]]; None
+    * until the first generation commits.
+    */
+  def latestState(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val root = new java.io.File(statePath)
+    val pointer = new java.io.File(root, "_LATEST")
+    if (!pointer.isFile) None
+    else {
+      val gen = new String(
+        java.nio.file.Files.readAllBytes(pointer.toPath), "UTF-8").trim
+      val dir = new java.io.File(root, gen)
+      if (dir.isDirectory) Some(spark.read.parquet(dir.getPath)) else None
+    }
+  }
+
+  /** Swap `_LATEST` onto `gen` via write-temp + atomic rename, then
+    * reap superseded generation dirs (safe: they are no longer
+    * referenced; a crash mid-reap leaves only unreferenced garbage
+    * that the next commit's reap removes).
+    */
+  private def commitGeneration(root: java.io.File, gen: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = new java.io.File(root, s"._latest.$gen.tmp")
+    Files.write(tmp.toPath, gen.getBytes("UTF-8"))
+    Files.move(tmp.toPath, new java.io.File(root, "_LATEST").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    root.listFiles().iterator
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-") && f.getName != gen)
+      .foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

@@ -87,6 +87,42 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getInt(0) === 0)
   }
 
+  test("plane_buckets equals the HOF literal fold bit-for-bit") {
+    val planes = Similarity.md5Planes(dim = 64, groups = 4, bitsPerGroup = 6)
+    val bits = planes.head.length
+    val weights = typedLit(Seq.tabulate(bits)(1L << _))
+    // the fallback HOF form bucketsAll uses (same expression shape)
+    def hofBuckets(v: org.apache.spark.sql.Column) =
+      transform(typedLit(planes), g =>
+        aggregate(
+          transform(g, (plane, p) =>
+            when(Similarity.dot(v, plane) > 0, element_at(weights, p + 1))
+              .otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+    val cmp = vecs.select(
+      hofBuckets(col("v")).as("hof"),
+      call_function("plane_buckets", col("v"), typedLit(planes)).as("native"))
+    assert(cmp.filter(col("hof") =!= col("native")).count() === 0)
+    assert(cmp.filter(col("native").isNull).count() === 0)
+    // degenerate vectors: null element / ragged length -> every dot is
+    // NULL in the HOF form -> all-zero buckets; kernel mirrors this
+    import spark.implicits._
+    val degen = Seq(
+      Seq[java.lang.Double](1.0, null, 3.0) ++ Seq.fill[java.lang.Double](61)(0.0),
+      Seq[java.lang.Double](1.0, 2.0)).toDF("v")
+    val d = degen.select(
+      hofBuckets(col("v")).as("hof"),
+      call_function("plane_buckets", col("v"), typedLit(planes)).as("native")).collect()
+    d.foreach { r =>
+      assert(r.getSeq[Long](0) === Seq(0L, 0L, 0L, 0L))
+      assert(r.getSeq[Long](1) === Seq(0L, 0L, 0L, 0L))
+    }
+    // NULL vector -> NULL result
+    val nv = Seq(Option.empty[Seq[Double]]).toDF("v")
+      .select(call_function("plane_buckets", col("v"), typedLit(planes))).collect()(0)
+    assert(nv.isNullAt(0))
+  }
+
   test("native loop is not slower than higher-order form") {
     val df = vecs.crossJoin(vecs.select(col("v").as("v2"))).cache()
     df.count() // materialize

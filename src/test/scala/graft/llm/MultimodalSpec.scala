@@ -154,6 +154,77 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.forall(_.getDouble(5) === 0.0))
   }
 
+  test("WavCodec: corrupt chunk sizes terminate (unsigned walk, no hang/crash)") {
+    val good = wavBytes(8000, Array.tabulate[Short](400)(i => (i * 37).toShort))
+    // data chunk size with the high bit set: signed le32 = -8 made the old
+    // walk increment by 0 (infinite loop); unsigned it clamps to the buffer.
+    val hiBit = good.clone()
+    val dataSzOff = 40 // RIFF(12) + fmt(8+16) + "data"(4)
+    hiBit(dataSzOff) = 0xF8.toByte; hiBit(dataSzOff + 1) = 0xFF.toByte
+    hiBit(dataSzOff + 2) = 0xFF.toByte; hiBit(dataSzOff + 3) = 0xFF.toByte
+    val decoded = Multimodal.WavCodec.decode(hiBit)
+    assert(decoded.nonEmpty && decoded.get._3.length === 400) // clamped to real payload
+    // junk chunk with size -9 between fmt and data: old walk went backwards
+    // (ArrayIndexOutOfBounds); new walk stops without finding data -> None.
+    val junk = java.nio.ByteBuffer.allocate(good.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put(good, 0, 36) // RIFF header + fmt chunk
+      .put("junk".getBytes("US-ASCII")).putInt(-9)
+      .put(good, 36, good.length - 36)
+    assert(Multimodal.WavCodec.decode(junk.array()).isEmpty)
+    // truncated payload clamps to the bytes present (9 -> 4 frames), never throws
+    val trunc = Multimodal.WavCodec.decode(good.take(45) ++ Array.fill[Byte](8)(0x7F))
+    assert(trunc.nonEmpty && trunc.get._3.length === 4)
+  }
+
+  /** Multi-frame GIF via the JDK's sequence writer: frame i is a solid
+    * gray of level `levels(i)`.
+    */
+  private def gifBytes(w: Int, h: Int, levels: Seq[Int]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      levels.foreach { v =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  test("sampleFrames: REAL multi-frame GIF demux, stride over true frames") {
+    import spark.implicits._
+    val levels = Seq(0, 30, 60, 90, 120, 150, 180, 210, 240, 255)
+    val gif = gifBytes(12, 8, levels)
+    assert(Multimodal.GifDemux.looksLikeGif(gif))
+    val df = Seq((5L, gif)).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "id", "payload",
+      frameBytes = 1000, stride = 3).orderBy("frame_idx").collect()
+    // 10 real frames, stride 3 -> frames 0, 3, 6, 9 (NOT byte slices)
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 3, 6, 9))
+    assert(out.forall(_.getInt(2) === -1)) // codec-delimited: no byte offset
+    assert(out.forall(_.getInt(3) === 96)) // decoded 12x8 pixel count
+    out.zip(Seq(0, 90, 180, 255)).foreach { case (r, v) =>
+      val feats = r.getSeq[Double](4)
+      assert(math.abs(feats(0) - v / 255.0) < 1e-9, s"frame meanR ${feats(0)} vs $v")
+      assert(feats(4) === 12.0 && feats(5) === 8.0) // true frame dimensions
+    }
+    // a single-frame GIF still demuxes (1 frame at idx 0)
+    val one = Multimodal.sampleFrames(
+      Seq((6L, gifBytes(4, 4, Seq(128)))).toDF("id", "payload"),
+      "id", "payload", 1000, 2).collect()
+    assert(one.length === 1 && one(0).getInt(1) === 0)
+  }
+
   test("sampleFrames: stride sampling over fixed-size frames, offsets correct") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)

@@ -40,7 +40,20 @@ def main(sfdir, outdir):
             continue
         try:
             sp = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
-            du = con.sql(sql).df()
+            du_rel = con.sql(sql)
+            # Driver-hasher hazard: DuckDB returns HUGEINT for sum(BIGINT);
+            # the driver hashes it as float (1.0 vs Spark's long 1) even when
+            # every value is numerically identical. Parquet cannot carry these
+            # types either, so their presence always means a missing CAST in
+            # the oracle SQL.
+            bad = [(c, str(t)) for c, t in zip(du_rel.columns, du_rel.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")]
+            if bad:
+                print(f"FAIL {name}: oracle result has driver-unsafe types "
+                      f"{bad} — add CAST(... AS BIGINT) in the oracle SQL")
+                failures += 1
+                continue
+            du = du_rel.df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             failures += 1
