@@ -359,7 +359,46 @@ object ScaleQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg,
+  /** `observe()` promoted to the driver surface: the event scan runs
+    * with a CollectMetrics data-quality gate attached (row count, null
+    * rate, exact decimal value total, time bounds — the ingest-gate
+    * metrics ObserveSpec exercises) and the query's RESULT is the
+    * observed metric row itself, populated during the pipeline's own
+    * pass (noop sink action, zero extra aggregation jobs) and
+    * hash-checked against the oracle's independent scalar aggregates.
+    */
+  val pipelineMetrics: Q = Q(
+    "pipeline_metrics",
+    (s, dir) => {
+      val obs = org.apache.spark.sql.Observation("ingest_gate")
+      val observed = events(s, dir).observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when(col("user_id").isNull, 1)).as("n_null_user"),
+        sum(col("value").cast(DecimalType(20, 4))).cast("double").as("sum_value"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"))
+      observed.write.mode("overwrite").format("noop").save()
+      val m = obs.get
+      def ts(v: Any): java.sql.Timestamp = v match {
+        case t: java.sql.Timestamp => t
+        case i: java.time.Instant => java.sql.Timestamp.from(i)
+      }
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_null_user").asInstanceOf[Long],
+        m("sum_value").asInstanceOf[Double], ts(m("min_ts")), ts(m("max_ts"))))
+        .toDF("n_rows", "n_null_user", "sum_value", "min_ts", "max_ts")
+    },
+    Some("""
+      SELECT count(*) AS n_rows,
+             count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null_user,
+             CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+             min(CAST(ts AS TIMESTAMP)) AS min_ts,
+             max(CAST(ts AS TIMESTAMP)) AS max_ts
+      FROM events
+    """)
+  )
+
+  val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, pipelineMetrics,
     incrementalStats, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
     trailingSum, zorderIndex, outlierFilter, profileNumeric, winsorizeValues,
     featureScale)

@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded-offset batch source (DataSourceV2) — the engine-side half of
+  * the reference's offset-windowed Kafka batch read
+  * (`kafka_to_gcs_by_spark_batch.py:81-87`: `format("kafka")` with
+  * `startingOffsets`/`endingOffsets` JSON built by an
+  * offsets-for-times lookup). The kafka connector jar is unavailable
+  * offline (SURVEY.md §7), so the wire is a local directory standing
+  * in for a topic — `p<N>.jsonl`, one file per partition, one record
+  * per line, the line number being the record's offset — while the
+  * OPTION CONTRACT is the connector's, verbatim:
+  *
+  *  - `path`: topic directory
+  *  - `topic`: topic name (must match the key in the offsets JSON)
+  *  - `startingOffsets`: `"earliest"` or `{"topic":{"0":off,…}}`
+  *    (inclusive; -2 ⇒ earliest)
+  *  - `endingOffsets`: `"latest"` or the same JSON shape (exclusive;
+  *    -1 ⇒ latest)
+  *
+  * which is exactly what [[graft.ingest.OffsetLookup.window]] emits —
+  * so the Airflow-shaped `offsets_for_times → bounded read` pipeline
+  * runs end-to-end through a real `spark.read.format(...)` plan
+  * (`OffsetSourceSpec`). Output schema mirrors the kafka source's
+  * (key/value binary, topic, partition, offset).
+  *
+  * Scale shape: one InputPartition per topic partition — the same
+  * parallelism contract as the kafka source (executor-side range
+  * reads, no driver materialization; the driver holds only the
+  * per-partition offset bounds).
+  */
+class OffsetFileSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OffsetFileSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new OffsetFileTable(new CaseInsensitiveStringMap(properties))
+}
+
+object OffsetFileSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType)))
+
+  val Earliest = -2L
+  val Latest = -1L
+
+  private val PartFile = """p(\d+)\.jsonl""".r
+  private val OffsetEntry = """"(\d+)"\s*:\s*(-?\d+)""".r
+
+  /** Topic partitions present under `path` (from `p<N>.jsonl` names). */
+  def listPartitions(path: String): Seq[Int] = {
+    val fs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+    fs.toSeq.flatMap(f => f.getName match {
+      case PartFile(p) => Some(p.toInt)
+      case _ => None
+    }).sorted
+  }
+
+  /** Parse `"earliest"`/`"latest"`/`{"topic":{"p":off,…}}` into
+    * per-partition offsets; `sentinel` fills the sentinel forms and
+    * absent partitions (kafka: an unlisted partition defaults like the
+    * sentinel of its side).
+    */
+  def parseOffsets(spec: String, topic: String, partitions: Seq[Int],
+                   sentinel: Long): Map[Int, Long] = spec.trim match {
+    case "earliest" => partitions.map(_ -> Earliest).toMap
+    case "latest" => partitions.map(_ -> Latest).toMap
+    case json =>
+      require(json.contains("\"" + topic + "\""),
+        s"offsets JSON $json does not mention topic '$topic'")
+      val given = OffsetEntry.findAllMatchIn(json)
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+      partitions.map(p => p -> given.getOrElse(p, sentinel)).toMap
+  }
+}
+
+private[sources] class OffsetFileTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"offset-file-${options.get("path")}"
+  override def schema(): StructType = OffsetFileSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new OffsetFileScan(options)
+}
+
+private[sources] class OffsetFileScan(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = OffsetFileSource.Schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    import OffsetFileSource._
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' is required"))
+    val topic = Option(options.get("topic")).getOrElse(
+      throw new IllegalArgumentException("option 'topic' is required"))
+    val parts = listPartitions(path)
+    val starts = parseOffsets(
+      Option(options.get("startingOffsets")).getOrElse("earliest"),
+      topic, parts, Earliest)
+    val ends = parseOffsets(
+      Option(options.get("endingOffsets")).getOrElse("latest"),
+      topic, parts, Latest)
+    parts.map { p =>
+      val s = starts(p)
+      val e = ends(p)
+      // numeric validation — the reference compared offsets as strings
+      // (save_raw_data_from_kafka_to_gcs.py:79-81); sentinels skip it
+      if (s >= 0 && e >= 0) graft.ingest.OffsetLookup.validateRange(s, e)
+      OffsetFilePartition(s"$path/p$p.jsonl", topic, p, s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OffsetFileReaderFactory
+}
+
+private[sources] case class OffsetFilePartition(file: String, topic: String,
+                                                partition: Int, start: Long,
+                                                end: Long) extends InputPartition
+
+private[sources] class OffsetFileReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OffsetFilePartition]
+    new PartitionReader[InternalRow] {
+      import OffsetFileSource.{Earliest, Latest}
+      private val lines: Seq[String] = {
+        val f = new java.io.File(p.file)
+        if (!f.isFile) Seq.empty
+        else {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().toVector finally src.close()
+        }
+      }
+      private val from: Long = if (p.start == Earliest) 0L
+        else if (p.start == Latest) lines.length.toLong
+        else p.start
+      private val until: Long = if (p.end == Latest) lines.length.toLong
+        else if (p.end == Earliest) 0L
+        else math.min(p.end, lines.length.toLong)
+      private var off: Long = from - 1
+
+      override def next(): Boolean = { off += 1; off < until }
+      override def get(): InternalRow =
+        InternalRow(null,
+          lines(off.toInt).getBytes("UTF-8"),
+          UTF8String.fromString(p.topic),
+          p.partition,
+          off)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -52,6 +52,45 @@ class DedupSpec extends SparkSpec {
     assert(partial.count() === 5)
   }
 
+  test("large-star/small-star CC: same labels as propagation on fixed shapes") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val out = Dedup.connectedComponentsStar(edges, "id_a", "id_b", nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // a deep chain converges in O(log d) rounds — well under a budget
+    // that propagation (O(d)) would blow
+    val chain = (1L until 32L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainNodes = (1L to 32L).toDF("id")
+    val starLabels = Dedup.connectedComponentsStar(chain, "id_a", "id_b",
+      chainNodes, "id", maxIter = 8).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(starLabels.forall(_._2 === 1L))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", chainNodes, "id", maxIter = 8)
+    }
+  }
+
+  test("large-star/small-star CC: label equality with propagation on random graphs") {
+    import spark.implicits._
+    // seeded random graphs across densities — equality is the contract
+    // that makes the star variant a drop-in swap at scale
+    (1 to 8).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val n = 20 + rng.nextInt(40)
+      val nEdges = rng.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodesDf = (0L until n.toLong).toDF("id")
+      val edgesDf = edges.toDF("id_a", "id_b")
+      val prop = Dedup.connectedComponents(edgesDf, "id_a", "id_b", nodesDf, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(edgesDf, "id_a", "id_b", nodesDf, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star === prop, s"label mismatch at seed=$seed n=$n edges=$nEdges")
+    }
+  }
+
   test("minhash clusters: members share a representative, sizes consistent") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 16, 4, 0.85).collect()

@@ -1,0 +1,118 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.OffsetLookup
+
+/** The offsets-for-times batch pipeline end-to-end: OffsetLookup maps
+  * a `[startTs, endTs)` window to startingOffsets/endingOffsets JSON,
+  * and the bounded DataSourceV2 source honors those options through a
+  * real `spark.read.format(...)` plan — the reference's
+  * `kafka_to_gcs_by_spark_batch.py` contract minus the unavailable
+  * connector jar.
+  */
+class OffsetSourceSpec extends SparkSpec {
+
+  private val Fmt = "graft.sources.OffsetFileSource"
+
+  /** Topic dir with two partitions; record i of partition p has
+    * timestamp (see index below) and a JSON payload carrying both.
+    */
+  private def writeTopic(): String = {
+    val dir = Files.createTempDirectory("offset_topic").toFile
+    def lines(p: Int, n: Int): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"p$p.jsonl"), "UTF-8")
+      try (0 until n).foreach(i => w.println(s"""{"part":$p,"rec":$i}"""))
+      finally w.close()
+    }
+    lines(0, 4) // offsets 0..3
+    lines(1, 2) // offsets 0..1
+    dir.getAbsolutePath
+  }
+
+  // record timestamps per (partition, offset) — same shape as
+  // OffsetLookupSpec's index
+  private val idx = new OffsetLookup.SeqIndex(Map(
+    ("t", 0) -> Seq((0L, 100L), (1L, 200L), (2L, 300L), (3L, 400L)),
+    ("t", 1) -> Seq((0L, 150L), (1L, 250L))
+  ))
+
+  test("OffsetLookup window drives a bounded read: only in-window offsets") {
+    val path = writeTopic()
+    // window [200, 400) -> p0 offsets [1, 3), p1 offsets [1, 2)
+    val (startJson, endJson) = OffsetLookup.window(idx, "t", 200L, 400L)
+    val df = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t")
+      .option("startingOffsets", startJson)
+      .option("endingOffsets", endJson)
+      .load()
+    assert(df.schema === OffsetFileSource.Schema)
+    val rows = df.select(col("partition"), col("offset"),
+        from_json(col("value").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL("part INT, rec INT")).as("r"))
+      .orderBy("partition", "offset").collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq ===
+      Seq((0, 1L), (0, 2L), (1, 1L)))
+    // payload round-trips: rec == offset, part == partition
+    rows.foreach { r =>
+      assert(r.getStruct(2).getInt(0) === r.getInt(0))
+      assert(r.getStruct(2).getInt(1) === r.getLong(1).toInt)
+    }
+  }
+
+  test("earliest/latest defaults read the whole topic; per-partition parallelism") {
+    val path = writeTopic()
+    val df = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t").load()
+    assert(df.count() === 6)
+    // one input partition per topic partition (the kafka-source shape)
+    assert(df.rdd.getNumPartitions === 2)
+    // explicit sentinels behave identically
+    val df2 = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t")
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest").load()
+    assert(df2.count() === 6)
+  }
+
+  test("end-of-log clamp and empty windows") {
+    val path = writeTopic()
+    // ending offsets beyond the log clamp to it (kafka allows ends at
+    // the high-watermark; our file log just has fewer lines)
+    val df = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t")
+      .option("startingOffsets", """{"t": {"0": 3, "1": 2}}""")
+      .option("endingOffsets", """{"t": {"0": 99, "1": 99}}""")
+      .load()
+    assert(df.select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((0, 3L)))
+    // start == end (the OffsetLookupSpec empty-window case) -> 0 rows
+    val (s, e) = OffsetLookup.window(idx, "t", 999L, 1000L)
+    val empty = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t")
+      .option("startingOffsets", s).option("endingOffsets", e).load()
+    assert(empty.count() === 0)
+  }
+
+  test("invalid ranges and wrong topic fail numerically at plan time") {
+    val path = writeTopic()
+    val bad = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t")
+      .option("startingOffsets", """{"t": {"0": 10, "1": 0}}""")
+      .option("endingOffsets", """{"t": {"0": 9, "1": 2}}""")
+      .load()
+    val ex = intercept[Exception](bad.count())
+    assert(ex.getMessage.contains("invalid offset range") ||
+      Option(ex.getCause).exists(_.getMessage.contains("invalid offset range")))
+    val wrongTopic = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t")
+      .option("startingOffsets", """{"other": {"0": 0}}""")
+      .load()
+    val ex2 = intercept[Exception](wrongTopic.count())
+    assert(ex2.getMessage.contains("does not mention topic") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("does not mention topic")))
+  }
+}
