@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Sampling, TextHash}
-import graft.ops.{Analytics, PageRank}
+import graft.llm.{Sampling, Similarity, TextHash}
+import graft.ops.{Analytics, PageRank, Scd, Triangles}
 
 /** Product/OLAP analytics over `events` plus relational breadth ops
   * (explicit set operations, semi/anti joins, CUBE, exact
@@ -465,8 +465,66 @@ object AnalyticsQueries {
     """)
   )
 
+  /** SCD type-2 dimension history: each user's event_type change
+    * stream collapsed into versioned `[valid_from, valid_to)`
+    * intervals with an open current row (graft.ops.Scd — one shuffle,
+    * stacked windows on a single sort).
+    */
+  val scd2History: Q = Q(
+    "scd2_history",
+    (s, dir) => Scd.history(events(s, dir), "user_id", "event_type", "ts", "event_id"),
+    Some(s"""
+      WITH $evCte,
+      c AS (SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM ev),
+      k AS (SELECT user_id, event_type, ts AS valid_from, event_id
+            FROM c WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+             row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)::INT AS version,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current
+      FROM k
+    """)
+  )
+
+  /** Per-vertex triangle counts over the label-blocked k-NN graph —
+    * degree-ordered edge orientation (each triangle generated exactly
+    * once, wedge fan-out bounded by O(√|E|); graft.ops.Triangles).
+    * The oracle counts canonical a<b<c triples directly — orientation
+    * is a pure execution strategy, invisible in the result.
+    */
+  val knnTriangles: Q = Q(
+    "knn_triangles",
+    (s, dir) => Triangles.perVertex(
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding", "label", k = 3),
+      "src", "dst"),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]),
+                               (x, y) -> x + y) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      g AS (SELECT src, dst FROM (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+              FROM s) WHERE rank <= 3),
+      ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM g WHERE src <> dst),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+                         JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT vertex, count(*) AS triangles
+      FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+      GROUP BY 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
-    groupingSetsStats)
+    groupingSetsStats, scd2History, knnTriangles)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Chunking, Decontam, Dedup, Sampling, TextHash, TextStats}
+import graft.llm.{Chunking, Decontam, Dedup, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -435,7 +435,73 @@ object CurationQueries {
     """)
   )
 
+  /** CCNet-style bigram-LM quality score: each document's average
+    * add-one-smoothed bigram log-likelihood under corpus counts, in
+    * exact integer micro-nats (`ln` quantized per-bigram BEFORE any
+    * reordering aggregate — ln is not bit-reproducible cross-engine,
+    * LangModel doc). Shuffles carry distinct (doc, bigram) pairs only.
+    */
+  val lmBigramScore: Q = Q(
+    "lm_bigram_score",
+    (s, dir) => LangModel.bigramScore(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents),
+      be AS (SELECT doc_id, ws[i::INT] AS w1, ws[(i + 1)::INT] AS w2
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+      db AS (SELECT doc_id, w1, w2, count(*) AS m FROM be GROUP BY 1, 2, 3),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM be GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM be GROUP BY 1),
+      vv AS (SELECT count(DISTINCT u.x) AS v FROM (SELECT unnest(ws) AS x FROM w) u),
+      t AS (SELECT doc_id, m,
+                   floor(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + vv.v)::DOUBLE) * 1e6 + 0.5)::BIGINT AS llm
+            FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
+      SELECT doc_id,
+             CAST(sum(m) AS BIGINT) AS n_bigrams,
+             count(*) AS distinct_bigrams,
+             CAST(sum(m * llm) AS BIGINT) AS sum_ll_micro,
+             CAST(sum(m * llm) AS BIGINT)::DOUBLE
+               / (CAST(sum(m) AS BIGINT)::DOUBLE * 1e6) AS avg_ll
+      FROM t GROUP BY 1
+    """)
+  )
+
+  /** Cross-document span dedup with rewrite (CCNet/RefinedWeb
+    * paragraph dedup): 20-word spans repeated anywhere in the corpus
+    * survive only at their first (doc_id, chunk_idx) occurrence and
+    * each document is reassembled from its surviving spans. One hash
+    * shuffle on the span digest + one reassembly shuffle on doc_id.
+    */
+  val paragraphDedupQ: Q = Q(
+    "paragraph_dedup",
+    (s, dir) => ParagraphDedup.rewrite(Tables.documents(s, dir), "doc_id", "text",
+      spanWords = 20),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents),
+      c AS (SELECT doc_id, ws,
+                   unnest(range(CASE WHEN len(ws) <= 20 THEN 1
+                                ELSE ceil((len(ws) - 20)::DOUBLE / 20)::BIGINT + 1 END)) AS i
+            FROM w),
+      k AS (SELECT doc_id, i::INT AS chunk_idx,
+                   array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS chunk_text
+            FROM c),
+      r AS (SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+                                         ORDER BY doc_id, chunk_idx) AS rn
+            FROM k)
+      SELECT doc_id,
+             count(*) AS n_chunks,
+             count(CASE WHEN rn = 1 THEN 1 END) AS kept_chunks,
+             length(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                                        ORDER BY chunk_idx), '')) AS new_len,
+             md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                                     ORDER BY chunk_idx), '')) AS new_hash
+      FROM r GROUP BY 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, repetitionStats, docChunks,
-    packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample)
+    packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
+    lmBigramScore, paragraphDedupQ)
 }
