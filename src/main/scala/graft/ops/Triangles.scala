@@ -25,11 +25,17 @@ object Triangles {
     * `(vertex, triangles)` for vertices in at least one triangle.
     */
   def perVertex(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // persist: the canonical edge set feeds the degree union (2 scans)
+    // and the orientation join, and the ORIENTED set feeds the wedge
+    // self-join (2 sides) plus the closing-edge semi-join — without
+    // materialization the upstream edge producer (e.g. a windowed k-NN
+    // graph) would recompute up to 6×. O(|E|) rows, ids+degree only.
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .persist()
 
     val deg = canon.select(col("a").as("v"))
       .unionAll(canon.select(col("b").as("v")))
@@ -49,6 +55,12 @@ object Triangles {
           .otherwise(col("a")).as("w"),
         when(lt(col("da"), col("a"), col("db"), col("b")), col("db"))
           .otherwise(col("da")).as("dw"))
+      // eager materialization + lineage truncation: the oriented set is
+      // read 3× below (wedge self-join both sides + closing-edge join);
+      // once it exists the canonical set is no longer needed
+      .localCheckpoint()
+
+    canon.unpersist()
 
     // wedges at the pivot u: pick the (degree, id)-ordered pair so the
     // closing edge is itself an oriented edge (v → w)

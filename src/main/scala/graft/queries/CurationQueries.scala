@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Chunking, Decontam, Dedup, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
+import graft.llm.{Chunking, CountMin, Decontam, Dedup, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -500,8 +500,35 @@ object CurationQueries {
     """)
   )
 
+  /** Count-Min-sketch heavy hitters: every token with exact corpus
+    * count ≥ 100, found via a 4×1024 bounded sketch (candidates) +
+    * exact verify (CountMin doc — map-side sketch state, broadcast
+    * cell/candidate tables, non-candidates never shuffle).
+    */
+  val cmsHeavyHitters: Q = Q(
+    "cms_heavy_hitters",
+    (s, dir) => CountMin.heavyHitters(Tables.documents(s, dir), "text",
+      depth = 4, width = 1024, minCount = 100L),
+    Some("""
+      WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                   FROM documents),
+      tb AS (SELECT tok, j,
+                    ('0x' || substr(md5('cms' || j::VARCHAR || ':' || tok), 1, 8))::BIGINT % 1024 AS b
+             FROM tok CROSS JOIN range(4) r(j)),
+      cells AS (SELECT j, b, count(*) AS cell_cnt FROM tb GROUP BY 1, 2),
+      cand AS (SELECT t.tok, min(c.cell_cnt) AS est
+               FROM (SELECT DISTINCT tok, j, b FROM tb) t
+               JOIN cells c USING (j, b)
+               GROUP BY 1 HAVING min(c.cell_cnt) >= 100),
+      exact AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1)
+      SELECT cand.tok AS token, cand.est, exact.cnt
+      FROM cand JOIN exact USING (tok)
+      WHERE exact.cnt >= 100
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, repetitionStats, docChunks,
     packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
-    lmBigramScore, paragraphDedupQ)
+    lmBigramScore, paragraphDedupQ, cmsHeavyHitters)
 }

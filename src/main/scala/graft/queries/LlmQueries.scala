@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Redact, Similarity, Sparse, TextStats}
+import graft.llm.{Dedup, EmbeddingStats, Multimodal, Redact, Similarity, Sparse, TextStats}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup family, similarity search, text analysis, multimodal
@@ -804,9 +804,30 @@ object LlmQueries {
     """)
   )
 
+  /** One-pass 64×64 Gram matrix over the embedding corpus (PCA/
+    * whitening input). Map-side upper-triangle expand collapses to
+    * ≤ 2 080 cells per partition before the shuffle; DECIMAL-exact
+    * summation (EmbeddingStats doc).
+    */
+  val embeddingGram: Q = Q(
+    "embedding_gram",
+    (s, dir) => EmbeddingStats.gram(Tables.embeddings(s, dir), "embedding", dim = 64),
+    Some("""
+      WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT i, j,
+                   CAST(v[(i + 1)::INT] * v[(j + 1)::INT] AS DECIMAL(30,12)) AS p
+            FROM e CROSS JOIN range(64) r(i) CROSS JOIN range(64) s(j)
+            WHERE j >= i)
+      SELECT i::INT AS i, j::INT AS j,
+             CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS s,
+             count(*) AS n
+      FROM p GROUP BY 1, 2
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
     dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
     embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
     multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ, knnGraphQ,
-    hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ)
+    hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ, embeddingGram)
 }

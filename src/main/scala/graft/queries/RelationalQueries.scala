@@ -151,5 +151,54 @@ object RelationalQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(q1Pricing, q3TopOrders, orderReconcile)
+  /** TPC-H-Q5-style local-supplier revenue: six-table join (region →
+    * nation → customer → orders → lineitem → supplier with the
+    * s_nationkey = c_nationkey locality constraint). The shape the
+    * optimizer section of SURVEY.md §4 is about: date + region
+    * filters push to the scans, AQE broadcasts every dimension side,
+    * and only orders ⋈ lineitem shuffles on the fact keys — at 100 TB
+    * that single shuffle pair is the whole network cost.
+    */
+  val q5RegionRevenue: Q = Q(
+    "q5_region_revenue",
+    (s, dir) => {
+      val r = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec4("l_extendedprice") *
+            (lit(1).cast(DecimalType(6, 4)) - rate4("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+             count(*) AS n_items
+      FROM region r
+      JOIN nation n ON n_regionkey = r_regionkey
+      JOIN customer c ON c_nationkey = n_nationkey
+      JOIN orders o ON o_custkey = c_custkey
+      JOIN lineitem l ON l_orderkey = o_orderkey
+      JOIN supplier s ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1
+    """)
+  )
+
+  val all: Seq[Q] = Seq(q1Pricing, q3TopOrders, orderReconcile, q5RegionRevenue)
 }

@@ -1,0 +1,34 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class EmbeddingStatsSpec extends SparkSpec {
+
+  test("gram of known vectors matches hand computation") {
+    import spark.implicits._
+    // rows (1,2), (3,4): G = [[1+9, 2+12], [., 4+16]] = [[10, 14], [14, 20]]
+    val df = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f)).toDF("embedding")
+    val out = EmbeddingStats.gram(df, "embedding", dim = 2)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        (r.getAs[Double]("s"), r.getAs[Long]("n"))).toMap
+    assert(out.keySet === Set((0, 0), (0, 1), (1, 1))) // upper triangle only
+    assert(out((0, 0))._1 === 10.0)
+    assert(out((0, 1))._1 === 14.0)
+    assert(out((1, 1))._1 === 20.0)
+    assert(out.values.forall(_._2 === 2L))
+  }
+
+  test("corpus gram: full upper triangle, positive diagonal, n = corpus size") {
+    val emb = Tables.embeddings(spark, sf())
+    val rows = emb.count()
+    val out = EmbeddingStats.gram(emb, "embedding", dim = 64).cache()
+    try {
+      assert(out.count() === 64L * 65L / 2L)
+      // Σ v[i]² strictly positive unless a coordinate is identically 0
+      assert(out.where(col("i") === col("j") && col("s") <= 0).count() === 0)
+      assert(out.where(col("n") =!= rows).count() === 0)
+    } finally out.unpersist()
+  }
+}

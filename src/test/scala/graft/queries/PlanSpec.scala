@@ -109,4 +109,41 @@ class PlanSpec extends SparkSpec {
         s"$name must evaluate its window functions in one pass:\n$plan")
     }
   }
+
+  test("scd2_history: run-collapse + interval windows stack on ONE key shuffle") {
+    val df = Registry.byName("scd2_history").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1,
+      s"SCD2 must shuffle once on the dimension key:\n$plan")
+    assert("(?m)[+:]- Sort ".r.findAllIn(plan).length == 1,
+      s"both windows must reuse a single (ts, tie) sort:\n$plan")
+  }
+
+  test("paragraph_dedup: exactly digest shuffle + reassembly shuffle") {
+    val df = Registry.byName("paragraph_dedup").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 2,
+      s"span dedup is one md5 shuffle + one doc_id shuffle, no more:\n$plan")
+  }
+
+  test("q5_region_revenue: dims broadcast; date+region filters reach the scans") {
+    val df = Registry.byName("q5_region_revenue").fn(spark, sf("sf0.01"))
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter must reach the orders scan:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region filter must reach the region scan:\n$plan")
+  }
+
+  test("lm_bigram_score: vocab scalar broadcasts; count-model joins never cartesian") {
+    val df = Registry.byName("lm_bigram_score").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"1-row vocab table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian anywhere in the LM joins:\n$plan")
+  }
 }
