@@ -96,9 +96,50 @@ object Dedup {
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       numPerm: Int, bands: Int, tau: Double,
                       maxBucket: Int = 64): DataFrame = {
+    // |A∪B| = |A|+|B|−|A∩B| from precomputed sizes — one set op per
+    // pair instead of two, and the intersection is a cardinality-only
+    // native kernel (no intermediate array).
+    minhashCandidates(df, idCol, textCol, numPerm, bands, maxBucket)
+      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Containment near-dups over the SAME banded candidates:
+    * |A∩B| / min(|A|,|B|) ≥ tau — the asymmetric measure that catches
+    * a small document embedded verbatim in a large one, where Jaccard
+    * stays low (|A∩B|/|A∪B| shrinks with the size ratio). Candidate
+    * recall is still minhash-LSH (tuned for Jaccard): a containment
+    * pair with an extreme size ratio ALSO has low signature agreement,
+    * so this surfaces moderate-ratio containment — the honest scope of
+    * minhash banding (size-stratified hashing is the extreme-ratio
+    * tool; the oracle applies identical candidates, so Spark and
+    * DuckDB agree exactly either way).
+    */
+  def minHashContainment(df: DataFrame, idCol: String, textCol: String,
+                         numPerm: Int, bands: Int, tau: Double,
+                         maxBucket: Int = 64): DataFrame =
+    minhashCandidates(df, idCol, textCol, numPerm, bands, maxBucket)
+      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(size(col("toks_a")), size(col("toks_b"))).cast("double"))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
+
+  /** Shared LSH candidate generation: banded minhash buckets (skew-
+    * capped), deduplicated (id_a < id_b) pairs carrying both hashed
+    * token sets for the exact verify stage.
+    */
+  private def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                                numPerm: Int, bands: Int,
+                                maxBucket: Int): DataFrame = {
     val rows = numPerm / bands
-    // The exact-Jaccard verify runs on the hashed-long token sets, not
-    // the strings: primitive intersects, 8-byte shuffle payloads
+    // The exact verify runs on the hashed-long token sets, not the
+    // strings: primitive intersects, 8-byte shuffle payloads
     // (collisions, if any, perturb the oracle identically).
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
       .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
@@ -110,7 +151,7 @@ object Dedup {
     val buckets = capBuckets(docs.select(col("id"), col("hs"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
       .persist()
-    val cand = buckets.as("a")
+    buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -118,16 +159,6 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.hs").as("toks_a"), col("b.hs").as("toks_b"))
       .dropDuplicates("id_a", "id_b")
-    // |A∪B| = |A|+|B|−|A∩B| from precomputed sizes — one set op per
-    // pair instead of two, and the intersection is a cardinality-only
-    // native kernel (no intermediate array).
-    cand
-      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** 60-bit SimHash over a materialized token-hash array (h60 per

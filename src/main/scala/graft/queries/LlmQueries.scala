@@ -88,6 +88,27 @@ object LlmQueries {
     """)
   )
 
+  /** Containment near-dups over the SAME banded candidates:
+    * |A∩B| / min(|A|,|B|) — the asymmetric dedup signal for a small
+    * document embedded in a larger one (Jaccard shrinks with the size
+    * ratio; containment doesn't). Candidates stay minhash-LSH; the
+    * oracle restates them identically (Dedup.minHashContainment doc).
+    */
+  val dedupContainment: Q = Q(
+    "dedup_containment",
+    (s, dir) => Dedup.minHashContainment(Tables.documents(s, dir), "doc_id", "text",
+      numPerm = 16, bands = 4, tau = 0.9, maxBucket = 64),
+    Some(s"""
+      ${minhashPairCtes(recursive = false)}
+      SELECT id_a, id_b,
+             len(list_intersect(ta, tb))::DOUBLE
+               / least(len(ta), len(tb))::DOUBLE AS containment
+      FROM cand
+      WHERE len(list_intersect(ta, tb))::DOUBLE
+              / least(len(ta), len(tb))::DOUBLE >= 0.9
+    """)
+  )
+
   /** Near-dup CLUSTERS: connected components over the minhash pair
     * graph, each document labeled with its representative (min doc id
     * in the component) and cluster size — the O(c)-output
@@ -815,19 +836,20 @@ object LlmQueries {
     Some("""
       WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       p AS (SELECT i, j,
-                   CAST(v[(i + 1)::INT] * v[(j + 1)::INT] AS DECIMAL(30,12)) AS p
+                   floor(v[(i + 1)::INT] * v[(j + 1)::INT] * 1e12 + 0.5)::BIGINT AS p
             FROM e CROSS JOIN range(64) r(i) CROSS JOIN range(64) s(j)
             WHERE j >= i)
       SELECT i::INT AS i, j::INT AS j,
-             CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS s,
+             CAST(CAST(sum(p) AS BIGINT) AS DOUBLE) / 1e12 AS s,
              count(*) AS n
       FROM p GROUP BY 1, 2
     """)
   )
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupClusters, dedupSimhash,
-    dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf, annIvfMultiprobe,
-    embeddingCentroid, langId, textQuality, tokenCount, docFingerprint,
-    multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ, knnGraphQ,
-    hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ, embeddingGram)
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
+    dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf,
+    annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
+    docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
+    knnGraphQ, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
+    embeddingGram)
 }

@@ -27,6 +27,23 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("id_a") >= col("id_b")).count() === 0)
   }
 
+  test("containment flags a subset document at 1.0 where jaccard stays lower") {
+    import spark.implicits._
+    val big = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val sub = (1 to 19).map(i => s"tok$i").mkString(" ") // strict subset
+    val other = (100 to 119).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, big), (2L, sub), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.minHashContainment(df, "doc_id", "text", 16, 4, tau = 0.9)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("id_a") === 1L && out.head.getAs[Long]("id_b") === 2L)
+    assert(out.head.getAs[Double]("containment") === 1.0) // 19/min(20,19)
+    // the symmetric measure on the same pair: 19/20 < 1 — containment
+    // is the strictly-larger signal for subset shapes
+    val jac = Dedup.minHashNearDups(df, "doc_id", "text", 16, 4, tau = 0.5).collect()
+    assert(jac.head.getAs[Double]("jaccard") < 1.0)
+  }
+
   test("connected components: chains collapse to min id, singletons self-represent") {
     import spark.implicits._
     // components: {1,2,3} (chain), {10,11}, {20} isolated
