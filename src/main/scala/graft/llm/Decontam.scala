@@ -74,6 +74,71 @@ object Decontam {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** k double-hashed probe positions of gram hash `g` in an m-bit
+    * bloom (m a power of two). Stride forced odd so the probe walk
+    * cycles the whole table. `g` is 32-bit ([[TextHash.h32]]) and the
+    * multiplier small, so no long overflow under ANSI mode.
+    */
+  private def bloomPositions(g: Column, mBits: Int, k: Int): Seq[Column] = {
+    val stride = pmod(g * lit(1000003L), lit(mBits.toLong)).bitwiseOR(lit(1L))
+    (0 until k).map(i => pmod(g + lit(i.toLong) * stride, lit(mBits.toLong)))
+  }
+
+  /** Bit `p` of the literal bitmap (array of m/64 longs). */
+  private def bitSet(bitmap: Column, p: Column): Column =
+    element_at(bitmap, (p / lit(64)).cast("int") + 1)
+      .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64)).cast("int"))) =!= 0
+
+  /** Distributed bloom build over a gram-hash column: each gram maps
+    * to k (word, mask) pairs map-side; `bit_or` partial aggregation
+    * collapses them to ≤ m/64 rows per partition before the single
+    * tiny shuffle, and only the finished m/64-long bitmap reaches the
+    * driver — KBs for millions of grams, independent of input size.
+    */
+  def bloomBuild(grams: DataFrame, gCol: String, mBits: Int, k: Int): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two ≥ 64")
+    val pos = array(bloomPositions(col(gCol), mBits, k): _*)
+    val words = grams.select(explode(pos).as("p"))
+      .select((col("p") / lit(64)).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("p"), lit(64)).cast("int")).as("m"))
+      .groupBy("w").agg(bit_or(col("m")).as("m"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** [[report]] for an eval set too large to broadcast as an exact
+    * gram table: the banned grams are compressed into an m-bit bloom
+    * (no false negatives), the corpus probes the bitmap map-side
+    * (codegen'd bit tests against a literal array — zero shuffle,
+    * zero broadcast-table memory), and only the surviving candidates
+    * (true hits + the ~(1-e^{-kn/m})^k false-positive sliver) meet
+    * the banned gram table in a shuffle join for the exact verify.
+    * Candidates-then-verify: the result is bit-identical to
+    * [[report]], so the oracle IS the exact SQL — only the data
+    * volume that crosses the network changes.
+    */
+  def bloomReport(train: DataFrame, heldout: DataFrame, idCol: String,
+                  textCol: String, n: Int, mBits: Int = 1 << 20,
+                  k: Int = 4): DataFrame = {
+    val banned = heldout
+      .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
+      .persist() // read twice: bloom build + exact verify join
+    val bitmap = typedlit(bloomBuild(banned, "g", mBits, k))
+    val trainG = train.select(col(idCol).as("doc_id"),
+      gramHashes(col(textCol), n).as("grams"))
+    val candidates = trainG
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .filter(bloomPositions(col("g"), mBits, k).map(bitSet(bitmap, _)).reduce(_ && _))
+    val overlap = candidates.join(banned, "g") // shuffle join: eval side not broadcastable by premise
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    trainG.join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** Per-train-document contamination report against `heldout`:
     * (doc_id, n_grams, n_overlap, contaminated). `n_overlap` counts
     * DISTINCT shared grams (gram sets are deduped per document).

@@ -82,6 +82,47 @@ object TextStats {
         length(t).cast("double") / col("re_tokens"))
   }
 
+  /** Per-document character-distribution Shannon entropy (nats) —
+    * the gibberish/binary-blob quality signal: natural-language text
+    * sits around 2.5–3.5 nats, while base64 / random blobs push
+    * toward ln(alphabet size) and constant-run junk toward 0.
+    *
+    * `H = ln N − (Σ_c m_c·ln m_c)/N` over per-character counts m_c.
+    *
+    * Scale (100 TB): explode to (doc, char), then one aggregate pair.
+    * Map-side partial aggregation collapses the character stream to
+    * ≤|alphabet| rows per document per partition, so the only shuffle
+    * carries (doc_id, char, count) — bounded by alphabet size × docs,
+    * independent of document length.
+    *
+    * Determinism (Registry policy): `ln` is not bit-reproducible
+    * cross-engine, so each per-(doc,char) `ln m_c` is quantized to
+    * integer micro-nats BEFORE the reordering sum (the LangModel
+    * pattern); the finishing arithmetic is a fixed IEEE expression
+    * over exact integers. Exact while Σ m·ln(m)·10⁶ < 2⁵³ — holds to
+    * ~400 MB per single document.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0) // Java split can emit a trailing ""
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("m"))
+    val lnMicro = floor(log(col("m").cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    counts
+      .select(col("doc_id"), col("m"), (col("m") * lnMicro).as("mlnm"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("m")).as("n_counted"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("mlnm")).as("sum_mlnm_micro"))
+      .withColumn("entropy",
+        (floor(log(col("n_counted").cast("double")) * lit(1e6) + lit(0.5))
+          - col("sum_mlnm_micro").cast("double") / col("n_counted").cast("double"))
+          / lit(1e6))
+  }
+
   /** Heavy hitters: top-k tokens per group by frequency. The
     * explode→groupBy is the canonical distributed wordcount — partial
     * (map-side) aggregation bounds the shuffle to distinct

@@ -253,6 +253,48 @@ object CurationQueries {
     """)
   )
 
+  /** Bloom-prefiltered decontamination — same contamination report as
+    * `decontam_overlap`, for an eval set too big to broadcast as a
+    * gram table: the banned grams compress to a 32 KB bitmap probed
+    * map-side, and only bloom survivors shuffle into the exact-verify
+    * join. No false negatives ⇒ bit-identical output, so the oracle
+    * is the exact n-gram SQL — the two queries agreeing IS the proof
+    * that the prefilter is lossless.
+    */
+  val decontamBloom: Q = Q(
+    "decontam_bloom",
+    (s, dir) => {
+      val docs = Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Decontam.bloomReport(docs.filter(col("split") === "train"),
+        docs.filter(col("split") =!= "train"), "doc_id", "text", n = 8,
+        mBits = 1 << 18, k = 4)
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws,
+               ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 < 0.8 AS is_train
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_train,
+               list_distinct(list_transform(
+                 range(1, greatest(len(ws) - 7, 0) + 1),
+                 i -> ('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8))::BIGINT)) AS grams
+        FROM u),
+      banned AS (
+        SELECT DISTINCT gh
+        FROM (SELECT unnest(grams) AS gh FROM g WHERE NOT is_train) s),
+      tg AS (SELECT doc_id, unnest(grams) AS gh FROM g WHERE is_train),
+      ov AS (SELECT tg.doc_id, count(*) AS n_overlap
+             FROM tg JOIN banned USING (gh) GROUP BY 1)
+      SELECT t.doc_id, len(t.grams)::INT AS n_grams,
+             coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+             coalesce(o.n_overlap, 0) > 0 AS contaminated
+      FROM g t LEFT JOIN ov o USING (doc_id) WHERE t.is_train
+    """)
+  )
+
   /** Gopher-style repetition signals: duplicate-word fraction + the
     * character fraction of the most frequent word bigram. Spark
     * computes the bigram mode with a map-side sorted-array fold (no
@@ -528,7 +570,7 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
-    curationPipeline, decontamOverlap, repetitionStats, docChunks,
+    curationPipeline, decontamOverlap, decontamBloom, repetitionStats, docChunks,
     packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters)
 }

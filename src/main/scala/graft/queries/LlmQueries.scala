@@ -563,6 +563,38 @@ object LlmQueries {
     """)
   )
 
+  /** Character-distribution Shannon entropy (quality signal). The
+    * micro-nat quantization (TextStats.charEntropy) makes the sums
+    * exact integers; the finishing expression is restated verbatim in
+    * the oracle.
+    */
+  val charEntropyQ: Q = Q(
+    "char_entropy",
+    (s, dir) => TextStats.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .select("doc_id", "n_counted", "distinct_chars", "sum_mlnm_micro", "entropy"),
+    Some("""
+      WITH counts AS (
+        SELECT doc_id, ch, count(*) AS m
+        FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        GROUP BY 1, 2),
+      per AS (
+        SELECT doc_id, m,
+               m * CAST(floor(ln(CAST(m AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS mlnm
+        FROM counts),
+      agg AS (
+        SELECT doc_id,
+               CAST(sum(m) AS BIGINT) AS n_counted,
+               count(*) AS distinct_chars,
+               CAST(sum(mlnm) AS BIGINT) AS sum_mlnm_micro
+        FROM per GROUP BY 1)
+      SELECT doc_id, n_counted, distinct_chars, sum_mlnm_micro,
+             (floor(ln(CAST(n_counted AS DOUBLE)) * 1e6 + 0.5)
+               - CAST(sum_mlnm_micro AS DOUBLE) / CAST(n_counted AS DOUBLE)) / 1e6
+               AS entropy
+      FROM agg
+    """)
+  )
+
   /** Char-8-gram rolling fingerprint (1-perm minhash over shingles). */
   val docFingerprint: Q = Q(
     "doc_fingerprint",
@@ -849,6 +881,7 @@ object LlmQueries {
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf,
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
+    charEntropyQ,
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
     knnGraphQ, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
     embeddingGram)

@@ -200,5 +200,127 @@ object RelationalQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(q1Pricing, q3TopOrders, orderReconcile, q5RegionRevenue)
+  /** TPC-H-Q13-style customer order-count distribution: LEFT join so
+    * zero-order customers survive, then a histogram of counts.
+    *
+    * Scale: orders is aggregated to one row per custkey BEFORE the
+    * join, so the custkey exchange carries |customers-with-orders|
+    * rows, not |orders| — at 100 TB that is the difference between
+    * shuffling the fact table and shuffling a key list. The second
+    * aggregate's domain is the tiny count histogram, all map-side.
+    */
+  val q13CustDist: Q = Q(
+    "q13_custdist",
+    (s, dir) => {
+      val perCust = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("c_count"))
+      Tables.customer(s, dir).select("c_custkey")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY 1
+    """)
+  )
+
+  /** TPC-H-Q18-style large-volume orders: a HAVING filter on a fact
+    * aggregate, then enrichment joins.
+    *
+    * Scale: the quantity rollup runs first (one fact shuffle with
+    * map-side partial sums); the >threshold survivors are a tiny
+    * fraction (1.4% here, far less at TPC-H's 300 cutoff), so THAT
+    * side is broadcast into orders — the orders/customer tables are
+    * never shuffled for a handful of hot keys. Pinned with an
+    * explicit `broadcast()` because the pre-AQE size estimate of an
+    * aggregate output is the input size (Catalyst would plan
+    * sort-merge and only AQE might rescue it; the hint makes the
+    * plan deterministic at every scale).
+    */
+  val q18BigOrders: Q = Q(
+    "q18_big_orders",
+    (s, dir) => {
+      val hot = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec4("l_quantity")).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      val o = Tables.orders(s, dir)
+        .join(broadcast(hot), col("o_orderkey") === col("l_orderkey"))
+      o.join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+    },
+    Some("""
+      WITH hot AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum_qty > 250.0)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      FROM hot JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    """)
+  )
+
+  /** TPC-H-Q10-style returned-item revenue by customer: which
+    * customers returned the most value in a quarter.
+    *
+    * Scale: returnflag + date filters push to both scans; the only
+    * big-big exchange is lineitem ⋈ orders on orderkey; revenue is
+    * pre-aggregated per custkey BEFORE joining the customer
+    * dimension, so the custkey join carries aggregate rows; nation
+    * (25 rows) is broadcast.
+    */
+  val q10Returns: Q = Q(
+    "q10_returns",
+    (s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (dec4("l_extendedprice") * (lit(1).cast(DecimalType(6, 4)) - rate4("l_discount")))
+            .as("rev"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val revPerCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_returned"))
+      revPerCust
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"), col("revenue"), col("n_returned"))
+    },
+    Some("""
+      WITH rpc AS (
+        SELECT o_custkey,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                             * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+                    AS VARCHAR) AS DOUBLE) AS revenue,
+               count(*) AS n_returned
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT c_custkey, c_name, c_acctbal, n_name, revenue, n_returned
+      FROM rpc JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+    """)
+  )
+
+  val all: Seq[Q] = Seq(q1Pricing, q3TopOrders, orderReconcile, q5RegionRevenue,
+    q13CustDist, q18BigOrders, q10Returns)
 }

@@ -48,6 +48,34 @@ class DecontamSpec extends SparkSpec {
       .count() == 3L) // all three pairs
   }
 
+  test("bloomReport equals the exact report (no false negatives), small bloom") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = (1L to 40L).map { i =>
+      if (i % 7 == 0) (i, s"doc $i contains the span $span verbatim here today")
+      else (i, s"doc $i unique filler words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h")
+    }.toDF("doc_id", "text")
+    val heldout = Seq((100L, s"benchmark with $span inside")).toDF("doc_id", "text")
+    val exact = Decontam.report(train, heldout, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).sorted
+    // deliberately tiny bloom (high FP rate) — exact verify must absorb it
+    val bloom = Decontam.bloomReport(train, heldout, "doc_id", "text", n = 8,
+        mBits = 256, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).sorted
+    assert(bloom === exact)
+    assert(exact.count(_._4) === train.count().toInt / 7)
+  }
+
+  test("bloomBuild bitmap is correctly sized and well spread") {
+    import spark.implicits._
+    val grams = (1L to 500L).map(i => i * 2654435761L % 4294967296L).toDF("g")
+    val mBits = 1 << 14 // ~32 bits/elem, k=4 → FP ~ 1e-3
+    val bitmap = Decontam.bloomBuild(grams, "g", mBits, 4)
+    assert(bitmap.length === mBits / 64)
+    assert(bitmap.map(java.lang.Long.bitCount).sum <= 500 * 4)
+    assert(bitmap.map(java.lang.Long.bitCount).sum > 1000) // hashes spread
+  }
+
   test("gram sets are distinct and empty below n words") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a b a b a b")) // repeated bigram, 10 words

@@ -146,4 +146,58 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"no cartesian anywhere in the LM joins:\n$plan")
   }
+
+  test("q18_big_orders: the HAVING-filtered aggregate broadcasts into orders (pinned, pre-AQE)") {
+    val df = Registry.byName("q18_big_orders").fn(spark, sf("sf0.01"))
+    // sparkPlan (pre-AQE): the hint must hold without runtime rescue
+    val plan = df.queryExecution.sparkPlan.toString
+    val orderJoin = plan.linesIterator.find(_.contains("o_orderkey")).toSeq ++
+      plan.linesIterator.filter(_.contains("BroadcastHashJoin"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot-orders aggregate must broadcast into orders:\n$plan")
+    assert(orderJoin.nonEmpty)
+  }
+
+  test("q13_custdist: orders pre-aggregates to one row per custkey BEFORE the customer join") {
+    val df = Registry.byName("q13_custdist").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the join input on the orders side must already be a HashAggregate
+    // (agg-before-join), not a raw orders scan feeding the join
+    val joinIdx = plan.linesIterator.indexWhere(_.contains("Join"))
+    val aggIdxs = plan.linesIterator.zipWithIndex
+      .filter(_._1.contains("HashAggregate")).map(_._2).toSeq
+    assert(joinIdx >= 0 && aggIdxs.exists(_ > joinIdx),
+      s"expected a HashAggregate below the join (agg-before-join):\n$plan")
+  }
+
+  test("decontam_bloom: corpus probes a literal bitmap (no broadcast, no shuffle before the filter)") {
+    val df = Registry.byName("decontam_bloom").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the bloom probe is a scan-side Filter over element_at on a
+    // literal array — it must appear, and must NOT be implemented as
+    // a join against a broadcast gram table
+    assert(plan.contains("element_at"), s"bloom bit-test filter missing:\n$plan")
+    val filterLine = plan.linesIterator.find(_.contains("element_at")).get
+    assert(filterLine.trim.startsWith("+- Filter") || filterLine.contains("Filter"),
+      s"bloom probe should be a Filter, got:\n$filterLine")
+  }
+
+  test("char_entropy: char explode is combined map-side before anything can shuffle") {
+    // at sf the single-file documents scan is one partition, so no
+    // Exchange plans at all — the durable contract is structural: the
+    // FIRST aggregate above the char explode is a partial combine on
+    // (doc_id, ch), so any exchange a bigger input forces would carry
+    // (doc,ch,count) rows, never the raw character stream
+    val df = Registry.byName("char_entropy").fn(spark, sf("sf0.01"))
+    val lines = df.queryExecution.sparkPlan.toString.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, lines.mkString("\n"))
+    val firstAggAbove = lines.take(genIdx).lastIndexWhere(_.contains("HashAggregate"))
+    assert(firstAggAbove >= 0 &&
+      lines(firstAggAbove).contains("partial_count") &&
+      lines(firstAggAbove).contains("ch#"),
+      s"explode must feed a (doc_id, ch) partial combine:\n${lines.mkString("\n")}")
+    assert(lines.slice(firstAggAbove, genIdx + 1).forall(!_.contains("Exchange")),
+      s"nothing may shuffle the raw char stream:\n${lines.mkString("\n")}")
+  }
 }
