@@ -303,6 +303,22 @@ object Multimodal {
     }
   }
 
+  /** WAV decode with the headerless-PCM16 fallback [[audioWindows]]
+    * documents (sample_rate = 16000 & n_channels = 1 defaults).
+    */
+  private def decodeOrRawPcm(bytes: Array[Byte]): (Int, Int, Array[Double]) =
+    WavCodec.decode(bytes).getOrElse {
+      val n = bytes.length / 2
+      val m = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        m(i) = (((java.lang.Byte.toUnsignedInt(bytes(2 * i + 1)) << 8) |
+          java.lang.Byte.toUnsignedInt(bytes(2 * i))).toShort) / 32768.0
+        i += 1
+      }
+      (16000, 1, m)
+    }
+
   val AudioWindowSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("sample_rate", IntegerType),
@@ -330,17 +346,7 @@ object Multimodal {
     df.mapPartitions { it =>
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](bIdx)
-        val (rate, channels, mono) = WavCodec.decode(bytes).getOrElse {
-          val n = bytes.length / 2
-          val m = new Array[Double](n)
-          var i = 0
-          while (i < n) {
-            m(i) = (((java.lang.Byte.toUnsignedInt(bytes(2 * i + 1)) << 8) |
-              java.lang.Byte.toUnsignedInt(bytes(2 * i))).toShort) / 32768.0
-            i += 1
-          }
-          (16000, 1, m)
-        }
+        val (rate, channels, mono) = decodeOrRawPcm(bytes)
         val nWin = if (mono.length < winSamples) 0
                    else (mono.length - winSamples) / hopSamples + 1
         (0 until nWin).iterator.map { w =>
@@ -359,6 +365,79 @@ object Multimodal {
         }
       }
     }(Encoders.row(AudioWindowSchema))
+  }
+
+  val AudioSpectrumSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("window_idx", IntegerType),
+    StructField("start_sample", IntegerType),
+    StructField("band_energy", ArrayType(DoubleType)),
+    StructField("dominant_band", IntegerType),
+    StructField("spectral_centroid_hz", DoubleType)))
+
+  /** Per-window band energy at fixed probe frequencies via the
+    * Goertzel recurrence — REAL frequency analysis with zero
+    * dependencies (a Goertzel probe is a 2-state IIR filter: `s =
+    * x + 2cos(ω)·s₁ − s₂`, power = `s₁² + s₂² − 2cos(ω)·s₁·s₂`),
+    * the speech/music/tone-vs-noise signal for audio curation.
+    * Output per window: per-probe energies, the argmax band (ties →
+    * lowest), and the energy-weighted centroid over the probe grid
+    * (0 Hz for silence).
+    *
+    * Same 100 TB shape as [[audioWindows]]: the per-payload window
+    * explosion happens inside the task via `mapPartitions` flatMap,
+    * so memory is bounded by one decoded payload and nothing shuffles
+    * unless a downstream aggregate asks it to. k probes cost k
+    * multiply-adds per sample — O(k·n) total, no FFT library needed.
+    */
+  def audioSpectra(df: DataFrame, idCol: String, bytesCol: String,
+                   winSamples: Int, hopSamples: Int,
+                   probesHz: Seq[Double]): DataFrame = {
+    require(winSamples > 0 && hopSamples > 0, "window/hop must be positive")
+    require(probesHz.nonEmpty, "need at least one probe frequency")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bIdx = df.schema.fieldIndex(bytesCol)
+    val probes = probesHz.toArray
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val (rate, _, mono) = decodeOrRawPcm(bytes)
+        val coeffs = probes.map(f => 2.0 * math.cos(2.0 * math.Pi * f / rate))
+        val nWin = if (mono.length < winSamples) 0
+                   else (mono.length - winSamples) / hopSamples + 1
+        (0 until nWin).iterator.map { w =>
+          val start = w * hopSamples
+          val energy = new Array[Double](probes.length)
+          var p = 0
+          while (p < probes.length) {
+            val c = coeffs(p)
+            var s1 = 0.0; var s2 = 0.0
+            var i = start
+            while (i < start + winSamples) {
+              val s = mono(i) + c * s1 - s2
+              s2 = s1; s1 = s
+              i += 1
+            }
+            // normalize by window length so energies compare across sizes
+            energy(p) = (s1 * s1 + s2 * s2 - c * s1 * s2) / winSamples
+            p += 1
+          }
+          var dom = 0
+          var tot = 0.0
+          var cen = 0.0
+          var j = 0
+          while (j < energy.length) {
+            if (energy(j) > energy(dom)) dom = j
+            tot += energy(j)
+            cen += energy(j) * probes(j)
+            j += 1
+          }
+          Row(r.getLong(idIdx), rate, w, start,
+            energy.toSeq, dom, if (tot > 0) cen / tot else 0.0)
+        }
+      }
+    }(Encoders.row(AudioSpectrumSchema))
   }
 
   val FrameSchema: StructType = StructType(Seq(

@@ -98,4 +98,53 @@ object Sampling {
     }
     df.filter(u < frac)
   }
+
+  /** Deterministic global training shuffle: every row gets a unique
+    * contiguous position 0..n−1 in a pseudo-random but reproducible
+    * order (md5-keyed), plus its data-parallel shard
+    * `pos mod nShards` — the epoch-shuffle + sharding step of a
+    * training-data writer, auditable and stable across reruns.
+    *
+    * Scale (100 TB): the naive form — `row_number() OVER (ORDER BY
+    * key)` — is a single global window: one task sorts the world.
+    * Here the sort is range-partitioned on (key, id) so every
+    * partition sorts in parallel, and global positions come from the
+    * PrefixSum offsets pattern: one count per partition to the driver
+    * (O(partitions) metadata), exclusive-prefix offsets broadcast
+    * back, then a partition-local index add. Positions equal the
+    * global sort rank regardless of where the range boundaries fall
+    * (proved against the window form in SamplingSpec).
+    */
+  def globalShuffle(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String = "shuffle"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    require(nShards > 0, "nShards must be positive")
+    val keyed = df.withColumn("skey",
+      TextHash.h60(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+    val sorted = keyed
+      .repartitionByRange(col("skey"), col(idCol))
+      .sortWithinPartitions(col("skey"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist() // count pass + index pass must see identical partitions
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // exclusive prefix over partition order (range partitioning ⇒
+    // partition order == global key order)
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    (0 to maxPid).foreach(p => offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L))
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val pidIdx = sorted.schema.fieldIndex("__pid")
+    val outSchema = sorted.schema.add("pos", LongType).add("shard", LongType)
+    val result = sorted.mapPartitions { it =>
+      var local = 0L
+      it.map { row =>
+        val pos = bc.value(row.getInt(pidIdx)) + local
+        local += 1
+        Row.fromSeq(row.toSeq :+ pos :+ pos % nShards)
+      }
+    }(Encoders.row(outSchema))
+    result.drop("__pid")
+  }
 }

@@ -253,6 +253,30 @@ object CurationQueries {
     """)
   )
 
+  /** Deterministic epoch shuffle + sharding: a reproducible global
+    * permutation of the corpus with contiguous positions and
+    * data-parallel shard assignment. The oracle is the single-window
+    * `row_number() OVER (ORDER BY skey)` form; the engine computes
+    * the same ranks with a range-partitioned parallel sort + the
+    * PrefixSum offset pattern (Sampling.globalShuffle) — the two
+    * agreeing proves the distributed form exact.
+    */
+  val globalShuffleQ: Q = Q(
+    "global_shuffle",
+    (s, dir) => Sampling.globalShuffle(Tables.documents(s, dir), "doc_id", nShards = 8)
+      .select("doc_id", "skey", "pos", "shard"),
+    Some("""
+      WITH k AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey
+        FROM documents)
+      SELECT doc_id, skey,
+             row_number() OVER (ORDER BY skey, doc_id) - 1 AS pos,
+             (row_number() OVER (ORDER BY skey, doc_id) - 1) % 8 AS shard
+      FROM k
+    """)
+  )
+
   /** Bloom-prefiltered decontamination — same contamination report as
     * `decontam_overlap`, for an eval set too big to broadcast as a
     * gram table: the banned grams compress to a 32 KB bitmap probed
@@ -570,7 +594,8 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
-    curationPipeline, decontamOverlap, decontamBloom, repetitionStats, docChunks,
+    curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ,
+    repetitionStats, docChunks,
     packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters)
 }

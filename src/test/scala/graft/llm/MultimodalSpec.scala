@@ -154,6 +154,35 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.forall(_.getDouble(5) === 0.0))
   }
 
+  test("audioSpectra: Goertzel probe at the sine's frequency dominates by orders of magnitude") {
+    import spark.implicits._
+    val rate = 8000
+    // 1 kHz sine, whole cycles per 400-sample window (50 cycles)
+    val samples = Array.tabulate[Short](1200) { i =>
+      (0.5 * 32767 * math.sin(2 * math.Pi * 1000 * i / rate)).toShort
+    }
+    val df = Seq((7L, wavBytes(rate, samples))).toDF("id", "payload")
+    val probes = Seq(250.0, 1000.0, 3000.0)
+    val out = Multimodal.audioSpectra(df, "id", "payload",
+      winSamples = 400, hopSamples = 400, probesHz = probes).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val e = r.getSeq[Double](4)
+      assert(r.getInt(5) === 1, s"dominant band should be the 1 kHz probe: $e")
+      assert(e(1) > 100 * e(0) && e(1) > 100 * e(2),
+        s"on-frequency energy must dominate off-frequency leakage: $e")
+      assert(math.abs(r.getDouble(6) - 1000.0) < 50.0, s"centroid ${r.getDouble(6)}")
+    }
+    // silence → zero energies, centroid pinned to 0
+    val quiet = Seq((8L, wavBytes(rate, Array.fill[Short](800)(0)))).toDF("id", "payload")
+    val q = Multimodal.audioSpectra(quiet, "id", "payload", 400, 400, probes).collect()
+    assert(q.length === 2)
+    q.foreach { r =>
+      assert(r.getSeq[Double](4).forall(_ === 0.0))
+      assert(r.getDouble(6) === 0.0)
+    }
+  }
+
   test("WavCodec: corrupt chunk sizes terminate (unsigned walk, no hang/crash)") {
     val good = wavBytes(8000, Array.tabulate[Short](400)(i => (i * 37).toShort))
     // data chunk size with the high bit set: signed le32 = -8 made the old

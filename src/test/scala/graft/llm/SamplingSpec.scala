@@ -107,4 +107,27 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again === lo) // partitioning-independent
   }
+
+  test("globalShuffle: contiguous permutation equal to the global window rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, s"payload$i")).toDF("id", "text")
+    val out = Sampling.globalShuffle(df, "id", nShards = 4)
+      .select("id", "pos", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // permutation: positions are exactly 0..n-1, each once
+    assert(out.map(_._2).sorted.toSeq === (0L until 500L))
+    assert(out.forall { case (_, p, s) => s == p % 4 })
+    // equals the single-window rank form
+    val keyed = df.withColumn("skey", graft.llm.TextHash.h60(
+      concat_ws(":", lit("shuffle"), col("id").cast("string"))))
+    val win = keyed.withColumn("pos",
+        row_number().over(Window.orderBy(col("skey"), col("id"))) - 1)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(out.forall { case (id, p, _) => win(id) == p })
+    // stable under input partitioning
+    val again = Sampling.globalShuffle(df.repartition(7), "id", nShards = 4)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, p, _) => again(id) == p })
+  }
 }
