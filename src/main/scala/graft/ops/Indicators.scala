@@ -144,4 +144,64 @@ object Indicators {
         when(col("avg_gain") + col("avg_loss") === 0.0, lit(50.0))
           .otherwise(lit(100.0) * col("avg_gain") / (col("avg_gain") + col("avg_loss"))))
   }
+
+  /** 4·ln2 and (2·ln2 − 1), written as correctly-rounded double
+    * literals so both engines parse the identical bit pattern (a
+    * runtime `ln(2)` could differ in the last ulp across libm).
+    */
+  private val FourLn2 = 2.7725887222397812
+  private val TwoLn2M1 = 0.3862943611198906
+
+  /** Range-based realized-volatility estimators per (key, day) from
+    * intraday OHLC candles: Parkinson (high/low range) and
+    * Garman–Klass (range + open/close drift) — 5–7× more
+    * sample-efficient than close-to-close variance, the standard
+    * daily-vol features over the candle layer.
+    *
+    * Per candle, `u = ln(H/L)` and `c = ln(C/O)` are quantized to
+    * integer MILLI-nats immediately (`ln` is not bit-reproducible
+    * cross-engine — LangModel policy; milli keeps Σu² within long
+    * range at any realistic candle count); the daily sums are then
+    * exact integer arithmetic and the estimators one fixed double
+    * expression:
+    * Parkinson² = Σu² / (4·ln2·n), GK² = (½·Σu² − (2ln2−1)·Σc²)/n
+    * (GK clamped at 0: the unbiased estimator can go negative on
+    * drift-dominated days).
+    *
+    * Scale: one candle aggregation (shuffle keyed by (key, hour),
+    * partial-aggregated map-side) + one (key, day) rollup over candle
+    * rows — both exchanges carry candle/day counts, never trades.
+    * Zero-range candles (L = H possible at low liquidity) contribute
+    * u = 0 exactly; candles with a non-positive low are dropped (ln
+    * undefined) and excluded in the oracle identically.
+    */
+  def rangeVolatility(df: DataFrame, keyCol: String, tsCol: String,
+                      priceCol: String, candleDur: String = "1 hour"): DataFrame = {
+    val candles = df
+      .groupBy(col(keyCol), window(col(tsCol), candleDur))
+      .agg(
+        min_by(col(priceCol), col(tsCol)).as("o"),
+        max(col(priceCol)).as("h"),
+        min(col(priceCol)).as("l"),
+        max_by(col(priceCol), col(tsCol)).as("c"))
+      .filter(col("l") > 0)
+    val um = floor(log(col("h") / col("l")) * lit(1e3) + lit(0.5)).cast("long")
+    val cm = floor(log(col("c") / col("o")) * lit(1e3) + lit(0.5)).cast("long")
+    candles
+      .select(col(keyCol), to_date(col("window.start")).as("day"),
+        um.as("um"), cm.as("cm"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(
+        count(lit(1)).as("n_candles"),
+        sum(col("um") * col("um")).as("sum_u2"),
+        sum(col("cm") * col("cm")).as("sum_c2"))
+      .withColumn("parkinson",
+        sqrt(col("sum_u2").cast("double") / (lit(FourLn2) * col("n_candles")) / lit(1e6)))
+      .withColumn("garman_klass",
+        sqrt(greatest(
+          (lit(0.5) * col("sum_u2").cast("double") -
+            lit(TwoLn2M1) * col("sum_c2").cast("double")) /
+            col("n_candles") / lit(1e6),
+          lit(0.0))))
+  }
 }

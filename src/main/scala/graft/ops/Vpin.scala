@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** VPIN — Volume-Synchronized Probability of Informed Trading
+  * (Easley, López de Prado, O'Hara, "Flow Toxicity and Liquidity in a
+  * High-frequency World", RFS 2012): trade flow is cut into
+  * equal-volume buckets, each trade is signed by the tick rule
+  * (up-tick → buy, down-tick → sell, no change → carry the last
+  * sign), and toxicity is the trailing-window ratio
+  * `Σ|buyVol − sellVol| / Σ bucketVol`. The flow-toxicity feature the
+  * reference's candle/OFI pipeline stops short of
+  * (`spark_src/kafka_upbit_realtime_processing.py` computes OFI but
+  * no volume-bucketed toxicity).
+  *
+  * Scale (100 TB): the volume bucketing IS the dollar-bar cumsum —
+  * [[DollarBars.withBarNum]] here (per-key window), and the
+  * [[PrefixSum]] two-phase form slots in unchanged when key count is
+  * small (the barsScalable precedent). The tick-rule sign needs the
+  * same (key, time) sort the cumsum already forces, so signing is
+  * free; after bucketing, everything is per-bucket aggregation and a
+  * bounded trailing window over buckets (thousands of rows per key,
+  * not trades).
+  *
+  * Determinism: volumes are DECIMAL end-to-end (exact, associative),
+  * price comparisons are exact, and the only doubles are the final
+  * cast-and-divide edges — bit-identical cross-engine per the
+  * Registry policy.
+  */
+object Vpin {
+
+  /** Per-(key, bucket) signed-flow aggregates + trailing VPIN.
+    *
+    * @param notionalCol must be DECIMAL (exactness of every sum)
+    * @param trailing    number of buckets in the toxicity window
+    */
+  def vpin(df: DataFrame, keyCol: String, timeCol: String,
+           priceCol: String, notionalCol: String,
+           bucketSize: Double, trailing: Int): DataFrame = {
+    require(trailing > 0, "trailing window must be positive")
+    require(df.schema(notionalCol).dataType.isInstanceOf[DecimalType],
+      s"$notionalCol must be DECIMAL for exact bucket sums")
+    val byTime = Window.partitionBy(keyCol).orderBy(col(timeCol))
+    val cumByTime = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val decZero = lit(0).cast(df.schema(notionalCol).dataType)
+
+    // tick rule: null on first trade / unchanged price, then forward-
+    // filled with last() ignoreNulls; leading run of ties → buy (+1)
+    val diff = col(priceCol) - lag(col(priceCol), 1).over(byTime)
+    val signed = df
+      .withColumn("__d", when(diff > 0, 1).when(diff < 0, -1))
+      .withColumn("sign",
+        coalesce(last(col("__d"), ignoreNulls = true).over(cumByTime), lit(1)))
+      .drop("__d")
+
+    val buckets = DollarBars
+      .withBarNum(signed, keyCol, Seq(timeCol), notionalCol, bucketSize)
+      .groupBy(col(keyCol), col("bar_num").as("bucket"))
+      .agg(
+        sum(when(col("sign") === 1, col(notionalCol)).otherwise(decZero)).as("buy_d"),
+        sum(when(col("sign") === -1, col(notionalCol)).otherwise(decZero)).as("sell_d"),
+        sum(col(notionalCol)).as("vol_d"),
+        count(lit(1)).as("n_trades"))
+
+    val trail = Window.partitionBy(keyCol).orderBy(col("bucket"))
+      .rowsBetween(-(trailing - 1), Window.currentRow)
+    buckets
+      .withColumn("imb_d", abs(col("buy_d") - col("sell_d")))
+      .withColumn("vpin",
+        sum(col("imb_d")).over(trail).cast("double") /
+          sum(col("vol_d")).over(trail).cast("double"))
+      .select(col(keyCol), col("bucket"),
+        col("buy_d").cast("double").as("buy_vol"),
+        col("sell_d").cast("double").as("sell_vol"),
+        col("vol_d").cast("double").as("bucket_vol"),
+        col("imb_d").cast("double").as("abs_imbalance"),
+        col("n_trades"), col("vpin"))
+  }
+}

@@ -183,6 +183,102 @@ object IndicatorQueries {
     """)
   )
 
+  /** VPIN flow toxicity (Easley/López de Prado/O'Hara): tick-rule
+    * signed volume in equal-volume buckets (the dollar-bar cumsum,
+    * bucket = 500 notional like dollar_bars), trailing-5-bucket
+    * |imbalance|/volume ratio. Decimal sums throughout; the tick-rule
+    * forward fill is `last(…, ignoreNulls)` = DuckDB
+    * `last_value(… IGNORE NULLS)` over the identical frame.
+    */
+  val vpinToxicity: Q = Q(
+    "vpin_toxicity",
+    (s, dir) => graft.ops.Vpin.vpin(
+      events(s, dir).select(col("user_id"), col("ts"), col("value"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(20, 4)).as("notional")),
+      "user_id", "ts", "value", "notional", bucketSize = 500.0, trailing = 5),
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                         CAST(value AS DECIMAL(20,4)) AS notional
+                  FROM events),
+      s1 AS (SELECT *, value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+             FROM ev),
+      s2 AS (SELECT *, CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 END AS draw FROM s1),
+      s3 AS (SELECT *,
+               coalesce(last_value(draw IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS sign
+             FROM s2),
+      b AS (SELECT *,
+              CAST(floor(CAST(sum(notional)
+                OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 500.0) AS INT) AS bucket
+            FROM s3),
+      g AS (SELECT user_id, bucket,
+              sum(CASE WHEN sign = 1 THEN notional ELSE CAST(0 AS DECIMAL(20,4)) END) AS buy_d,
+              sum(CASE WHEN sign = -1 THEN notional ELSE CAST(0 AS DECIMAL(20,4)) END) AS sell_d,
+              sum(notional) AS vol_d,
+              count(*) AS n_trades
+            FROM b GROUP BY 1, 2)
+      SELECT user_id, bucket,
+             CAST(buy_d AS DOUBLE) AS buy_vol,
+             CAST(sell_d AS DOUBLE) AS sell_vol,
+             CAST(vol_d AS DOUBLE) AS bucket_vol,
+             CAST(abs(buy_d - sell_d) AS DOUBLE) AS abs_imbalance,
+             n_trades,
+             CAST(sum(abs(buy_d - sell_d))
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+             CAST(sum(vol_d)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS vpin
+      FROM g
+    """)
+  )
+
+  /** Parkinson + Garman–Klass daily realized volatility from hourly
+    * candles. Milli-nat integer quantization of the per-candle logs
+    * (Indicators.rangeVolatility) makes the daily sums exact; the
+    * ln-derived constants are identical double literals on both
+    * sides.
+    */
+  val rangeVol: Q = Q(
+    "range_volatility",
+    (s, dir) => graft.ops.Indicators.rangeVolatility(
+      events(s, dir), "user_id", "ts", "value"),
+    Some("""
+      WITH w AS (
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS ws,
+               ts, value
+        FROM events),
+      c AS (
+        SELECT user_id, ws,
+               arg_min(value, ts) AS o, max(value) AS h,
+               min(value) AS l, arg_max(value, ts) AS cl
+        FROM w GROUP BY 1, 2),
+      q AS (
+        SELECT user_id, ws::DATE AS day,
+               CAST(floor(ln(h / l) * 1e3 + 0.5) AS BIGINT) AS um,
+               CAST(floor(ln(cl / o) * 1e3 + 0.5) AS BIGINT) AS cm
+        FROM c WHERE l > 0),
+      a AS (
+        SELECT user_id, day, count(*) AS n_candles,
+               CAST(sum(um * um) AS BIGINT) AS sum_u2,
+               CAST(sum(cm * cm) AS BIGINT) AS sum_c2
+        FROM q GROUP BY 1, 2)
+      SELECT user_id, day, n_candles, sum_u2, sum_c2,
+             sqrt(CAST(sum_u2 AS DOUBLE)
+                  / (CAST(2.7725887222397812 AS DOUBLE) * n_candles) / 1e6)
+               AS parkinson,
+             sqrt(greatest(
+               (CAST(0.5 AS DOUBLE) * CAST(sum_u2 AS DOUBLE)
+                  - CAST(0.3862943611198906 AS DOUBLE) * CAST(sum_c2 AS DOUBLE))
+                 / n_candles / 1e6, 0.0)) AS garman_klass
+      FROM a
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
-    twapDaily)
+    twapDaily, vpinToxicity, rangeVol)
 }

@@ -21,6 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `CAST(CAST(x AS VARCHAR) AS DOUBLE)` for any decimal with scale > 4
   * or magnitude where unscaled ≥ 2^53; Spark's BigDecimal.doubleValue
   * is correctly rounded already.
+  *
+  * Second DuckDB literal pitfall: a plain numeric literal like
+  * `2.7725887222397812` parses as DECIMAL(17,16), NOT double — an
+  * expression mixing it with doubles then runs decimal arithmetic
+  * first and diverges in the last ulp from Spark's double literal.
+  * Any high-precision constant in oracle SQL must be written
+  * `CAST(2.7725887222397812 AS DOUBLE)` (short exact literals like
+  * 0.5 / 0.25 convert exactly and may stay bare).
   */
 final case class Q(
     name: String,

@@ -76,4 +76,35 @@ class IndicatorsSpec extends SparkSpec {
     assert(Indicators.rsi(flat, "k", "t", "v", period = 14)
       .head().getAs[Double]("rsi") == 50.0)
   }
+
+  test("rangeVolatility: hand-computed Parkinson/GK from two known candles") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00").toInstant
+      .plusSeconds(m * 60L)
+    // hour 0: 100 → 110 monotone (O=100 H=110 L=100 C=110)
+    // hour 1: flat 100       (u = c = 0)
+    val rows = Seq(
+      ("a", java.sql.Timestamp.from(ts(0)), 100.0),
+      ("a", java.sql.Timestamp.from(ts(30)), 105.0),
+      ("a", java.sql.Timestamp.from(ts(59)), 110.0),
+      ("a", java.sql.Timestamp.from(ts(60)), 100.0),
+      ("a", java.sql.Timestamp.from(ts(90)), 100.0)
+    ).toDF("k", "t", "p")
+    val out = Indicators.rangeVolatility(rows, "k", "t", "p").collect()
+    assert(out.length === 1)
+    val r = out.head
+    val um = math.floor(math.log(110.0 / 100.0) * 1e3 + 0.5).toLong // 95
+    assert(r.getAs[Long]("n_candles") === 2L)
+    assert(r.getAs[Long]("sum_u2") === um * um)
+    assert(r.getAs[Long]("sum_c2") === um * um) // monotone candle: c == u
+    val fourLn2 = 2.7725887222397812
+    val twoLn2M1 = 0.3862943611198906
+    val su = (um * um).toDouble // mirror the operator: quantized sums
+    assert(r.getAs[Double]("parkinson") ===
+      math.sqrt(su / (fourLn2 * 2) / 1e6))
+    assert(r.getAs[Double]("garman_klass") ===
+      math.sqrt((0.5 * su - twoLn2M1 * su) / 2 / 1e6))
+    // GK clamp: a pure-drift candle (c² dominating) cannot go NaN
+    assert(!r.getAs[Double]("garman_klass").isNaN)
+  }
 }
