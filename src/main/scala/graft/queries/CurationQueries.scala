@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Chunking, CountMin, Decontam, Dedup, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -250,6 +250,83 @@ object CurationQueries {
              coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
              coalesce(o.n_overlap, 0) > 0 AS contaminated
       FROM g t LEFT JOIN ov o USING (doc_id) WHERE t.is_train
+    """)
+  )
+
+  /** The full BPE training loop unrolled in SQL (kmeans_cells
+    * precedent): per merge i, pair counts over the spaced-symbol word
+    * table, a 1-row (count DESC, a, b) argmax, and a literal replace
+    * of `" a b "` → `" ab "`.
+    */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder(
+      """
+      WITH w0 AS MATERIALIZED (
+        SELECT word, count(*) AS cnt,
+               ' ' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') || ' ' AS s
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+        GROUP BY 1)""")
+    for (i <- 1 to k) sb.append(s""",
+      p$i AS MATERIALIZED (
+        SELECT (p).a AS a, (p).b AS b, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt,
+                unnest(list_transform(range(1, len(l)),
+                  j -> struct_pack(a := l[j], b := l[j + 1]))) AS p
+              FROM (SELECT cnt, list_filter(string_split(s, ' '), x -> x <> '') AS l
+                    FROM w${i - 1}))
+        GROUP BY 1, 2),
+      m$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+      w$i AS MATERIALIZED (SELECT word, cnt,
+                replace(s, ' ' || (SELECT a FROM m$i) || ' ' || (SELECT b FROM m$i) || ' ',
+                           ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s
+              FROM w${i - 1})""")
+    sb.toString
+  }
+
+  private val BpeMerges = 8
+
+  /** BPE tokenizer training (Sennrich subword merges) on the corpus:
+    * the first 8 merges with their weighted pair frequencies. The
+    * engine runs the distributed loop (Bpe.train: iterations over the
+    * distinct-word table only); the oracle replays the IDENTICAL loop
+    * fully unrolled in SQL — agreement proves every pair count,
+    * every tie-break, and every left-to-right merge application.
+    */
+  val bpeVocab: Q = Q(
+    "bpe_vocab",
+    (s, dir) => {
+      import s.implicits._
+      Bpe.train(Tables.documents(s, dir), "text", BpeMerges)
+        .toDF("rank", "a", "b", "n")
+    },
+    Some(bpeCtes(BpeMerges) + "\n" +
+      (1 to BpeMerges).map(i =>
+        s"SELECT $i AS rank, a, b, n FROM m$i").mkString("\n      UNION ALL "))
+  )
+
+  /** Per-document token counts under the trained BPE vocabulary —
+    * encoding is a pure map-side expression (a chain of literal
+    * replaces; plan-asserted shuffle-free in BpeSpec), the shape that
+    * runs at scan speed over 100 TB once the merge list exists.
+    */
+  val bpeEncode: Q = Q(
+    "bpe_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = Bpe.train(docs, "text", BpeMerges)
+      Bpe.encodeCounts(docs, "doc_id", "text", merges)
+    },
+    Some(bpeCtes(BpeMerges) + s""",
+      t AS (SELECT word,
+              len(list_filter(string_split(s, ' '), x -> x <> '')) AS toks
+            FROM w$BpeMerges),
+      d AS (SELECT doc_id,
+              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM documents)
+      SELECT d.doc_id, count(*) AS n_words,
+             CAST(sum(t.toks) AS BIGINT) AS bpe_tokens,
+             CAST(sum(t.toks) AS DOUBLE) / count(*) AS tokens_per_word
+      FROM d JOIN t USING (word) GROUP BY 1
     """)
   )
 
@@ -597,5 +674,5 @@ object CurationQueries {
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ,
     repetitionStats, docChunks,
     packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
-    lmBigramScore, paragraphDedupQ, cmsHeavyHitters)
+    lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode)
 }
