@@ -44,7 +44,10 @@ object EmbeddingStats {
     * partition — O(partitions) metadata, the PrefixSum/k-means
     * precedent.
     */
-  def gram(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  /** The fused accumulator behind [[gram]]: upper-triangle cell sums
+    * in 10⁻¹² integer units plus the row count.
+    */
+  def gramTotals(df: DataFrame, vecCol: String, dim: Int): (Array[Long], Long) = {
     require(dim > 0, s"dim must be positive, got $dim")
     val spark = df.sparkSession
     import spark.implicits._
@@ -79,10 +82,72 @@ object EmbeddingStats {
       var k = 0
       while (k < cells) { total(k) += acc(k); k += 1 }
     }
+    (total, rows)
+  }
+
+  def gram(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val (total, rows) = gramTotals(df, vecCol, dim)
     val out = for { i <- 0 until dim; j <- i until dim } yield {
       val k = i * dim - i * (i - 1) / 2 + (j - i)
       (i, j, total(k).toDouble / 1e12, rows)
     }
     spark.createDataFrame(out).toDF("i", "j", "s", "n")
+  }
+
+  /** Dominant principal direction of the (uncentered) Gram by fixed-
+    * count power iteration, plus the per-vector projection score —
+    * the PCA/whitening first component over an embedding column.
+    *
+    * The iteration is O(iters·dim²) DRIVER math on the collected
+    * integer Gram (dim=64 → trivial); the expensive parts stay
+    * distributed: one [[gramTotals]] pass to build G, one map-side
+    * projection pass to score every vector (a zip_with/aggregate fold
+    * against the broadcast literal direction — no shuffle, no UDF).
+    *
+    * Determinism: G's cells are exact integers ÷ 10¹²; every fold
+    * (matvec j-ascending, norm i-ascending, projection d-ascending)
+    * is a sequential left fold restated identically in the oracle's
+    * `list_reduce`, so the direction and every score are
+    * bit-identical cross-engine after `iters` iterations from the
+    * all-ones start vector (no convergence test — a fixed iteration
+    * count is what an oracle can replay).
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 iters: Int): DataFrame = {
+    val (total, _) = gramTotals(df, vecCol, dim)
+    val g = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val k = i * dim - i * (i - 1) / 2 + (j - i)
+      val s = total(k).toDouble / 1e12
+      g(i)(j) = s
+      g(j)(i) = s
+    }
+    var v = Array.fill(dim)(1.0)
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      var nrm2 = 0.0
+      i = 0
+      while (i < dim) { nrm2 += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(nrm2)
+      i = 0
+      while (i < dim) { w(i) = w(i) / nrm; i += 1 }
+      v = w
+      it += 1
+    }
+    val dir = typedlit(v.toSeq)
+    df.select(col(idCol), Similarity.toDoubleVec(col(vecCol)).as("__v"))
+      .select(col(idCol),
+        aggregate(zip_with(col("__v"), dir, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x).as("pc1"))
   }
 }

@@ -878,11 +878,61 @@ object LlmQueries {
     """)
   )
 
+  /** The power-iteration loop unrolled in SQL: per iteration, a
+    * matvec against the Gram row lists, then L2 normalization — every
+    * fold a `list_reduce` in the same ascending order as the engine's
+    * driver loop.
+    */
+  private def pcaCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """
+      WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS MATERIALIZED (
+        SELECT i, j, floor(v[(i + 1)::INT] * v[(j + 1)::INT] * 1e12 + 0.5)::BIGINT AS p
+        FROM e CROSS JOIN range(64) r(i) CROSS JOIN range(64) s(j)),
+      gm AS MATERIALIZED (
+        SELECT i, list(CAST(CAST(sum_p AS BIGINT) AS DOUBLE) / 1e12 ORDER BY j) AS grow
+        FROM (SELECT i, j, sum(p) AS sum_p FROM p GROUP BY 1, 2) GROUP BY i),
+      it0 AS MATERIALIZED (SELECT list_transform(range(64), x -> 1.0) AS v)""")
+    for (n <- 1 to iters) sb.append(s""",
+      w$n AS MATERIALIZED (
+        SELECT i, list_reduce(list_transform(range(1, 65),
+          j -> grow[j::INT] * pv[j::INT]), (a, b) -> a + b) AS wi
+        FROM gm CROSS JOIN (SELECT v AS pv FROM it${n - 1}) prev),
+      l$n AS MATERIALIZED (SELECT list(wi ORDER BY i) AS l FROM w$n),
+      it$n AS MATERIALIZED (
+        SELECT list_transform(l, x ->
+          x / sqrt(list_reduce(list_transform(l, y -> y * y), (a, b) -> a + b))) AS v
+        FROM l$n)""")
+    sb.toString
+  }
+
+  private val PcaIters = 12
+
+  /** First principal component scores over the embedding table: the
+    * Gram accumulator (embedding_gram) collapses 100 TB of vectors to
+    * a 64×64 integer matrix, fixed-count power iteration runs on the
+    * driver, and the scores are one shuffle-free projection pass. The
+    * oracle rebuilds the Gram AND replays all 12 iterations in SQL —
+    * agreement proves the whole chain bit-for-bit.
+    */
+  val pcaProjectQ: Q = Q(
+    "pca_project",
+    (s, dir) => EmbeddingStats.pcaProject(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dim = 64, iters = PcaIters),
+    Some(pcaCtes(PcaIters) + s"""
+      SELECT e.vec_id,
+             list_reduce(list_transform(range(1, 65),
+               d -> f.v[d::INT] * e.v[d::INT]), (a, b) -> a + b) AS pc1
+      FROM e CROSS JOIN it$PcaIters f
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf,
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
     charEntropyQ,
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
     knnGraphQ, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
-    embeddingGram)
+    embeddingGram, pcaProjectQ)
 }

@@ -321,6 +321,62 @@ object RelationalQueries {
     """)
   )
 
+  /** Data-quality constraint report over the fact/dim pair — the
+    * publish gate of an ingest pipeline. All row-local checks
+    * (completeness, uniqueness cardinality, ranges) fuse into ONE
+    * aggregate pass over lineitem (DataQuality.run); the two
+    * referential checks are key-projected anti-joins. The testdata
+    * makes the report non-trivial: (l_orderkey, l_linenumber) is NOT
+    * unique and 257 orders have no lineitems — two true failures
+    * among four passes.
+    */
+  val dqReport: Q = Q(
+    "dq_report",
+    (s, dir) => {
+      import graft.ops.DataQuality
+      import DataQuality._
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      DataQuality.run(li, Seq(
+        Completeness("l_orderkey"),
+        Uniqueness(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_discount", 0.0, 0.5),
+        InRange("l_quantity", 1.0, 50.0),
+        SubsetOf("l_orderkey", o, "o_orderkey", "orders")))
+        .unionByName(DataQuality.run(o, Seq(
+          SubsetOf("o_orderkey", li, "l_orderkey", "lineitem"))))
+    },
+    Some("""
+      WITH li AS (
+        SELECT count(*) AS n, count(l_orderkey) AS c_ok,
+               count(DISTINCT (l_orderkey, l_linenumber)) AS u,
+               sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS r_disc,
+               sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS r_qty
+        FROM lineitem),
+      ri1 AS (SELECT count(*) AS v
+              FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+              LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                ON l_orderkey = o_orderkey
+              WHERE o_orderkey IS NULL),
+      ri2 AS (SELECT count(*) AS v
+              FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) o
+              LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+                ON o_orderkey = l_orderkey
+              WHERE l_orderkey IS NULL)
+      SELECT 'completeness.l_orderkey' AS check_name,
+             CAST(c_ok AS DOUBLE) / n AS metric,
+             CAST(c_ok AS DOUBLE) / n >= 1.0 AS passed FROM li
+      UNION ALL SELECT 'uniqueness.l_orderkey_l_linenumber',
+             CAST(u AS DOUBLE) / n, u = n FROM li
+      UNION ALL SELECT 'range.l_discount', CAST(r_disc AS DOUBLE), r_disc = 0 FROM li
+      UNION ALL SELECT 'range.l_quantity', CAST(r_qty AS DOUBLE), r_qty = 0 FROM li
+      UNION ALL SELECT 'subset.l_orderkey_in_orders',
+             CAST((SELECT v FROM ri1) AS DOUBLE), (SELECT v FROM ri1) = 0
+      UNION ALL SELECT 'subset.o_orderkey_in_lineitem',
+             CAST((SELECT v FROM ri2) AS DOUBLE), (SELECT v FROM ri2) = 0
+    """)
+  )
+
   val all: Seq[Q] = Seq(q1Pricing, q3TopOrders, orderReconcile, q5RegionRevenue,
-    q13CustDist, q18BigOrders, q10Returns)
+    q13CustDist, q18BigOrders, q10Returns, dqReport)
 }

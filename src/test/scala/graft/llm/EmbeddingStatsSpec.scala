@@ -31,4 +31,24 @@ class EmbeddingStatsSpec extends SparkSpec {
       assert(out.where(col("n") =!= rows).count() === 0)
     } finally out.unpersist()
   }
+
+  test("pcaProject recovers the dominant axis of an anisotropic cloud") {
+    import spark.implicits._
+    // variance 60 along x, 2 along y → G = diag(60, 2); after 12
+    // iterations from (1,1) the y-component is (2/60)^12 ≈ 1e-18, so
+    // the direction is (1, ~0) and pc1(v) == v.x to ~1e-9
+    val vecs = Seq(
+      (1L, Array(2f, 0f)), (2L, Array(4f, 0f)), (3L, Array(-2f, 0f)),
+      (4L, Array(6f, 0f)), (5L, Array(0f, 1f)), (6L, Array(0f, -1f))
+    ).toDF("vec_id", "embedding")
+    val out = EmbeddingStats.pcaProject(vecs, "vec_id", "embedding",
+        dim = 2, iters = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - 2.0) < 1e-9)
+    assert(math.abs(out(4L) - 6.0) < 1e-9)
+    assert(math.abs(out(3L) + 2.0) < 1e-9)
+    assert(math.abs(out(5L)) < 1e-9) // orthogonal to the dominant axis
+    // scores are linear in the input along the dominant axis
+    assert(math.abs(out(2L) / out(1L) - 2.0) < 1e-9)
+  }
 }
