@@ -72,4 +72,30 @@ object Compaction {
   def latestMerge(parts: Seq[DataFrame], keyCols: Seq[String],
                   orderCols: Seq[String]): DataFrame =
     latest(parts.reduce(_.unionByName(_)), keyCols, orderCols)
+
+  /** Incremental DISTINCT counting — the non-exact sibling of
+    * [[stats]]: per-key HyperLogLog sketches (Spark's Datasketches
+    * `hll_sketch_agg`) persisted as binary state. Like the decimal
+    * sums, sketches are a mergeable commutative monoid:
+    * `union(sketch(A), sketch(B))` estimates exactly what
+    * `sketch(A ∪ B)` estimates (property-checked in SketchSpec),
+    * so each batch sketches only its delta and the daily merge folds
+    * O(keys) sketch blobs — the 100 TB distinct-users-per-day shape
+    * where exact distinct would reshuffle all history every day.
+    */
+  def distinctSketch(df: DataFrame, keyCols: Seq[String],
+                     valCol: String, lgK: Int = 12): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valCol), lit(lgK)).as("dv_sketch"))
+
+  /** Merge sketch states (re-aggregate the partials). */
+  def distinctMerge(parts: Seq[DataFrame], keyCols: Seq[String]): DataFrame =
+    parts.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(hll_union_agg(col("dv_sketch")).as("dv_sketch"))
+
+  /** Final user-facing estimate column. */
+  def distinctFinish(df: DataFrame): DataFrame =
+    df.withColumn("distinct_est", hll_sketch_estimate(col("dv_sketch")))
+      .drop("dv_sketch")
 }

@@ -166,4 +166,65 @@ object StatefulFeatures {
         })
       .toDF()
   }
+
+  case class VpinTick(key: Long, tsUs: Long, price: Double, vol: Double)
+  case class VpinState(prevPrice: Double, sign: Int, hasPrev: Boolean,
+                       bucket: Long, cum: Double, buy: Double, sell: Double,
+                       nTrades: Long)
+  case class VpinBucket(key: Long, bucket: Long, buyVol: Double, sellVol: Double,
+                        bucketVol: Double, absImbalance: Double, nTrades: Long)
+
+  /** Streaming VPIN volume buckets — the stateful form of
+    * `graft.ops.Vpin.vpin`'s bucket layer: tick-rule signing and
+    * equal-volume bucket accumulation as O(1)-per-key state (previous
+    * price, carried sign, running cumsum, open-bucket sums). A bucket
+    * row is EMITTED the moment the cumsum crosses its boundary
+    * (append mode emits only closed buckets; the open bucket stays in
+    * state) — on in-order input the emitted rows equal the batch
+    * operator's per-bucket aggregates row-for-row except the final
+    * open bucket (VpinStreamSpec).
+    *
+    * Numeric note: the streaming accumulator sums doubles in arrival
+    * order, the batch form sums DECIMAL; they agree bit-for-bit when
+    * volumes are exactly representable (integers / small binary
+    * fractions), and to double rounding otherwise.
+    */
+  def vpinBuckets(ticks: DataFrame, bucketSize: Double): DataFrame = {
+    import ticks.sparkSession.implicits._
+    val typed = ticks
+      .select(col("key").cast("long"), col("tsUs").cast("long"),
+        col("price").cast("double"), col("vol").cast("double"))
+      .as[VpinTick]
+    typed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[VpinTick], state: GroupState[VpinState]) => {
+          val batch = it.toArray.sortBy(_.tsUs)
+          var st = state.getOption.getOrElse(
+            VpinState(0.0, 1, hasPrev = false, 0L, 0.0, 0.0, 0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[VpinBucket]
+          batch.foreach { t =>
+            val sign =
+              if (!st.hasPrev) 1
+              else if (t.price > st.prevPrice) 1
+              else if (t.price < st.prevPrice) -1
+              else st.sign
+            val cum = st.cum + t.vol
+            val b = math.floor(cum / bucketSize).toLong
+            if (b != st.bucket && st.nTrades > 0) {
+              out += VpinBucket(key, st.bucket, st.buy, st.sell,
+                st.buy + st.sell, math.abs(st.buy - st.sell), st.nTrades)
+              st = st.copy(bucket = b, buy = 0.0, sell = 0.0, nTrades = 0L)
+            } else if (b != st.bucket) st = st.copy(bucket = b)
+            st = st.copy(
+              prevPrice = t.price, sign = sign, hasPrev = true, cum = cum,
+              buy = st.buy + (if (sign == 1) t.vol else 0.0),
+              sell = st.sell + (if (sign == -1) t.vol else 0.0),
+              nTrades = st.nTrades + 1)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
 }
