@@ -279,6 +279,50 @@ object IndicatorQueries {
     """)
   )
 
+  /** Rolling 24-slot Pearson correlation between bucketed instrument
+    * pairs over aligned hourly closes — bollinger's decimal-moment
+    * policy extended to cross-moments (Σxy exact, one double formula
+    * at the edge).
+    */
+  val pairCorrelation: Q = Q(
+    "pair_correlation",
+    (s, dir) => graft.ops.Indicators.rollingPairCorrelation(
+      events(s, dir).select("user_id", "ts", "value"),
+      "user_id", "ts", "value", slotDur = "1 hour", n = 24, bucketSize = 10),
+    Some("""
+      WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      cl AS (
+        SELECT user_id AS k, CAST(floor(user_id / 10) AS BIGINT) AS bkt,
+               make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS slot,
+               CAST(arg_max(value, ts) AS DECIMAL(18,4)) AS c
+        FROM ev GROUP BY 1, 2, 3),
+      p AS (
+        SELECT a.k AS k1, b.k AS k2, a.slot, a.c AS x, b.c AS y
+        FROM cl a JOIN cl b ON a.bkt = b.bkt AND a.slot = b.slot
+        WHERE a.k < b.k),
+      m AS (
+        SELECT k1, k2, slot, x, y,
+               count(*) OVER w AS n_slots,
+               CAST(count(*) OVER w AS DOUBLE) AS cd,
+               CAST(sum(x) OVER w AS DOUBLE) AS sx,
+               CAST(sum(y) OVER w AS DOUBLE) AS sy,
+               CAST(CAST(sum(x * y) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(sum(x * x) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(y * y) OVER w AS VARCHAR) AS DOUBLE) AS syy
+        FROM p
+        WINDOW w AS (PARTITION BY k1, k2 ORDER BY slot
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      SELECT k1, k2, slot,
+             CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y, n_slots,
+             CASE WHEN cd * sxx - sx * sx <= 0.0::DOUBLE
+                    OR cd * syy - sy * sy <= 0.0::DOUBLE THEN NULL
+                  ELSE (cd * sxy - sx * sy)
+                       / (sqrt(cd * sxx - sx * sx) * sqrt(cd * syy - sy * sy))
+             END AS corr
+      FROM m
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
-    twapDaily, vpinToxicity, rangeVol)
+    twapDaily, vpinToxicity, rangeVol, pairCorrelation)
 }

@@ -107,4 +107,31 @@ class IndicatorsSpec extends SparkSpec {
     // GK clamp: a pure-drift candle (c² dominating) cannot go NaN
     assert(!r.getAs[Double]("garman_klass").isNaN)
   }
+
+  test("rollingPairCorrelation: perfect, inverse, and degenerate pairs") {
+    import spark.implicits._
+    val h = 3600L * 1000000
+    def ts(slot: Int) = new java.sql.Timestamp((slot * h + 1) / 1000)
+    // keys 1,2,3 in one bucket: 2 = 1's prices doubled (corr 1),
+    // 3 moves opposite to 1 (corr -1); key 4 constant vs nothing
+    val rows = (0 until 6).flatMap { s =>
+      Seq((1L, ts(s), 10.0 + s), (2L, ts(s), 20.0 + 2 * s),
+        (3L, ts(s), 10.0 - s), (4L, ts(s), 7.0))
+    }.toDF("user_id", "ts", "value")
+    val out = Indicators.rollingPairCorrelation(rows, "user_id", "ts", "value",
+        slotDur = "1 hour", n = 4, bucketSize = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getTimestamp(2)),
+        (r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val lastSlot = ts(5)
+    assert(out((1L, 2L, lastSlot))._2.exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(out((1L, 3L, lastSlot))._2.exists(c => math.abs(c + 1.0) < 1e-12))
+    // constant series: zero variance → null, never NaN/∞
+    assert(out((1L, 4L, lastSlot))._2.isEmpty)
+    // first slot of any pair: single point → zero variance → null
+    assert(out((1L, 2L, ts(0)))._2.isEmpty)
+    // trailing frame caps at n=4 slots
+    assert(out((1L, 2L, lastSlot))._1 === 4L)
+  }
 }
