@@ -122,9 +122,12 @@ object Decontam {
   def bloomReport(train: DataFrame, heldout: DataFrame, idCol: String,
                   textCol: String, n: Int, mBits: Int = 1 << 20,
                   k: Int = 4): DataFrame = {
+    // read twice (bloom build + exact verify join); cached for the
+    // result's lifetime — at production scale write the gram table
+    // out instead (the selfOverlapPairs note)
     val banned = heldout
       .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
-      .persist() // read twice: bloom build + exact verify join
+      .persist()
     val bitmap = typedlit(bloomBuild(banned, "g", mBits, k))
     val trainG = train.select(col(idCol).as("doc_id"),
       gramHashes(col(textCol), n).as("grams"))

@@ -122,11 +122,16 @@ object Sampling {
     require(nShards > 0, "nShards must be positive")
     val keyed = df.withColumn("skey",
       TextHash.h60(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+    // count pass + index pass must see identical partitions. The cache
+    // lives as long as the caller holds the result (ContextCleaner
+    // reclaims it afterwards); a per-epoch production writer should
+    // instead write the shuffled output and drop the frame — the
+    // selfOverlapPairs materialize-vs-cache note applies here too.
     val sorted = keyed
       .repartitionByRange(col("skey"), col(idCol))
       .sortWithinPartitions(col("skey"), col(idCol))
       .withColumn("__pid", spark_partition_id())
-      .persist() // count pass + index pass must see identical partitions
+      .persist()
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // exclusive prefix over partition order (range partitioning ⇒

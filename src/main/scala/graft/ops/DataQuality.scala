@@ -57,7 +57,11 @@ object DataQuality {
     val rowLocal = checks.filter(!_.isInstanceOf[SubsetOf])
     val aggs: Seq[Column] = count(lit(1)).as("__n") +: rowLocal.map {
       case Completeness(c, _) => count(col(c)).cast("double").as(s"m_${c}_comp")
-      case Uniqueness(cs)     => count_distinct(col(cs.head), cs.tail.map(col): _*)
+      // distinct over the STRUCT so rows with a null key component
+      // still count as a distinct tuple (plain count_distinct(a, b)
+      // drops them — diverging from SQL's struct-distinct and
+      // reporting false uniqueness failures on nullable keys)
+      case Uniqueness(cs)     => count_distinct(struct(cs.map(col): _*))
         .cast("double").as(s"m_${cs.mkString("_")}_uniq")
       case InRange(c, lo, hi) => sum(when(col(c) < lo || col(c) > hi, 1L)
         .otherwise(0L)).cast("double").as(s"m_${c}_range")
@@ -66,7 +70,9 @@ object DataQuality {
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     val n = row.getLong(0).toDouble
     val local = rowLocal.zipWithIndex.map { case (chk, i) =>
-      val m = row.getDouble(i + 1)
+      // sum() over zero rows is NULL — an empty table has zero
+      // violations, not a crash
+      val m = if (row.isNullAt(i + 1)) 0.0 else row.getDouble(i + 1)
       chk match {
         case Completeness(_, atLeast) =>
           (chk.name, if (n == 0) 1.0 else m / n, (if (n == 0) 1.0 else m / n) >= atLeast)

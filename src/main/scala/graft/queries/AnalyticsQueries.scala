@@ -523,8 +523,50 @@ object AnalyticsQueries {
     """)
   )
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the behavioral-sequence model behind next-event
+    * prediction and anomaly scoring. One user-keyed lag window (the
+    * sequence must be read in order), then a |types|²-bounded
+    * aggregate; probabilities are exact integer ratios divided once
+    * in DOUBLE.
+    *
+    * Scale: the only full-width exchange is the per-user window sort;
+    * the transition aggregate partial-combines map-side to the tiny
+    * (from, to) domain, and the per-from normalizing window runs on
+    * |types|² rows.
+    */
+  val eventTransitions: Q = Q(
+    "event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      t.withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_type
+        FROM events),
+      t AS (
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM t
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
-    groupingSetsStats, scd2History, knnTriangles)
+    groupingSetsStats, scd2History, knnTriangles, eventTransitions)
 }

@@ -263,7 +263,7 @@ object CurationQueries {
       """
       WITH w0 AS MATERIALIZED (
         SELECT word, count(*) AS cnt,
-               ' ' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') || ' ' AS s
+               ' ' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') AS s
         FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
         GROUP BY 1)""")
     for (i <- 1 to k) sb.append(s""",
@@ -277,9 +277,11 @@ object CurationQueries {
         GROUP BY 1, 2),
       m$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
       w$i AS MATERIALIZED (SELECT word, cnt,
-                replace(s, ' ' || (SELECT a FROM m$i) || ' ' || (SELECT b FROM m$i) || ' ',
-                           ' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS s
-              FROM w${i - 1})""")
+                list_reduce(
+                  list_prepend('', list_filter(string_split(s, ' '), x -> x <> '')),
+                  (acc, t) -> CASE WHEN ends_with(acc, ' ' || a) AND t = b
+                                   THEN acc || b ELSE acc || ' ' || t END) AS s
+              FROM w${i - 1} CROSS JOIN m$i)""")
     sb.toString
   }
 
@@ -297,7 +299,7 @@ object CurationQueries {
     (s, dir) => {
       import s.implicits._
       Bpe.train(Tables.documents(s, dir), "text", BpeMerges)
-        .toDF("rank", "a", "b", "n")
+        .merges.toDF("rank", "a", "b", "n")
     },
     Some(bpeCtes(BpeMerges) + "\n" +
       (1 to BpeMerges).map(i =>
@@ -305,16 +307,16 @@ object CurationQueries {
   )
 
   /** Per-document token counts under the trained BPE vocabulary —
-    * encoding is a pure map-side expression (a chain of literal
-    * replaces; plan-asserted shuffle-free in BpeSpec), the shape that
-    * runs at scan speed over 100 TB once the merge list exists.
+    * encoding joins the corpus' (doc, word) pairs against the trained
+    * word→token-count dictionary, so per-word tokenization cost is
+    * paid once per DISTINCT word at training time and the 100 TB
+    * encode pass ships one small int per word occurrence.
     */
   val bpeEncode: Q = Q(
     "bpe_encode",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val merges = Bpe.train(docs, "text", BpeMerges)
-      Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      Bpe.encodeCounts(docs, "doc_id", "text", Bpe.train(docs, "text", BpeMerges))
     },
     Some(bpeCtes(BpeMerges) + s""",
       t AS (SELECT word,

@@ -23,10 +23,21 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
     assert(out("completeness.id") === ((0.75, true)))
     assert(out("completeness.tag") === ((1.0, true)))
-    // count_distinct ignores the null row → 2 distinct of 4 rows
-    assert(out("uniqueness.id") === ((0.5, false)))
+    // struct distinct counts the null-id tuple: {1, 2, null} of 4 rows
+    assert(out("uniqueness.id") === ((0.75, false)))
     assert(out("range.v") === ((1.0, false)))
     assert(out("subset.id_in_ref") === ((1.0, false))) // id=2 missing from ref
+  }
+
+  test("empty table: completeness/uniqueness vacuously pass, zero range violations") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val out = DataQuality.run(empty, Seq(
+      Completeness("id"), Uniqueness(Seq("id")), InRange("v", 0.0, 1.0)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out("completeness.id") === ((1.0, true)))
+    assert(out("uniqueness.id") === ((1.0, true)))
+    assert(out("range.v") === ((0.0, true)))
   }
 
   test("adding row-local checks adds aggregate expressions, not Spark jobs") {
