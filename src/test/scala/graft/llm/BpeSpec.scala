@@ -52,6 +52,64 @@ class BpeSpec extends SparkSpec {
     assert(out.getAs[Double]("tokens_per_word") === 3.0)
   }
 
+  /** Naive single-machine BPE (Sennrich reference algorithm) for
+    * cross-checking the distributed trainer: word→symbol lists,
+    * weighted pair counts, (count DESC, a, b) argmax, greedy
+    * left-to-right non-overlapping merge.
+    */
+  private def naiveBpe(wordCnt: Map[String, Long],
+                       numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordCnt.map { case (w, c) => w.split("").filter(_.nonEmpty).toVector -> c }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _            =>
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), m) => (-m, x, y) }
+        out += ((rank, a, b, n))
+        words = words.map { case (syms, c) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> c
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("distributed train equals the naive reference BPE on random corpora (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // small alphabet forces repeats, multi-char merges, and ties
+      val vocab = Seq.fill(30)((1 to (1 + rnd.nextInt(6)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val text = Seq.fill(120)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val wordCnt = text.split(" ").groupBy(identity)
+        .map { case (w, ws) => w -> ws.length.toLong }
+      val expected = naiveBpe(wordCnt, 6)
+      val got = Bpe.train(df, "text", 6).merges
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("merging to exhaustion stops early and single-symbol words survive") {
     import spark.implicits._
     val tiny = Seq((1L, "a a b")).toDF("doc_id", "text")
