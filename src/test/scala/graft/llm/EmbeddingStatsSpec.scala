@@ -51,4 +51,32 @@ class EmbeddingStatsSpec extends SparkSpec {
     // scores are linear in the input along the dominant axis
     assert(math.abs(out(2L) / out(1L) - 2.0) < 1e-9)
   }
+
+  test("power iteration at the query's iteration count: Rayleigh residual within the documented bound") {
+    val emb = Tables.embeddings(spark, sf())
+    val (total, _) = EmbeddingStats.gramTotals(emb, "embedding", 64)
+    val g = Array.ofDim[Double](64, 64)
+    for (i <- 0 until 64; j <- i until 64) {
+      val k = i * 64 - i * (i - 1) / 2 + (j - i)
+      val v = total(k).toDouble / 1e12
+      g(i)(j) = v; g(j)(i) = v
+    }
+    // rerun the operator's exact iteration (40 iters, ones start) and
+    // check ||Gv − λv||/λ. Convergence is eigengap-limited on this
+    // spectrum: measured 5.2% @ 12, 1.2% @ 40, 0.06% @ 80 — the
+    // operator docs promise ~1.2% at its 40-iteration setting.
+    var v = Array.fill(64)(1.0)
+    for (_ <- 1 to 40) {
+      val w = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / n)
+    }
+    val gv = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+    val lambda = (0 until 64).map(i => v(i) * gv(i)).sum // Rayleigh quotient
+    val residual = math.sqrt((0 until 64).map(i => {
+      val d = gv(i) - lambda * v(i); d * d
+    }).sum) / lambda
+    assert(lambda > 0)
+    assert(residual < 0.02, s"residual $residual exceeds the documented ~1.2% bound")
+  }
 }

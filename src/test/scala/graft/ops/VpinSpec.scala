@@ -41,6 +41,36 @@ class VpinSpec extends SparkSpec {
     assert(out.toSeq === expected)
   }
 
+  test("bucket layer equals a naive single-machine reference on random trades (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 200).map { t =>
+        ("k1", t, 100.0 + rnd.nextInt(5) - 2, (1 + rnd.nextInt(4)) * 5.0)
+      }
+      val df = rows.toDF("k", "t", "price", "vol")
+        .withColumn("notional", col("vol").cast(DecimalType(20, 4)))
+      val got = Vpin.vpin(df, "k", "t", "price", "notional", bucketSize = 50.0,
+          trailing = 3)
+        .collect()
+        .map(r => r.getInt(1) -> ((r.getDouble(2), r.getDouble(3), r.getLong(6))))
+        .toMap
+      // naive: sequential signs and bucket accumulation
+      var (prev, sign, cum) = (0.0, 1, 0.0)
+      val acc = scala.collection.mutable.Map.empty[Int, (Double, Double, Long)]
+      rows.zipWithIndex.foreach { case ((_, _, p, v), i) =>
+        if (i > 0) sign = if (p > prev) 1 else if (p < prev) -1 else sign
+        cum += v
+        val b = math.floor(cum / 50.0).toInt
+        val (buy, sell, n) = acc.getOrElse(b, (0.0, 0.0, 0L))
+        acc(b) = (buy + (if (sign == 1) v else 0.0),
+          sell + (if (sign == -1) v else 0.0), n + 1)
+        prev = p
+      }
+      assert(got === acc.toMap, s"seed $seed")
+    }
+  }
+
   test("vpin is within [0, 1] and buckets partition the flow on real data") {
     val ev = graft.Tables.events(spark, sf())
       .select(col("user_id"), col("ts"), col("value"),
