@@ -323,6 +323,83 @@ object IndicatorQueries {
     """)
   )
 
+  /** Per-trade transaction-cost analysis (TCA): effective spread
+    * `2|p − mid₀|`, realized spread `2·s·(p − mid_Δ)`, and price
+    * impact `2·s·(mid_Δ − mid₀)` with `s` the Lee-Ready-lite side
+    * sign vs the prevailing mid. `mid₀` = backward as-of quote at the
+    * trade, `mid_Δ` = forward as-of quote ≥ 5 minutes later — the
+    * composition of both as-of directions over the same quote
+    * stream. All spreads are per-row double arithmetic (no reordering
+    * sums), so determinism needs no quantization.
+    *
+    * Scale: two as-of joins on the SAME (user, time) sort — the join
+    * machinery is AsOfJoin.directional (join+rank; the native
+    * operator or single-shuffle union form slot in unchanged); output
+    * is one row per trade.
+    */
+  val tcaSpread: Q = Q(
+    "tca_spread",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val quotes = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("q_ts"), col("value").as("mid"))
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value").as("price"))
+      val before = graft.ops.AsOfJoin.directional(trades, quotes, "user_id",
+          "ts", "q_ts", expr("INTERVAL 1 DAY"), Seq("user_id", "event_id"), "backward")
+        .select(col("user_id"), col("event_id"), col("ts"), col("price"),
+          col("mid").as("mid_before"))
+        .withColumn("h_ts", col("ts") + expr("INTERVAL 5 MINUTES"))
+      val both = graft.ops.AsOfJoin.directional(before, quotes, "user_id",
+          "h_ts", "q_ts", expr("INTERVAL 1 DAY"), Seq("user_id", "event_id"), "forward")
+        .select(col("user_id"), col("event_id"), col("ts"), col("price"),
+          col("mid_before"), col("mid").as("mid_after"))
+      val sgn = when(col("price") >= col("mid_before"), 1).otherwise(-1)
+      both.filter(col("mid_before").isNotNull)
+        .withColumn("side_sign", sgn)
+        .withColumn("effective_spread",
+          lit(2.0) * abs(col("price") - col("mid_before")))
+        .withColumn("realized_spread",
+          when(col("mid_after").isNotNull,
+            lit(2.0) * col("side_sign") * (col("price") - col("mid_after"))))
+        .withColumn("price_impact",
+          when(col("mid_after").isNotNull,
+            lit(2.0) * col("side_sign") * (col("mid_after") - col("mid_before"))))
+    },
+    Some("""
+      WITH q AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS q_ts, value AS mid
+                 FROM events WHERE event_type = 'view'),
+      tr AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value AS price
+             FROM events WHERE event_type = 'purchase'),
+      b AS (
+        SELECT tr.user_id, tr.event_id, tr.ts, tr.price, q.mid AS mid_before
+        FROM tr LEFT JOIN q
+          ON tr.user_id = q.user_id
+         AND q.q_ts <= tr.ts AND q.q_ts >= tr.ts - INTERVAL 1 DAY
+        QUALIFY row_number() OVER (PARTITION BY tr.user_id, tr.event_id
+                                   ORDER BY q.q_ts DESC NULLS LAST) = 1),
+      a AS (
+        SELECT b.user_id, b.event_id, b.ts, b.price, b.mid_before,
+               q.mid AS mid_after
+        FROM b LEFT JOIN q
+          ON b.user_id = q.user_id
+         AND q.q_ts >= b.ts + INTERVAL 5 MINUTE
+         AND q.q_ts <= b.ts + INTERVAL 5 MINUTE + INTERVAL 1 DAY
+        QUALIFY row_number() OVER (PARTITION BY b.user_id, b.event_id
+                                   ORDER BY q.q_ts ASC NULLS LAST) = 1)
+      SELECT user_id, event_id, ts, price, mid_before, mid_after,
+             CASE WHEN price >= mid_before THEN 1 ELSE -1 END AS side_sign,
+             2.0::DOUBLE * abs(price - mid_before) AS effective_spread,
+             CASE WHEN mid_after IS NOT NULL THEN
+               2.0::DOUBLE * (CASE WHEN price >= mid_before THEN 1 ELSE -1 END)
+                 * (price - mid_after) END AS realized_spread,
+             CASE WHEN mid_after IS NOT NULL THEN
+               2.0::DOUBLE * (CASE WHEN price >= mid_before THEN 1 ELSE -1 END)
+                 * (mid_after - mid_before) END AS price_impact
+      FROM a WHERE mid_before IS NOT NULL
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
-    twapDaily, vpinToxicity, rangeVol, pairCorrelation)
+    twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread)
 }
