@@ -400,6 +400,66 @@ object IndicatorQueries {
     """)
   )
 
+  /** Feed-health monitoring: per-instrument inter-arrival gap
+    * distribution (n, max, exact p50/p99, mean) — the staleness
+    * signal an ingest pipeline alerts on. Gaps are exact integer
+    * microseconds; percentiles use the integer ceiling-rank selection
+    * of value_quantiles (`max` of the first k sorted = the k-th
+    * element), so every output is deterministic with no float
+    * percentile interpolation.
+    *
+    * Scale: one (key, time) window for the lag, one (key, gap) window
+    * for ranks, one groupBy — all on the same key partitioning;
+    * output is |instruments| rows.
+    */
+  val feedHealth: Q = Q(
+    "feed_health",
+    (s, dir) => {
+      val byTime = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val g = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byTime))).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+      val byGap = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("gap_us"), col("event_id"))
+      val ranked = g
+        .withColumn("rn", row_number().over(byGap))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      ranked.groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        max(when(col("rn") <= expr("(50 * cnt + 99) div 100"), col("gap_us")))
+          .as("p50_gap_us"),
+        max(when(col("rn") <= expr("(99 * cnt + 99) div 100"), col("gap_us")))
+          .as("p99_gap_us"),
+        (sum(col("gap_us")).cast("double") / count(lit(1))).as("avg_gap_us"))
+    },
+    Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      g AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM e),
+      r AS (
+        SELECT user_id, gap_us,
+               row_number() OVER (PARTITION BY user_id ORDER BY gap_us, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS cnt
+        FROM g WHERE gap_us IS NOT NULL)
+      SELECT user_id, count(*) AS n_gaps,
+             CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+             CAST(max(CASE WHEN rn <= (50 * cnt + 99) // 100 THEN gap_us END) AS BIGINT)
+               AS p50_gap_us,
+             CAST(max(CASE WHEN rn <= (99 * cnt + 99) // 100 THEN gap_us END) AS BIGINT)
+               AS p99_gap_us,
+             CAST(CAST(sum(gap_us) AS BIGINT) AS DOUBLE) / count(*) AS avg_gap_us
+      FROM r GROUP BY 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
-    twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread)
+    twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread, feedHealth)
 }
