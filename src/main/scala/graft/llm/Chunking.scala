@@ -76,4 +76,52 @@ object Chunking {
       .withColumn("seq_off", pmod(col("cum_tokens") - col("n_tok"), lit(seqLen)).cast("long"))
       .withColumn("n_seqs", expr(s"((cum_tokens - 1) div $seqLen) - seq_id + 1"))
   }
+
+  /** Whole-document sequence packing by partition-local first-fit-
+    * decreasing — the padding-minimizing complement of
+    * [[packSequences]] (which splits documents across sequence
+    * boundaries; this keeps every document INTACT inside one
+    * sequence, the form instruction-tuning and contrastive pipelines
+    * need, paying padding instead of splits). Documents longer than
+    * `seqLen` are dropped (chunk them first); FFD is the classic
+    * 11/9·OPT + 1 bin-packing heuristic.
+    *
+    * Output: (doc_id, n_tok, bin_id) — bin_id globally unique
+    * (partition id in the high bits).
+    *
+    * Scale (100 TB): docs hash-repartition into `partitions` balanced
+    * groups and FFD runs INSIDE each partition (sort by token count
+    * desc, first bin with room; bins held in-memory as one int per
+    * bin). Bins never cross partitions, so the pack is embarrassingly
+    * parallel; the cost vs a global FFD is at most one underfilled
+    * tail bin per partition — O(partitions·seqLen) wasted tokens
+    * total, vanishing at corpus scale. Deterministic: hash
+    * repartitioning is content-keyed and the in-partition order is
+    * (n_tok desc, doc_id).
+    */
+  def packBestFit(df: DataFrame, idCol: String, textCol: String,
+                  seqLen: Int, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        size(words(col(textCol))).as("n_tok"))
+      .filter(col("n_tok") > 0 && col("n_tok") <= seqLen)
+    val parted =
+      if (partitions > 0) base.repartition(partitions, col("doc_id"))
+      else base.repartition(col("doc_id"))
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      val docs = it.map(r => (r.getLong(0), r.getInt(1))).toArray
+        .sortBy { case (id, n) => (-n, id) }
+      val binFree = scala.collection.mutable.ArrayBuffer.empty[Int]
+      docs.iterator.map { case (id, n) =>
+        var b = 0
+        while (b < binFree.length && binFree(b) < n) b += 1
+        if (b == binFree.length) binFree += seqLen
+        binFree(b) -= n
+        (id, n, (pid << 32) | b.toLong)
+      }
+    }.toDF("doc_id", "n_tok", "bin_id")
+  }
 }

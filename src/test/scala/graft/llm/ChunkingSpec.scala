@@ -85,6 +85,41 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("packBestFit: capacity respected, every doc packed once, beats the sequential cut") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    val seqLen = 512
+    val packed = Chunking.packBestFit(docs, "doc_id", "text", seqLen, partitions = 4)
+      .cache()
+    try {
+      // every eligible doc appears exactly once
+      val eligible = docs.select(col("doc_id"),
+          size(graft.llm.TextHash.words(col("text"))).as("n"))
+        .filter(col("n") > 0 && col("n") <= seqLen)
+      assert(packed.count() === eligible.count())
+      assert(packed.select("doc_id").distinct().count() === packed.count())
+      // no bin exceeds capacity
+      val over = packed.groupBy("bin_id").agg(sum("n_tok").as("fill"))
+        .filter(col("fill") > seqLen)
+      assert(over.count() === 0L)
+      // FFD uses no more bins than the naive arrival-order sequential
+      // cut (ceil of running sum — what packSequences' splits imply)
+      val totalTok = packed.agg(sum("n_tok")).head().getLong(0)
+      val ffdBins = packed.select("bin_id").distinct().count()
+      val naive = eligible.orderBy("doc_id").collect().map(_.getInt(1))
+        .foldLeft((0L, 0)) { case ((bins, free), n) =>
+          if (n <= free) (bins, free - n) else (bins + 1, seqLen - n)
+        }._1
+      assert(ffdBins <= naive, s"FFD $ffdBins bins vs naive $naive")
+      // lower bound sanity: can't beat ceil(total/seqLen)
+      assert(ffdBins >= (totalTok + seqLen - 1) / seqLen)
+      // deterministic under re-run
+      val again = Chunking.packBestFit(docs, "doc_id", "text", seqLen, partitions = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      assert(again === packed.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    } finally packed.unpersist()
+  }
+
   test("invalid size/stride rejected") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
