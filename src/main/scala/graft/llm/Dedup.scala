@@ -130,6 +130,56 @@ object Dedup {
       .filter(col("containment") >= tau)
       .select("id_a", "id_b", "containment")
 
+  /** Incremental near-dup maintenance: the pairs a NEW ingest batch
+    * (rows where `deltaCol` is true) forms against the WHOLE corpus —
+    * without ever re-pairing history against itself. The incremental
+    * > rebuild theme (Compaction/Scd.applyChanges) applied to the LSH
+    * index: band buckets containing no delta doc are skipped wholesale
+    * (semi-join on the delta's bucket keys), and surviving pairs must
+    * carry ≥ 1 delta side, so per-batch work scales with the delta's
+    * bucket footprint, not |history|². At production scale the banded
+    * signature table IS the persisted index — history's signatures are
+    * read back, only the delta's are computed.
+    *
+    * Exactly equals the full run's pairs restricted to delta-touching
+    * ones: bucket capping counts FULL membership before the
+    * restriction, and any (delta, old) pair shares a bucket that by
+    * definition contains the delta doc (DedupSpec property + the
+    * dedup_incremental oracle).
+    */
+  def minHashNearDupsIncremental(df: DataFrame, idCol: String, textCol: String,
+                                 deltaCol: String, numPerm: Int, bands: Int,
+                                 tau: Double, maxBucket: Int = 64): DataFrame = {
+    val rows = numPerm / bands
+    val docs = df.select(col(idCol).as("id"), col(deltaCol).as("is_delta"),
+        wordSet(col(textCol)).as("toks"))
+      .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
+      .withColumn("sig", minhashSignatureAdaptive(df)(col("hs"), numPerm))
+      .withColumn("bands", bandHashes(col("sig"), bands, rows))
+    val capped = capBuckets(docs.select(col("id"), col("is_delta"), col("hs"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
+      .persist() // delta-bucket scan + both join sides (see minhashCandidates)
+    val deltaBuckets = capped.filter(col("is_delta"))
+      .select("band_idx", "band_hash").distinct()
+    val restricted = capped
+      .join(deltaBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    restricted.as("a")
+      .join(restricted.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id") &&
+          (col("a.is_delta") || col("b.is_delta")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.hs").as("toks_a"), col("b.hs").as("toks_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Shared LSH candidate generation: banded minhash buckets (skew-
     * capped), deduplicated (id_a < id_b) pairs carrying both hashed
     * token sets for the exact verify stage.

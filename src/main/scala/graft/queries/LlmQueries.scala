@@ -145,6 +145,32 @@ object LlmQueries {
         SELECT u.a, reach.r FROM reach JOIN und u ON u.b = reach.id),
       comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1)"""
 
+  /** Incremental dedup: the newest ~10% of documents (md5-deviate
+    * split — "today's ingest batch") paired against the whole corpus
+    * without re-pairing history×history (Dedup
+    * .minHashNearDupsIncremental). The oracle is the FULL pair run
+    * restricted to delta-touching pairs — equality proves the bucket
+    * restriction lossless.
+    */
+  val dedupIncremental: Q = Q(
+    "dedup_incremental",
+    (s, dir) => Dedup.minHashNearDupsIncremental(
+      graft.llm.Sampling.withSplit(Tables.documents(s, dir), "doc_id",
+          Seq("old" -> 0.9, "new" -> 0.1))
+        .withColumn("is_delta", col("split") === "new"),
+      "doc_id", "text", "is_delta", numPerm = 16, bands = 4, tau = 0.85,
+      maxBucket = 64),
+    Some(s"""
+      ${minhashPairCtes(recursive = false)},
+      d AS (SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    / 4294967296.0 >= 0.9)
+      SELECT id_a, id_b, jaccard FROM j
+      WHERE jaccard >= 0.85
+        AND (id_a IN (SELECT doc_id FROM d) OR id_b IN (SELECT doc_id FROM d))
+    """)
+  )
+
   /** SimHash near-dup pairs: 60-bit signatures, 4 × 15-bit bands,
     * Hamming ≤ 3, bucket cap 64 (see dedup_minhash).
     */
@@ -932,6 +958,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
+    dedupIncremental,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf,
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
     charEntropyQ,

@@ -124,6 +124,28 @@ class DedupSpec extends SparkSpec {
     assert(clusters.exists { case (_, (_, sz)) => sz > 1 }) // real dups exist
   }
 
+  test("incremental minhash pairs == full pairs restricted to delta-touching (2 splits)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf())
+    val full = Dedup.minHashNearDups(docs, "doc_id", "text",
+        numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (frac <- Seq(0.1, 0.5)) {
+      val marked = docs.withColumn("is_delta",
+        graft.llm.Sampling.u01(col("doc_id"), "split") >= 1.0 - frac)
+      val deltaIds = marked.filter(col("is_delta")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val inc = Dedup.minHashNearDupsIncremental(marked, "doc_id", "text",
+          "is_delta", numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = full.filter { case (a, b, _) =>
+        deltaIds.contains(a) || deltaIds.contains(b)
+      }
+      assert(inc === expected, s"delta fraction $frac")
+      assert(inc.size < full.size)
+    }
+  }
+
   test("simhash near-identical token sets have small hamming distance") {
     import spark.implicits._
     val df = Seq(
