@@ -459,6 +459,48 @@ object Dedup {
       .select(col("id"), coalesce(col("l_rep"), col("id")).as("rep"))
   }
 
+  /** Incremental connected components: fold a batch of NEW edges into
+    * existing (id, rep) labels WITHOUT re-running CC over the
+    * historical edge set — the incremental-maintenance theme
+    * (Compaction / Scd.applyChanges / minHashNearDupsIncremental)
+    * applied to the cluster graph. Old components CONTRACT to their
+    * representatives (rep = component min id, so reps preserve
+    * min-label semantics); new edges map endpoints through the labels
+    * (unlabeled endpoints enter as fresh singletons); CC runs on the
+    * contracted graph ONLY — O(affected components + new edges) work
+    * per batch, never O(|history|) — and the old labels re-point
+    * through their rep's new label in one join.
+    *
+    * `incrementalComponents(labels(E₁), E₂) == labels(E₁ ∪ E₂)` —
+    * exact, because each old component's min id IS its rep, so the
+    * contracted graph's min-label equals the union graph's min over
+    * every merged component. Property-tested on random graphs in
+    * DedupSpec.
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+                            srcCol: String, dstCol: String): DataFrame = {
+    val l = labels.select(col("id"), col("rep"))
+    val mapped = newEdges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .join(l.withColumnsRenamed(Map("id" -> "s", "rep" -> "rs")), Seq("s"), "left")
+      .join(l.withColumnsRenamed(Map("id" -> "d", "rep" -> "rd")), Seq("d"), "left")
+      .select(coalesce(col("rs"), col("s")).as("src"),
+        coalesce(col("rd"), col("d")).as("dst"))
+    val contractedNodes = mapped.select(col("src").as("n"))
+      .union(mapped.select(col("dst"))).distinct()
+    val contracted = connectedComponentsStar(mapped, "src", "dst",
+        contractedNodes, "n")
+      .withColumnsRenamed(Map("id" -> "old_rep", "rep" -> "new_rep"))
+    val relabeled = l
+      .join(contracted, col("rep") === col("old_rep"), "left")
+      .select(col("id"), coalesce(col("new_rep"), col("rep")).as("rep"))
+    val fresh = contractedNodes.select(col("n").as("id"))
+      .join(l.select(col("id")), Seq("id"), "left_anti")
+      .join(contracted, col("id") === col("old_rep"), "left")
+      .select(col("id"), coalesce(col("new_rep"), col("id")).as("rep"))
+    relabeled.unionByName(fresh)
+  }
+
   /** Near-dup clusters over [[minHashNearDups]] pairs: every document
     * labeled with its cluster representative (min doc id) and the
     * cluster size. Singletons are their own 1-doc cluster.

@@ -146,6 +146,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents(labels(E1), E2) == labels(E1 ∪ E2) on random graphs (5 seeds)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      def edges(n: Int) = Seq.fill(n)(
+        (1L + rnd.nextInt(60), 1L + rnd.nextInt(60)))
+        .filter(e => e._1 != e._2)
+      val e1 = edges(40)
+      // delta edges also touch BRAND-NEW node ids (61-70): the
+      // fresh-singleton path must label them too
+      val e2 = edges(15) ++ Seq.fill(5)(
+        (1L + rnd.nextInt(60), 61L + rnd.nextInt(10)))
+      val universe = (1L to 60L).toDF("id")
+      val l1 = Dedup.connectedComponentsStar(e1.toDF("a", "b"), "a", "b",
+        universe, "id")
+      val inc = Dedup.incrementalComponents(l1, e2.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullUniverse = (1L to 70L).toDF("id")
+      val full = Dedup.connectedComponentsStar((e1 ++ e2).toDF("a", "b"), "a", "b",
+          fullUniverse, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // inc covers labeled history + delta endpoints; full additionally
+      // lists never-seen singletons 61-70 that no delta edge touched
+      assert(inc === full.filter { case (id, _) => inc.contains(id) }, s"seed $seed")
+      assert(inc.keySet.count(_ > 60L) > 0, s"seed $seed touched no fresh nodes")
+      (1L to 60L).foreach(id => assert(inc.contains(id)))
+    }
+  }
+
   test("simhash near-identical token sets have small hamming distance") {
     import spark.implicits._
     val df = Seq(
