@@ -175,6 +175,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end incremental clustering == full rebuild (cap-free pipeline composition)") {
+    import org.apache.spark.sql.functions._
+    // uncapped buckets: capping counts bucket membership at index-build
+    // time, so a delta that pushes a bucket over the cap is the one
+    // place incremental and rebuild legitimately diverge — removed
+    // here to prove the composition exact everywhere else
+    val cap = Int.MaxValue
+    val docs = graft.Tables.documents(spark, sf())
+    val marked = docs.withColumn("is_delta",
+      graft.llm.Sampling.u01(col("doc_id"), "split") >= 0.9)
+    val old = marked.filter(!col("is_delta"))
+    // "yesterday's" state: history pairs + labels
+    val oldPairs = Dedup.minHashNearDups(old, "doc_id", "text", 16, 4, 0.85, cap)
+    val oldLabels = Dedup.connectedComponentsStar(oldPairs, "id_a", "id_b",
+      old.select(col("doc_id")), "doc_id")
+    // today: delta-touching pairs only, folded into the old labels
+    val deltaPairs = Dedup.minHashNearDupsIncremental(marked, "doc_id", "text",
+      "is_delta", 16, 4, 0.85, cap)
+    val incAll = Dedup.incrementalComponents(oldLabels, deltaPairs, "id_a", "id_b")
+    // delta docs with no pair at all still need their singleton label
+    val inc = incAll.unionByName(
+        marked.filter(col("is_delta")).select(col("doc_id").as("id"),
+          col("doc_id").as("rep")))
+      .groupBy("id").agg(min("rep").as("rep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponentsStar(
+        Dedup.minHashNearDups(marked, "doc_id", "text", 16, 4, 0.85, cap),
+        "id_a", "id_b", marked.select(col("doc_id")), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+  }
+
   test("simhash near-identical token sets have small hamming distance") {
     import spark.implicits._
     val df = Seq(
