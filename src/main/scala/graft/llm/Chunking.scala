@@ -77,27 +77,30 @@ object Chunking {
       .withColumn("n_seqs", expr(s"((cum_tokens - 1) div $seqLen) - seq_id + 1"))
   }
 
-  /** Whole-document sequence packing by partition-local first-fit-
+  /** Whole-document sequence packing by partition-local best-fit-
     * decreasing — the padding-minimizing complement of
     * [[packSequences]] (which splits documents across sequence
     * boundaries; this keeps every document INTACT inside one
     * sequence, the form instruction-tuning and contrastive pipelines
     * need, paying padding instead of splits). Documents longer than
-    * `seqLen` are dropped (chunk them first); FFD is the classic
-    * 11/9·OPT + 1 bin-packing heuristic.
+    * `seqLen` are dropped (chunk them first); BFD carries the classic
+    * 11/9·OPT + 1 decreasing-heuristic bound.
     *
     * Output: (doc_id, n_tok, bin_id) — bin_id globally unique
     * (partition id in the high bits).
     *
     * Scale (100 TB): docs hash-repartition into `partitions` balanced
-    * groups and FFD runs INSIDE each partition (sort by token count
-    * desc, first bin with room; bins held in-memory as one int per
-    * bin). Bins never cross partitions, so the pack is embarrassingly
-    * parallel; the cost vs a global FFD is at most one underfilled
-    * tail bin per partition — O(partitions·seqLen) wasted tokens
-    * total, vanishing at corpus scale. Deterministic: hash
-    * repartitioning is content-keyed and the in-partition order is
-    * (n_tok desc, doc_id).
+    * groups and BFD runs INSIDE each partition: sort by token count
+    * desc, place each doc in the FULLEST bin that still fits via a
+    * free-space TreeMap — O(log bins) per document (a linear
+    * first-fit scan is O(bins) per doc and goes quadratic in
+    * partition size). Bins never cross partitions, so the pack is
+    * embarrassingly parallel; the cost vs a global pack is at most
+    * one underfilled tail bin per partition — O(partitions·seqLen)
+    * wasted tokens total, vanishing at corpus scale. Deterministic:
+    * hash repartitioning is content-keyed, in-partition order is
+    * (n_tok desc, doc_id), and free-space ties break FIFO within the
+    * free level.
     */
   def packBestFit(df: DataFrame, idCol: String, textCol: String,
                   seqLen: Int, partitions: Int = 0): DataFrame = {
@@ -114,12 +117,29 @@ object Chunking {
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       val docs = it.map(r => (r.getLong(0), r.getInt(1))).toArray
         .sortBy { case (id, n) => (-n, id) }
+      // free space → bin indices with that much room (FIFO per level);
+      // best fit = smallest adequate free level = ceilingKey(n).
+      // Keys must be BOXED Integers: with primitive Int keys Scala
+      // unboxes ceilingKey's null ("no such level") to 0 and the null
+      // check can never fire.
+      val byFree =
+        new java.util.TreeMap[Integer, scala.collection.mutable.Queue[Int]]()
       val binFree = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def enqueue(free: Int, bin: Int): Unit =
+        byFree.computeIfAbsent(Int.box(free),
+          _ => scala.collection.mutable.Queue.empty) += bin
       docs.iterator.map { case (id, n) =>
-        var b = 0
-        while (b < binFree.length && binFree(b) < n) b += 1
-        if (b == binFree.length) binFree += seqLen
+        val level = byFree.ceilingKey(Int.box(n))
+        val b =
+          if (level == null) { binFree += seqLen; binFree.length - 1 }
+          else {
+            val q = byFree.get(level)
+            val bin = q.dequeue()
+            if (q.isEmpty) byFree.remove(level)
+            bin
+          }
         binFree(b) -= n
+        if (binFree(b) > 0) enqueue(binFree(b), b)
         (id, n, (pid << 32) | b.toLong)
       }
     }.toDF("doc_id", "n_tok", "bin_id")

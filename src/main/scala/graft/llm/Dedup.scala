@@ -99,13 +99,8 @@ object Dedup {
     // |A∪B| = |A|+|B|−|A∩B| from precomputed sizes — one set op per
     // pair instead of two, and the intersection is a cardinality-only
     // native kernel (no intermediate array).
-    minhashCandidates(df, idCol, textCol, numPerm, bands, maxBucket)
-      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
+    jaccardVerify(df)(
+      minhashCandidates(df, idCol, textCol, numPerm, bands, maxBucket), tau)
   }
 
   /** Containment near-dups over the SAME banded candidates:
@@ -150,66 +145,74 @@ object Dedup {
   def minHashNearDupsIncremental(df: DataFrame, idCol: String, textCol: String,
                                  deltaCol: String, numPerm: Int, bands: Int,
                                  tau: Double, maxBucket: Int = 64): DataFrame = {
-    val rows = numPerm / bands
-    val docs = df.select(col(idCol).as("id"), col(deltaCol).as("is_delta"),
-        wordSet(col(textCol)).as("toks"))
-      .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
-      .withColumn("sig", minhashSignatureAdaptive(df)(col("hs"), numPerm))
-      .withColumn("bands", bandHashes(col("sig"), bands, rows))
-    val capped = capBuckets(docs.select(col("id"), col("is_delta"), col("hs"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
-      .persist() // delta-bucket scan + both join sides (see minhashCandidates)
-    val deltaBuckets = capped.filter(col("is_delta"))
+    // the ONE shared bucket builder (capping counts full membership
+    // here, before any restriction — load-bearing for exactness)
+    val capped = bandedBuckets(df, idCol, textCol, numPerm, bands, maxBucket,
+      extraCols = Seq(deltaCol))
+    val deltaBuckets = capped.filter(col(deltaCol))
       .select("band_idx", "band_hash").distinct()
     val restricted = capped
       .join(deltaBuckets, Seq("band_idx", "band_hash"), "left_semi")
-    restricted.as("a")
-      .join(restricted.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id") &&
-          (col("a.is_delta") || col("b.is_delta")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.hs").as("toks_a"), col("b.hs").as("toks_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
+    jaccardVerify(df)(
+      bucketPairs(restricted, col(s"a.$deltaCol") || col(s"b.$deltaCol")), tau)
   }
 
   /** Shared LSH candidate generation: banded minhash buckets (skew-
     * capped), deduplicated (id_a < id_b) pairs carrying both hashed
     * token sets for the exact verify stage.
     */
-  private def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                                numPerm: Int, bands: Int,
-                                maxBucket: Int): DataFrame = {
+  /** The banded signature table behind every minhash variant —
+    * (id, hs, band_idx, band_hash) + `extraCols` carried through,
+    * skew-capped and persisted (self-joins would otherwise recompute
+    * the md5 hashing + signatures per side; at production scale
+    * write this table out — it IS the persisted LSH index). The exact
+    * verify runs on the hashed-long token sets (`hs`), not the
+    * strings: primitive intersects, 8-byte shuffle payloads
+    * (collisions, if any, perturb the oracle identically).
+    */
+  private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+                            numPerm: Int, bands: Int, maxBucket: Int,
+                            extraCols: Seq[String] = Nil): DataFrame = {
     val rows = numPerm / bands
-    // The exact verify runs on the hashed-long token sets, not the
-    // strings: primitive intersects, 8-byte shuffle payloads
-    // (collisions, if any, perturb the oracle identically).
-    val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
+    val docs = df.select((col(idCol).as("id") +: extraCols.map(col)) :+
+        wordSet(col(textCol)).as("toks"): _*)
       .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
       .withColumn("sig", minhashSignatureAdaptive(df)(col("hs"), numPerm))
       .withColumn("bands", bandHashes(col("sig"), bands, rows))
-    // persist: the self-join would otherwise recompute the md5 token
-    // hashing + 16-perm signatures on both sides (at production scale,
-    // write the signature table out instead of caching).
-    val buckets = capBuckets(docs.select(col("id"), col("hs"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))), maxBucket)
+    capBuckets(docs.select((col("id") +: extraCols.map(col)) ++ Seq(col("hs"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))): _*), maxBucket)
       .persist()
+  }
+
+  /** Deduplicated (id_a < id_b) bucket-sharing pairs carrying both
+    * token sets; `pairCond` adds variant-specific join constraints.
+    */
+  private def bucketPairs(buckets: DataFrame,
+                          pairCond: Column = lit(true)): DataFrame =
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && pairCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.hs").as("toks_a"), col("b.hs").as("toks_b"))
       .dropDuplicates("id_a", "id_b")
-  }
+
+  /** Exact-Jaccard verify tail shared by all pair variants. */
+  private def jaccardVerify(df: DataFrame)(pairs: DataFrame,
+                                           tau: Double): DataFrame =
+    pairs
+      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+
+  private def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                                numPerm: Int, bands: Int,
+                                maxBucket: Int): DataFrame =
+    bucketPairs(bandedBuckets(df, idCol, textCol, numPerm, bands, maxBucket))
 
   /** 60-bit SimHash over a materialized token-hash array (h60 per
     * distinct token): bit j is set when the +1/−1 vote sum of

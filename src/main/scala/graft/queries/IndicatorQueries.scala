@@ -330,7 +330,10 @@ object IndicatorQueries {
     * trade, `mid_Δ` = forward as-of quote ≥ 5 minutes later — the
     * composition of both as-of directions over the same quote
     * stream. All spreads are per-row double arithmetic (no reordering
-    * sums), so determinism needs no quantization.
+    * sums), so determinism needs no quantization. Inherits
+    * AsOfJoin.directional's contract that right-side timestamps are
+    * unique per key (the events table guarantees it) — equal-ts
+    * quotes would make the picked mid engine-dependent.
     *
     * Scale: two as-of joins on the SAME (user, time) sort — the join
     * machinery is AsOfJoin.directional (join+rank; the native

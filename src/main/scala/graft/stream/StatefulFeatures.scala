@@ -207,6 +207,10 @@ object StatefulFeatures {
           val batch = it.toArray.sortBy(_.tsUs)
           var st = state.getOption.getOrElse(BookSides(Map.empty, Map.empty))
           val out = batch.map { u =>
+            // fail fast on malformed feed data: silently routing an
+            // unknown side into the ask map would corrupt the book
+            require(u.side == "bid" || u.side == "ask",
+              s"book update side must be 'bid' or 'ask', got '${u.side}' (key=$key ts=${u.tsUs})")
             val isBid = u.side == "bid"
             val m = if (isBid) st.bids else st.asks
             val nm = if (u.size == 0.0) m - u.price else m.updated(u.price, u.size)
