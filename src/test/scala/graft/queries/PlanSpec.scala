@@ -200,4 +200,26 @@ class PlanSpec extends SparkSpec {
     assert(lines.slice(firstAggAbove, genIdx + 1).forall(!_.contains("Exchange")),
       s"nothing may shuffle the raw char stream:\n${lines.mkString("\n")}")
   }
+
+  test("dedup_incremental: the bucket restriction plans as a semi join") {
+    val df = Registry.byName("dedup_incremental").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"delta-bucket restriction must be a semi join (ids never widen):\n$plan")
+  }
+
+  test("pair_correlation: trades collapse to slot closes BEFORE the pair join") {
+    val df = Registry.byName("pair_correlation").fn(spark, sf("sf0.01"))
+    val lines = df.queryExecution.sparkPlan.toString.linesIterator.toVector
+    val joinIdx = lines.indexWhere(l => l.contains("Join") && l.contains("bkt"))
+    val aggBelow = lines.drop(joinIdx + 1).exists(_.contains("HashAggregate"))
+    assert(joinIdx >= 0 && aggBelow,
+      s"pair join must consume slot-close aggregates, not raw trades:\n${lines.mkString("\n")}")
+  }
+
+  test("tca_spread: two as-of joins, no cartesian anywhere") {
+    val df = Registry.byName("tca_spread").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
