@@ -45,10 +45,14 @@ object Bpe {
   final case class BpeModel(merges: Seq[(Int, String, String, Long)],
                             wordTable: DataFrame)
 
-  /** `" l o w"` spaced-symbol form of a word. */
+  /** `" l o w"` spaced-symbol form of a word. Code-POINT split (the
+    * lookbehind — see TextStats.charEntropy): a bare "" split halves
+    * astral chars into surrogate pairs and diverges from the oracle's
+    * code-point `string_split`.
+    */
   def spaced(w: Column): Column =
     concat(lit(" "),
-      array_join(filter(split(w, ""), c => length(c) > 0), " "))
+      array_join(filter(split(w, "(?s)(?<=.)"), c => length(c) > 0), " "))
 
   /** Symbols of a spaced string (drops the delimiter empties). */
   private def symsOf(s: Column): Column =

@@ -104,8 +104,14 @@ object TextStats {
     */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = df
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
-      .filter(length(col("ch")) > 0) // Java split can emit a trailing ""
+      // split AFTER each code point, not code unit: a bare "" split
+      // halves astral (non-BMP) chars into surrogate pairs while
+      // DuckDB's string_split(s, '') yields code points — the
+      // lookbehind keeps both engines on code points ('.' matches a
+      // full code point in Java regex; (?s) covers line terminators)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "(?s)(?<=.)")).as("ch"))
+      .filter(length(col("ch")) > 0) // zero-width end match emits a ""
       .groupBy("doc_id", "ch")
       .agg(count(lit(1)).as("m"))
     val lnMicro = floor(log(col("m").cast("double")) * lit(1e6) + lit(0.5))

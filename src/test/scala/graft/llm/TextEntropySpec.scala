@@ -24,6 +24,17 @@ class TextEntropySpec extends SparkSpec {
     assert(out(3L)._4 > out(1L)._4 && out(1L)._4 > out(2L)._4)
   }
 
+  test("astral (non-BMP) characters count as ONE code point, not surrogate halves") {
+    import spark.implicits._
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, outside the BMP
+    val df = Seq((1L, s"ab${clef}c")).toDF("doc_id", "text")
+    val r = TextStats.charEntropy(df, "doc_id", "text").collect().head
+    // a bare split("") would yield 5 code units (two surrogate halves)
+    // and diverge from DuckDB's 4 code points
+    assert(r.getAs[Long]("n_counted") === 4L)
+    assert(r.getAs[Long]("distinct_chars") === 4L)
+  }
+
   test("charEntropy is bounded by ln(distinct_chars) and ≥ 0") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf())
