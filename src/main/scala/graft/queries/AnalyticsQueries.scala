@@ -565,8 +565,56 @@ object AnalyticsQueries {
     """)
   )
 
+  /** 2-d Pareto front (skyline) over per-instrument aggregates:
+    * instruments not strictly dominated on (total volume, event
+    * count) — multi-objective screening (the "no other instrument is
+    * at least as liquid AND at least as active, and better on one"
+    * cut). The naive skyline is an O(n²) dominance theta-join; in 2-d
+    * it collapses to one sort: group y-maxima per distinct x, one
+    * running max over x descending (EXCLUSIVE frame), and a point is
+    * on the front iff it attains its x-group's y-max and strictly
+    * beats every higher-x group's y. Both windows run on the
+    * AGGREGATED |instruments|-row table, never on events.
+    */
+  val paretoFront: Q = Q(
+    "pareto_front",
+    (s, dir) => {
+      val per = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast(DecimalType(20, 4))).cast("double")
+          .as("total_volume"), count(lit(1)).as("n_events"))
+      val mxt = per.groupBy(col("total_volume"))
+        .agg(max(col("n_events")).as("mxy"))
+        .withColumn("prev", max(col("mxy")).over(
+          Window.orderBy(col("total_volume").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      per.join(mxt, "total_volume")
+        .select(col("user_id"), col("total_volume"), col("n_events"),
+          (col("n_events") === col("mxy") &&
+            (col("prev").isNull || col("n_events") > col("prev"))).as("is_pareto"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT user_id,
+               CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS total_volume,
+               count(*) AS n_events
+        FROM events GROUP BY 1),
+      mxt AS (SELECT total_volume, max(n_events) AS mxy FROM per GROUP BY 1),
+      mxp AS (SELECT total_volume, mxy,
+                     max(mxy) OVER (ORDER BY total_volume DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev
+              FROM mxt)
+      SELECT p.user_id, p.total_volume, p.n_events,
+             (p.n_events = m.mxy AND (m.prev IS NULL OR p.n_events > m.prev))
+               AS is_pareto
+      FROM per p JOIN mxp m USING (total_volume)
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
-    groupingSetsStats, scd2History, knnTriangles, eventTransitions)
+    groupingSetsStats, scd2History, knnTriangles, eventTransitions,
+    paretoFront)
 }

@@ -74,4 +74,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length <= 16)
     assert(out.map(_.getAs[Long]("n")).sum === ev.count())
   }
+
+  test("pareto_front flags exactly the brute-force non-dominated set") {
+    val out = graft.queries.Registry.byName("pareto_front")
+      .fn(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    val pts = out.map { case (_, x, y, _) => (x, y) }
+    def dominated(p: (Double, Long)) = pts.exists { q =>
+      q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2)
+    }
+    out.foreach { case (id, x, y, flag) =>
+      assert(flag === !dominated((x, y)), s"instrument $id")
+    }
+    val front = out.filter(_._4)
+    assert(front.nonEmpty && front.length < out.length)
+  }
 }
