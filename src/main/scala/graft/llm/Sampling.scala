@@ -99,6 +99,38 @@ object Sampling {
     df.filter(u < frac)
   }
 
+  /** Exactly-N weighted sampling WITHOUT replacement per stratum
+    * (Efraimidis–Spirakis A-ES): each row draws priority
+    * `ln(u)/w` (u the md5 deviate, w its weight — the log form of
+    * `u^(1/w)`), and the top N priorities per stratum win. Unlike the
+    * Bernoulli samplers ([[weightedSample]]/[[stratifiedSample]])
+    * the output size is EXACT, the property quota-driven mixing
+    * needs.
+    *
+    * Determinism: the priority is quantized to integer micro-units
+    * immediately (`ln` is not bit-reproducible cross-engine —
+    * LangModel policy) and ties break on the id, so the selected SET
+    * is identical in any engine. Selection is a per-stratum top-N —
+    * WindowGroupLimit plans prune to N rows per group before the
+    * final sort, the token_topk shape.
+    */
+  def weightedTopN(df: DataFrame, idCol: String, strataCol: String,
+                   weightCol: Column, n: Int,
+                   salt: String = "wtopn"): DataFrame = {
+    require(n > 0, "n must be positive")
+    // deviate shifted into (0, 1] — u = 0 would make ln(u) = -Inf,
+    // which DuckDB cannot cast to BIGINT; the +2⁻³² add is exact.
+    // Weights must be > 0 (ln(u)/w flips sign otherwise).
+    val u = u01(col(idCol), salt) + lit(1.0 / 4294967296.0)
+    val prio = floor(log(u) / weightCol * lit(1e6) + lit(0.5)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(col("prio_micro").desc, col(idCol))
+    df.withColumn("prio_micro", prio)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Deterministic global training shuffle: every row gets a unique
     * contiguous position 0..n−1 in a pseudo-random but reproducible
     * order (md5-keyed), plus its data-parallel shard

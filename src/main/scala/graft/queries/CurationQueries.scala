@@ -332,6 +332,36 @@ object CurationQueries {
     """)
   )
 
+  /** Exactly-10-per-language PPS sample (probability ∝ document
+    * length) via A-ES priorities — the exact-size complement of the
+    * Bernoulli samplers. Priorities quantize to integer micro-units
+    * before ranking (ln policy); the deviate shifts into (0,1] so no
+    * -Inf ever reaches the BIGINT cast; the 2³² constant carries an
+    * explicit DOUBLE cast in the oracle (decimal-literal pitfall —
+    * a decimal division here would shift ln's input beyond an ulp).
+    */
+  val ppsSample: Q = Q(
+    "pps_sample",
+    (s, dir) => Sampling.weightedTopN(Tables.documents(s, dir), "doc_id",
+        "lang", col("n_chars").cast("double"), n = 10)
+      .select("doc_id", "lang", "n_chars", "prio_micro", "sample_rank"),
+    Some("""
+      WITH p AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(floor(
+                 ln((('0x' || substr(md5('wtopn:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                    / CAST(4294967296.0 AS DOUBLE))
+                 / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS prio_micro
+        FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                         ORDER BY prio_micro DESC, doc_id)
+                        AS sample_rank
+            FROM p)
+      SELECT doc_id, lang, n_chars, prio_micro, sample_rank
+      FROM r WHERE sample_rank <= 10
+    """)
+  )
+
   /** Deterministic epoch shuffle + sharding: a reproducible global
     * permutation of the corpus with contiguous positions and
     * data-parallel shard assignment. The oracle is the single-window
@@ -673,7 +703,7 @@ object CurationQueries {
   )
 
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
-    curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ,
+    curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
     packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode)

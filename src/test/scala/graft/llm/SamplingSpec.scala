@@ -108,6 +108,25 @@ class SamplingSpec extends SparkSpec {
     assert(again === lo) // partitioning-independent
   }
 
+  test("weightedTopN: exactly N per stratum, deterministic, weight-sensitive") {
+    import org.apache.spark.sql.functions._
+    val sizes = Sampling.weightedTopN(docs, "doc_id", "lang",
+        col("n_chars").cast("double"), n = 10)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(sizes.nonEmpty && sizes.forall(_._2 == 10L)) // every stratum has ≥ 10 docs here
+    val a = Sampling.weightedTopN(docs, "doc_id", "lang",
+        col("n_chars").cast("double"), n = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedTopN(docs.repartition(7), "doc_id", "lang",
+        col("n_chars").cast("double"), n = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b) // partitioning-independent
+    // a different weighting changes the selection (weights matter)
+    val c = Sampling.weightedTopN(docs, "doc_id", "lang",
+        lit(1.0), n = 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a !== c)
+  }
+
   test("globalShuffle: contiguous permutation equal to the global window rank") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
