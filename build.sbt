@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pinned, NOT taken from the environment: the official bench record
+  // must not depend on ambient driver heap (G1 at 48 GB triples the
+  // iterative-loop queries vs 8 GB — measured, NOTES_r4). graft.Bench
+  // additionally re-execs itself with exactly these options if launched
+  // with a far-off heap through some other path.
+  "-Xmx8g",
+  "-XX:+UseG1GC",
 )
