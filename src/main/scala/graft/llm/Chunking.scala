@@ -105,9 +105,20 @@ object Chunking {
   def packBestFit(df: DataFrame, idCol: String, textCol: String,
                   seqLen: Int, partitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    // the long cast must be exact: a string/float id would yield nulls
+    // (or truncation), which getLong below silently unboxes to 0,
+    // collapsing every such doc onto doc_id 0 — reject at plan time,
+    // and raise on null ids at run time rather than merge them
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"packBestFit: $idCol must be an integral type, got $idType")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(idCol).cast("long").as("doc_id"),
+    val checkedId = when(col(idCol).isNull,
+      raise_error(lit(s"packBestFit: null id in $idCol"))
+    ).otherwise(col(idCol).cast("long"))
+    val base = df.select(checkedId.as("doc_id"),
         size(words(col(textCol))).as("n_tok"))
       .filter(col("n_tok") > 0 && col("n_tok") <= seqLen)
     val parted =

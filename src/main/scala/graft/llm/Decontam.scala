@@ -118,16 +118,25 @@ object Decontam {
     * Candidates-then-verify: the result is bit-identical to
     * [[report]], so the oracle IS the exact SQL — only the data
     * volume that crosses the network changes.
+    *
+    * NOTE: construction is NOT lazy — building the bloom bitmap runs
+    * a full Spark job over `heldout` before this method returns. The
+    * materialized gram table is held as a local checkpoint (not a
+    * registered cache entry), so repeated calls don't accumulate
+    * partitions in the cache manager: the ContextCleaner reclaims the
+    * blocks once the returned frame is unreferenced. At production
+    * scale write the gram table to storage instead (the
+    * selfOverlapPairs note) — a local checkpoint, like any cache, is
+    * lost with its executor.
     */
   def bloomReport(train: DataFrame, heldout: DataFrame, idCol: String,
                   textCol: String, n: Int, mBits: Int = 1 << 20,
                   k: Int = 4): DataFrame = {
-    // read twice (bloom build + exact verify join); cached for the
-    // result's lifetime — at production scale write the gram table
-    // out instead (the selfOverlapPairs note)
+    // read twice (bloom build + exact verify join); eager so the
+    // expensive gram explode+distinct runs once, lineage-free
     val banned = heldout
       .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
-      .persist()
+      .localCheckpoint(true)
     val bitmap = typedlit(bloomBuild(banned, "g", mBits, k))
     val trainG = train.select(col(idCol).as("doc_id"),
       gramHashes(col(textCol), n).as("grams"))

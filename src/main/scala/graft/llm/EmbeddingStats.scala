@@ -118,7 +118,11 @@ object EmbeddingStats {
     */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                  iters: Int): DataFrame = {
-    val (total, _) = gramTotals(df, vecCol, dim)
+    val (total, rows) = gramTotals(df, vecCol, dim)
+    require(rows > 0, "pcaProject: embedding input is empty")
+    require(total.exists(_ != 0L),
+      "pcaProject: Gram matrix is all-zero (every embedding is the zero " +
+        "vector) — the power iteration has no dominant direction")
     val g = Array.ofDim[Double](dim, dim)
     for (i <- 0 until dim; j <- i until dim) {
       val k = i * dim - i * (i - 1) / 2 + (j - i)
@@ -142,6 +146,9 @@ object EmbeddingStats {
       i = 0
       while (i < dim) { nrm2 += w(i) * w(i); i += 1 }
       val nrm = math.sqrt(nrm2)
+      require(nrm > 0.0,
+        s"pcaProject: power iteration collapsed to the zero vector at " +
+          s"iteration $it (start vector in the Gram's null space)")
       i = 0
       while (i < dim) { w(i) = w(i) / nrm; i += 1 }
       v = w

@@ -120,9 +120,15 @@ object Sampling {
     require(n > 0, "n must be positive")
     // deviate shifted into (0, 1] — u = 0 would make ln(u) = -Inf,
     // which DuckDB cannot cast to BIGINT; the +2⁻³² add is exact.
-    // Weights must be > 0 (ln(u)/w flips sign otherwise).
     val u = u01(col(idCol), salt) + lit(1.0 / 4294967296.0)
-    val prio = floor(log(u) / weightCol * lit(1e6) + lit(0.5)).cast("long")
+    // Weights must be > 0: ln(u)/w flips sign for w < 0 and produces
+    // ±Inf/NULL for w = 0 / NULL, which Spark's non-ANSI long cast
+    // silently folds to Long.MIN/MAX — enforce, don't document.
+    val checkedW = when(weightCol.isNull || weightCol <= 0,
+      raise_error(concat(lit("weightedTopN: weight must be > 0, got "),
+        coalesce(weightCol.cast("string"), lit("NULL"))))
+    ).otherwise(weightCol)
+    val prio = floor(log(u) / checkedW * lit(1e6) + lit(0.5)).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol)
       .orderBy(col("prio_micro").desc, col(idCol))

@@ -36,14 +36,21 @@ object Vpin {
     *
     * @param notionalCol must be DECIMAL (exactness of every sum)
     * @param trailing    number of buckets in the toxicity window
+    * @param tieCols     extra order columns breaking ties among equal
+    *                    timestamps; without them the tick-rule lag and
+    *                    bucket cumsum are nondeterministic whenever a
+    *                    key has duplicate `timeCol` values, so pass a
+    *                    unique id here unless (key, time) is unique
     */
   def vpin(df: DataFrame, keyCol: String, timeCol: String,
            priceCol: String, notionalCol: String,
-           bucketSize: Double, trailing: Int): DataFrame = {
+           bucketSize: Double, trailing: Int,
+           tieCols: Seq[String] = Nil): DataFrame = {
     require(trailing > 0, "trailing window must be positive")
     require(df.schema(notionalCol).dataType.isInstanceOf[DecimalType],
       s"$notionalCol must be DECIMAL for exact bucket sums")
-    val byTime = Window.partitionBy(keyCol).orderBy(col(timeCol))
+    val orderCols = timeCol +: tieCols
+    val byTime = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
     val cumByTime = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val decZero = lit(0).cast(df.schema(notionalCol).dataType)
 
@@ -57,7 +64,7 @@ object Vpin {
       .drop("__d")
 
     val buckets = DollarBars
-      .withBarNum(signed, keyCol, Seq(timeCol), notionalCol, bucketSize)
+      .withBarNum(signed, keyCol, orderCols, notionalCol, bucketSize)
       .groupBy(col(keyCol), col("bar_num").as("bucket"))
       .agg(
         sum(when(col("sign") === 1, col(notionalCol)).otherwise(decZero)).as("buy_d"),

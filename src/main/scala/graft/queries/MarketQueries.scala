@@ -756,6 +756,60 @@ object MarketQueries {
     """)
   )
 
+  /** Final top-of-book after an L2 depth-update replay — the batch
+    * DuckDB anchor for the streaming `StatefulFeatures.bookReplay`
+    * family (T7): a deterministic incremental update feed is
+    * synthesized from events (7 price levels per side per key,
+    * every 5th update a level delete), and the final book state is
+    * last-update-wins per level + best-of-book per key
+    * (graft.ops.OrderBook). BookReplaySpec pins this operator equal
+    * to the streaming replay's end state on the same updates, so the
+    * oracle hash transitively anchors the stateful operator too.
+    */
+  val bookReplayFinal: Q = Q(
+    "book_replay_final",
+    (s, dir) => {
+      val isBid = pmod(col("event_id"), lit(2)) === 0
+      val updates = events(s, dir).select(
+        pmod(col("user_id"), lit(16)).as("key"),
+        col("event_id").as("seq"),
+        when(isBid, lit("bid")).otherwise(lit("ask")).as("side"),
+        when(isBid, lit(90) + pmod(col("event_id"), lit(7)))
+          .otherwise(lit(101) + pmod(col("event_id"), lit(7)))
+          .cast("double").as("price"),
+        when(pmod(col("event_id"), lit(5)) === 0, lit(0))
+          .otherwise(lit(1) + pmod(col("event_id"), lit(97)))
+          .cast("double").as("size"))
+      graft.ops.OrderBook.finalTopOfBook(
+        updates, "key", "seq", "side", "price", "size")
+    },
+    Some("""
+      WITH upd AS (
+        SELECT user_id % 16 AS key, event_id AS seq,
+               CASE WHEN event_id % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+               CAST(CASE WHEN event_id % 2 = 0 THEN 90 + event_id % 7
+                         ELSE 101 + event_id % 7 END AS DOUBLE) AS price,
+               CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                         ELSE 1 + event_id % 97 END AS DOUBLE) AS size
+        FROM events),
+      fin AS (
+        SELECT key, side, price, max_by(size, seq) AS size
+        FROM upd GROUP BY 1, 2, 3),
+      live AS (SELECT * FROM fin WHERE size > 0),
+      top AS (
+        SELECT key,
+               max(CASE WHEN side = 'bid' THEN price END) AS bid_price,
+               max_by(size, CASE WHEN side = 'bid' THEN price END) AS bid_size,
+               min(CASE WHEN side = 'ask' THEN price END) AS ask_price,
+               min_by(size, CASE WHEN side = 'ask' THEN price END) AS ask_size
+        FROM live GROUP BY key)
+      SELECT key, bid_price, bid_size, ask_price, ask_size,
+             ask_price - bid_price AS spread,
+             (ask_price + bid_price) / 2 AS mid
+      FROM top
+    """)
+  )
+
   /** OHLC re-aggregation: hourly candles computed FROM minutely
     * candles — the mergeability property candle stores depend on
     * (store fine buckets once, serve any coarser granularity by
@@ -807,6 +861,6 @@ object MarketQueries {
     candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled,
     candlesReagg, asofJoin, asofJoinScalable, asofJoinNative, asofJoinForward,
     asofJoinNearest, ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook,
-    bookFeatures, rangePairs, distinctUsers, latestPerKey, eventEnrich,
-    envelopeRoundtrip)
+    bookFeatures, bookReplayFinal, rangePairs, distinctUsers, latestPerKey,
+    eventEnrich, envelopeRoundtrip)
 }

@@ -75,6 +75,44 @@ class BookReplaySpec extends SparkSpec {
     assert(out(4) === ((1L, 5L, Some(99.0), Some(1.0), None, None, None, None)))
   }
 
+  test("batch finalTopOfBook equals the streaming replay's final state (3 seeds)") {
+    // the book_replay_final driver query's operator == the last
+    // emitted top-of-book per key of the stateful replay, so the
+    // DuckDB oracle hash transitively anchors the streaming operator
+    import spark.implicits._
+    for (seed <- 10 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val ups = (1 to 150).map { t =>
+        val key = 1L + rnd.nextInt(3)
+        val side = if (rnd.nextBoolean()) "bid" else "ask"
+        val base = if (side == "bid") 95 else 105
+        val price = (base + rnd.nextInt(5) - 2).toDouble
+        val size = if (rnd.nextInt(4) == 0) 0.0 else (1 + rnd.nextInt(9)).toDouble
+        (key, t.toLong, side, price, size)
+      }
+      val streamFinal = runStream(ups, splitAt = 70 + seed)
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }
+        .map(t => (t._1, t._3, t._4, t._5, t._6, t._7, t._8))
+        // a key whose book ends with BOTH sides empty has no surviving
+        // level, so the batch aggregate (and the SQL oracle) has no row
+        // for it; the stream emits an all-null top — drop those here
+        .filter(t => t._2.nonEmpty || t._4.nonEmpty).toSet
+      val batch = graft.ops.OrderBook.finalTopOfBook(
+          ups.toDF("key", "tsUs", "side", "price", "size"),
+          "key", "tsUs", "side", "price", "size")
+        .collect()
+        .map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Double])))
+        .toSet
+      assert(batch === streamFinal, s"seed $seed")
+    }
+  }
+
   test("random update streams equal the naive replay across micro-batch splits (3 seeds)") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
