@@ -56,14 +56,20 @@ object Bench {
     // JIT + codegen + parquet-footer caches are hot before any timed
     // measurement — n=1 cold timings are dominated by first-run
     // compilation, not the plan (standard steady-state methodology).
+    // optional comma-list subset for local A/B iteration; the driver
+    // never sets it, so the official record always covers every query
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => subset.forall(_.contains(n)))
     val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      names.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir).count()
+        catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
     }
-    val names = SparkEntry.queries.keys.toSeq
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to nRuns; name <- names) {

@@ -405,6 +405,20 @@ object Dedup {
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               nodes: DataFrame, nodeCol: String,
                               maxIter: Int = 25, strict: Boolean = true): DataFrame = {
+    // r5 loop-cost experiment knobs — BOTH alternatives LOST and the
+    // defaults keep the original shape (graft.tools.LoopExp interleaved
+    // A/B, same JVM, median of 5, sf0.1, dedup_clusters +
+    // curation_pipeline totals): base 11.0 s; fused one-job convergence
+    // probe 17.3 s (the && short-circuits after the first cheap
+    // anti-join most rounds, while the union always pays both sides
+    // PLUS loses the per-side 10-row broadcast-hash plan); no
+    // large-star checkpoint 12.8 s alone, 21.7 s combined (the
+    // exchange under large is consumed by three ops — small-star's two
+    // reads and the probe — and ReusedExchange does not survive AQE
+    // re-planning across those consumers, so large recomputes).
+    // Knobs kept for re-measurement.
+    val fusedProbe = sys.props.getOrElse("graft.exp.cc.fusedprobe", "false").toBoolean
+    val ckptLarge = sys.props.getOrElse("graft.exp.cc.ckptlarge", "true").toBoolean
     // canonical undirected edges (a < b), self-loops dropped
     var e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
@@ -420,11 +434,11 @@ object Dedup {
         .union(e.select(col("b").as("u"), col("a").as("v"))) // ...reuses e's checkpoint
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val large = nbrs.join(mins, "u")
+      val largeRaw = nbrs.join(mins, "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
         .distinct()
-        .localCheckpoint()
+      val large = if (ckptLarge) largeRaw.localCheckpoint() else largeRaw
       // ---- small-star: (v ≤ u) ∪ {u} -> min of that set
       val nbrsL = large.select(col("b").as("u"), col("a").as("v")) // v < u by canon
       val minsL = nbrsL.groupBy("u").agg(min(col("v")).as("m"))
@@ -440,10 +454,16 @@ object Dedup {
         .localCheckpoint()
       // fixpoint when the round was a no-op (star forests are
       // invariant under both phases); set equality via two anti-joins
-      // over the checkpointed tables
+      // over the checkpointed tables — fused into ONE Spark job per
+      // round via union when the knob is on
       converged =
-        small.join(e, Seq("a", "b"), "left_anti").isEmpty &&
-          e.join(small, Seq("a", "b"), "left_anti").isEmpty
+        if (fusedProbe)
+          small.join(e, Seq("a", "b"), "left_anti")
+            .union(e.join(small, Seq("a", "b"), "left_anti"))
+            .isEmpty
+        else
+          small.join(e, Seq("a", "b"), "left_anti").isEmpty &&
+            e.join(small, Seq("a", "b"), "left_anti").isEmpty
       e = small
       i += 1
     }

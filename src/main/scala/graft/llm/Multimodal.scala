@@ -485,17 +485,156 @@ object Multimodal {
     }
   }
 
+  /** REAL MP4 container demux with zero codec work: the `stbl` sample
+    * table inside `moov/trak/mdia/minf` declares every sample's exact
+    * byte range in the file — `stsz` (per-sample sizes), `stco`/`co64`
+    * (chunk start offsets), `stsc` (samples-per-chunk runs; samples
+    * are laid out back-to-back inside a chunk). Walking those three
+    * tables yields real frame SLICES without touching a codec, which
+    * is precisely the demux/decode split: demux is container
+    * arithmetic (JDK-only, done here), decode needs libavcodec-class
+    * software this environment lacks (the sampled slices go through
+    * the usual decode chain, i.e. [[StubCodec]] for compressed video
+    * samples). ISO/IEC 14496-12 box layout; every read is
+    * bounds-checked and any malformation returns None (caller falls
+    * back to the fixed-slice stub path), same hardening contract as
+    * the RIFF/WAV parser above.
+    */
+  object Mp4Demux {
+    def looksLikeMp4(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    /** Child boxes of [start, end): (type, payloadStart, payloadEnd). */
+    private def children(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var p = start
+      var ok = true
+      while (ok && p + 8 <= end) {
+        val size32 = be32(b, p)
+        val typ = new String(b, p + 4, 4, "ISO-8859-1")
+        val (boxSize, hdr) =
+          if (size32 == 1L && p + 16 <= end) (be64(b, p + 8), 16)
+          else if (size32 == 0L) ((end - p).toLong, 8) // extends to end
+          else (size32, 8)
+        if (boxSize < hdr || p + boxSize > end) ok = false // malformed: stop
+        else {
+          out += ((typ, p + hdr, p + boxSize.toInt))
+          p += boxSize.toInt
+        }
+      }
+      out.result()
+    }
+
+    private def child(b: Array[Byte], start: Int, end: Int,
+                      typ: String): Option[(Int, Int)] =
+      children(b, start, end).collectFirst { case (`typ`, s, e) => (s, e) }
+
+    /** Exact (byteOffset, nBytes) of every sample of the FIRST video
+      * track, in sample order; None unless the payload is a
+      * well-formed MP4 whose sample table is internally consistent
+      * and entirely inside the buffer.
+      */
+    def sampleRanges(bytes: Array[Byte]): Option[Seq[(Long, Int)]] = {
+      if (!looksLikeMp4(bytes)) return None
+      try {
+        val (moovS, moovE) = child(bytes, 0, bytes.length, "moov").getOrElse(return None)
+        val stblOpt = children(bytes, moovS, moovE)
+          .collect { case ("trak", ts, te) => (ts, te) }
+          .flatMap { case (ts, te) =>
+            for {
+              (mdS, mdE) <- child(bytes, ts, te, "mdia")
+              (hS, _) <- child(bytes, mdS, mdE, "hdlr")
+              // handler_type at payload offset 8: pre_defined(4) comes
+              // first in the hdlr payload after version/flags
+              if hS + 12 <= bytes.length &&
+                new String(bytes, hS + 8, 4, "ISO-8859-1") == "vide"
+              (mnS, mnE) <- child(bytes, mdS, mdE, "minf")
+              stbl <- child(bytes, mnS, mnE, "stbl")
+            } yield stbl
+          }.headOption
+        val (sS, sE) = stblOpt.getOrElse(return None)
+
+        // stsz: ver/flags, uniform sample_size, count [, sizes...]
+        val (szS, szE) = child(bytes, sS, sE, "stsz").getOrElse(return None)
+        if (szS + 12 > szE) return None
+        val uniform = be32(bytes, szS + 4)
+        val nSamples = be32(bytes, szS + 8).toInt
+        if (nSamples <= 0 || nSamples > (1 << 24)) return None
+        val sizes: Array[Int] =
+          if (uniform != 0L) Array.fill(nSamples)(uniform.toInt)
+          else {
+            if (szS + 12 + 4L * nSamples > szE) return None
+            Array.tabulate(nSamples)(i => be32(bytes, szS + 12 + 4 * i).toInt)
+          }
+
+        // stco/co64: chunk start offsets
+        val (offs: Array[Long]) = child(bytes, sS, sE, "stco") match {
+          case Some((cS, cE)) =>
+            val n = be32(bytes, cS + 4).toInt
+            if (n <= 0 || cS + 8 + 4L * n > cE) return None
+            Array.tabulate(n)(i => be32(bytes, cS + 8 + 4 * i))
+          case None =>
+            val (cS, cE) = child(bytes, sS, sE, "co64").getOrElse(return None)
+            val n = be32(bytes, cS + 4).toInt
+            if (n <= 0 || cS + 8 + 8L * n > cE) return None
+            Array.tabulate(n)(i => be64(bytes, cS + 8 + 8 * i))
+        }
+
+        // stsc: (first_chunk, samples_per_chunk) run-length table
+        val (scS, scE) = child(bytes, sS, sE, "stsc").getOrElse(return None)
+        val nRuns = be32(bytes, scS + 4).toInt
+        if (nRuns <= 0 || scS + 8 + 12L * nRuns > scE) return None
+        val runs = Array.tabulate(nRuns)(i =>
+          (be32(bytes, scS + 8 + 12 * i).toInt, be32(bytes, scS + 12 + 12 * i).toInt))
+        if (runs(0)._1 != 1 || runs.exists(_._2 <= 0)) return None
+
+        // walk chunks in order; each run applies from its first_chunk
+        // until the next run's; samples are contiguous within a chunk
+        val out = Vector.newBuilder[(Long, Int)]
+        var sample = 0
+        var run = 0
+        var chunk = 1
+        while (sample < nSamples && chunk <= offs.length) {
+          while (run + 1 < nRuns && runs(run + 1)._1 <= chunk) run += 1
+          var off = offs(chunk - 1)
+          var k = 0
+          while (k < runs(run)._2 && sample < nSamples) {
+            val sz = sizes(sample)
+            if (sz < 0 || off < 0 || off + sz > bytes.length) return None
+            out += ((off, sz))
+            off += sz
+            sample += 1
+            k += 1
+          }
+          chunk += 1
+        }
+        if (sample < nSamples) None else Some(out.result())
+      } catch { case _: Exception => None }
+    }
+  }
+
   /** Video frame sampling: every `stride`-th frame, feature-extracted.
     * GIF payloads demux for REAL ([[GifDemux]] — true per-frame decode
     * through the JDK's multi-frame reader; `byte_offset` is -1 because
     * codec-delimited frames have no fixed byte range, and `n_bytes` is
-    * the decoded frame's pixel count). Other containers (mp4/mkv) need
-    * a demuxer this environment lacks and take the STUB path: fixed
-    * `frameBytes` slices, each through the usual decode chain
-    * (image-magic slices decode for real, others [[StubCodec]]). The
-    * Spark contract is identical for both: partition-local 1→N
-    * explosion with one frame materialized at a time, fixed output
-    * schema, frames composing with imageHashes/Similarity downstream.
+    * the decoded frame's pixel count). MP4 payloads demux for REAL
+    * too ([[Mp4Demux]] — the stbl sample table gives every sample's
+    * exact byte range; `byte_offset`/`n_bytes` are the true file
+    * ranges, and only the codec decode of each compressed sample goes
+    * through [[StubCodec]]). Remaining containers (mkv/webm — EBML,
+    * no JDK parser) take the STUB path: fixed `frameBytes` slices,
+    * each through the usual decode chain (image-magic slices decode
+    * for real, others [[StubCodec]]). The Spark contract is identical
+    * for all three: partition-local 1→N explosion with one frame
+    * materialized at a time, fixed output schema, frames composing
+    * with imageHashes/Similarity downstream.
     */
   def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
                    frameBytes: Int, stride: Int): DataFrame = {
@@ -511,6 +650,18 @@ object Multimodal {
             frames.iterator.map { case (f, w, h, feats) =>
               Row(id, f, -1, w * h, feats.toSeq)
             }
+          case None => Mp4Demux.sampleRanges(bytes) match {
+          case Some(ranges) =>
+            ranges.iterator.zipWithIndex
+              .filter { case (_, f) => f % stride == 0 }
+              .map { case ((off, sz), f) =>
+                val frame = java.util.Arrays.copyOfRange(bytes, off.toInt,
+                  off.toInt + sz)
+                val (_, _, feats) =
+                  (if (ImageIoCodec.looksLikeImage(frame)) ImageIoCodec.decode(frame) else None)
+                    .getOrElse(StubCodec.decode(frame))
+                Row(id, f, off.toInt, sz, feats.toSeq)
+              }
           case None =>
             val nFrames = (bytes.length + frameBytes - 1) / frameBytes
             (0 until nFrames).iterator
@@ -524,6 +675,7 @@ object Multimodal {
                     .getOrElse(StubCodec.decode(frame))
                 Row(id, f, off, frame.length, feats.toSeq)
               }
+          }
         }
       }
     }(Encoders.row(FrameSchema))

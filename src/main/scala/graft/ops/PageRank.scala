@@ -42,6 +42,23 @@ object PageRank {
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int): DataFrame = {
+    // AQE off for the loop only: every iteration is a small fixed-shape
+    // job (state = |nodes| rows), and AQE's per-stage re-planning is
+    // pure driver latency at that size — while the LSH/dedup queries
+    // NEED AQE (global AQE-off regressed them 15-30% in whole-process
+    // runs), so the scope is this loop, restored in finally.
+    // Interleaved A/B (graft.tools.LoopExp: same JVM, arms alternating
+    // per sweep, median of 5, sf0.1, local[4]): base 3.18 s, AQE-off
+    // 3.02 s, AQE-off + ckpt-every-2 2.72 s (-14%), ckpt-every-3
+    // 2.89 s (deeper lineage re-optimization eats the saved job).
+    // Defaults = the winning arm; knobs kept for re-measurement.
+    val aqeOff = sys.props.getOrElse("graft.exp.pagerank.aqeoff", "true").toBoolean
+    val ckptEvery = sys.props.getOrElse("graft.exp.pagerank.ckptevery", "2").toInt
+    val session = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = session.conf.get(aqeKey)
+    if (aqeOff) session.conf.set(aqeKey, "false")
+    try {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist()
     val nodes = e.select(col("src").as("id"))
@@ -57,7 +74,7 @@ object PageRank {
     var r = nodes.crossJoin(broadcast(c0))
       .select(col("id"), col("init").as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       // Shuffle join on src each iteration. broadcast(r) was measured
       // here and was a wash at 30:1 edges:nodes (the per-iteration
       // synchronous broadcast build eats what the saved exchange
@@ -68,16 +85,21 @@ object PageRank {
       val contrib = eDeg.join(r, eDeg("src") === r("id"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      r = nodes.crossJoin(broadcast(c0))
+      val rNext = nodes.crossJoin(broadcast(c0))
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (col("base") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      // lineage truncation every ckptEvery iterations (always on the
+      // last): a skipped checkpoint saves one materialization job but
+      // deepens the next iteration's plan by one join+agg level
+      r = if (it % ckptEvery == 0 || it == iters) rNext.localCheckpoint()
+          else rNext
     }
     e.unpersist(); eDeg.unpersist()
     val out = r.select(col("id"), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(1.0e12)).as("rank"))
     nodes.unpersist()
     out
+    } finally session.conf.set(aqeKey, prevAqe)
   }
 }

@@ -254,6 +254,111 @@ class MultimodalSpec extends SparkSpec {
     assert(one.length === 1 && one(0).getInt(1) === 0)
   }
 
+  // --- minimal MP4 builder: ftyp + mdat (2 non-contiguous chunks) +
+  // moov/trak/mdia/(hdlr,minf/stbl/(stsz,stsc,stco)); a 'soun' track
+  // precedes the video track to prove handler selection
+  private def u32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def mp4box(t: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    u32(8L + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+  }
+
+  private def mp4Bytes(sizes: Seq[Int], spc: Seq[(Int, Int)],
+                       gap: Int): (Array[Byte], Seq[(Long, Int)]) = {
+    val ftyp = mp4box("ftyp", "isom".getBytes, u32(0), "isom".getBytes)
+    // chunk partition of the samples per the stsc runs
+    val perChunk = {
+      var rem = sizes
+      val out = Seq.newBuilder[Seq[Int]]
+      var chunk = 1
+      while (rem.nonEmpty) {
+        val n = spc.takeWhile(_._1 <= chunk).last._2
+        out += rem.take(n); rem = rem.drop(n); chunk += 1
+      }
+      out.result()
+    }
+    val mdatStart = ftyp.length
+    var off = mdatStart + 8L
+    val chunkOffsets = Seq.newBuilder[Long]
+    val ranges = Seq.newBuilder[(Long, Int)]
+    val data = Array.newBuilder[Byte]
+    perChunk.zipWithIndex.foreach { case (ch, i) =>
+      if (i > 0) { data ++= Array.fill(gap)(0x5a.toByte); off += gap }
+      chunkOffsets += off
+      ch.foreach { sz =>
+        ranges += ((off, sz))
+        data ++= Array.tabulate(sz)(j => ((off + j) % 251).toByte)
+        off += sz
+      }
+    }
+    val mdat = mp4box("mdat", data.result())
+    def hdlr(kind: String) =
+      mp4box("hdlr", u32(0), u32(0), kind.getBytes, u32(0), u32(0), u32(0))
+    val stsz = mp4box("stsz", u32(0), u32(0), u32(sizes.length),
+      sizes.map(s => u32(s)).flatten.toArray)
+    val stsc = mp4box("stsc", u32(0), u32(spc.length),
+      spc.map { case (fc, n) => u32(fc) ++ u32(n) ++ u32(1) }.flatten.toArray)
+    val stco = mp4box("stco", u32(0), u32(perChunk.length),
+      chunkOffsets.result().map(u32).flatten.toArray)
+    def trak(kind: String) = mp4box("trak",
+      mp4box("mdia", hdlr(kind),
+        mp4box("minf", mp4box("stbl", stsz, stsc, stco))))
+    val moov = mp4box("moov", trak("soun"), trak("vide"))
+    (ftyp ++ mdat ++ moov, ranges.result())
+  }
+
+  test("Mp4Demux: stbl sample table gives exact byte ranges across chunks") {
+    val sizes = Seq(3, 4, 5, 6, 7)
+    val (mp4, expected) = mp4Bytes(sizes, Seq((1, 2), (2, 3)), gap = 5)
+    assert(Multimodal.Mp4Demux.looksLikeMp4(mp4))
+    val got = Multimodal.Mp4Demux.sampleRanges(mp4)
+    assert(got === Some(expected))
+    // the demuxed slices are the bytes we wrote, not fixed slices:
+    // chunk 2 starts after a 5-byte gap the fixed-slice path would eat
+    expected.foreach { case (off, sz) =>
+      val slice = mp4.slice(off.toInt, off.toInt + sz)
+      assert(slice.toSeq === Array.tabulate(sz)(j => ((off + j) % 251).toByte).toSeq)
+    }
+  }
+
+  test("Mp4Demux: malformed tables reject, sampleFrames falls back to fixed slices") {
+    val (mp4, _) = mp4Bytes(Seq(3, 4, 5), Seq((1, 3)), gap = 0)
+    // truncate inside moov -> parse must return None, not throw
+    assert(Multimodal.Mp4Demux.sampleRanges(mp4.dropRight(12)) === None)
+    // sample range past EOF -> reject; the corrupted stco must be the
+    // VIDEO trak's (the last one — the decoy soun trak embeds an
+    // identical stbl first), and the first chunk offset sits at +16
+    // from the box start (8 header + 4 ver/flags + 4 entry_count)
+    val oob = mp4.clone()
+    val stcoAt = mp4.lastIndexOfSlice("stco".getBytes) - 4 + 16
+    System.arraycopy(u32(mp4.length.toLong + 100), 0, oob, stcoAt, 4)
+    assert(Multimodal.Mp4Demux.sampleRanges(oob) === None)
+    // non-MP4 payloads never match
+    assert(Multimodal.Mp4Demux.sampleRanges("RIFFxxxxWAVE".getBytes) === None)
+  }
+
+  test("sampleFrames: REAL MP4 stbl demux, stride over true samples") {
+    import spark.implicits._
+    val sizes = Seq(3, 4, 5, 6, 7)
+    val (mp4, expected) = mp4Bytes(sizes, Seq((1, 2), (2, 3)), gap = 5)
+    val df = Seq((9L, mp4)).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "id", "payload",
+      frameBytes = 1000, stride = 2).orderBy("frame_idx").collect()
+    // 5 real samples, stride 2 -> samples 0, 2, 4 with TRUE byte ranges
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 2, 4))
+    assert(out.map(_.getInt(2)).toSeq === Seq(0, 2, 4).map(expected(_)._1.toInt))
+    assert(out.map(_.getInt(3)).toSeq === Seq(0, 2, 4).map(expected(_)._2))
+    // features come from the exact sample slice through the stub codec
+    out.zip(Seq(0, 2, 4)).foreach { case (r, i) =>
+      val (off, sz) = expected(i)
+      val want = Multimodal.StubCodec.decode(mp4.slice(off.toInt, off.toInt + sz))._3
+      assert(r.getSeq[Double](4).toArray.toSeq === want.toSeq)
+    }
+  }
+
   test("sampleFrames: stride sampling over fixed-size frames, offsets correct") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
