@@ -13,17 +13,27 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` stores `ts` as Parquet TIMESTAMP(NANOS) which
-    * vanilla Spark rejects; read it as nano-longs and convert to a
-    * microsecond TimestampType column (the testdata has no
-    * sub-microsecond components, so this is lossless — TESTDATA.md).
+  /** The generator has shipped `events.ts` in two physical layouts:
+    * Parquet TIMESTAMP(NANOS) (which vanilla Spark rejects — read the
+    * nanos as longs) and, since 2026-08-13, TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark reads as TIMESTAMP_NTZ).
+    * Adapt to whichever is on disk and normalize to a session-zone
+    * (UTC) TimestampType column so every downstream operator and the
+    * DuckDB oracle (naive timestamps, TimeZone=UTC) see identical
+    * wall-clock values.
     */
   private[graft] def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/events.parquet")
-    // `div` = exact integer division — a double round-trip would lose
-    // precision above 2^53 ns (~epoch 1970+104 days).
-    df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    df.schema("ts").dataType match {
+      // `div` = exact integer division — a double round-trip would lose
+      // precision above 2^53 ns (~epoch 1970+104 days).
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
