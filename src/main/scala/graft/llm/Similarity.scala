@@ -260,16 +260,35 @@ object Similarity {
   /** Approximate top-k: candidates share a sign-bucket in ≥1 group,
     * scored with exact cosine, deduplicated across groups.
     * `queryPred` is expressed over the renamed `id` column.
+    *
+    * `probes` > 0 enables multi-probe (Lv et al., VLDB'07 shape): each
+    * query additionally probes the buckets at Hamming distance 1 in
+    * its first `probes` bit positions — QUERY-side only, so the
+    * indexed corpus never grows. This is the scale recipe's second
+    * half: bits/group grows with log₂(corpus) to hold bucket occupancy
+    * constant (else candidate work is quadratic in corpus — measured
+    * 12.2× for 10× data at 16×6 on the r5 sf1 slice), and the recall
+    * that finer buckets lose comes back from probing adjacent buckets
+    * at linear (1+probes)× query cost instead of from more plane
+    * groups at linear index+query cost (measured: 16×9+p9 beats both
+    * 32×9 and 48×10 on BOTH time and recall at sf1 — NOTES_r5).
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
-              planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+              planes: Seq[Seq[Seq[Double]]], probes: Int = 0): DataFrame = {
     val base = withNorm(df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
       .withColumn("__buckets", bucketsAll(df, col("v"), planes, dotAdaptive(df)))
     val exploded = base.select(col("id"), col("v"), col("__norm"),
       posexplode(col("__buckets")).as(Seq("grp", "bucket")))
-    val q = exploded.filter(queryPred).select(col("id").as("query_id"),
+    val q0 = exploded.filter(queryPred).select(col("id").as("query_id"),
       col("v").as("qv"), col("__norm").as("qn"), col("grp"), col("bucket"))
+    // flip masks 0 (the exact bucket), 1, 2, 4, … as one tiny literal
+    // array exploded on the query side; XOR is oracle-expressible.
+    val q = if (probes <= 0) q0 else q0
+      .withColumn("__flip",
+        explode(typedLit(0L +: Seq.tabulate(probes)(1L << _))))
+      .withColumn("bucket", expr("bucket ^ __flip"))
+      .drop("__flip")
     val cand = q.join(exploded, Seq("grp", "bucket"))
       .filter(col("id") =!= col("query_id"))
       .dropDuplicates("query_id", "id")

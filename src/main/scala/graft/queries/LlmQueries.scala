@@ -329,6 +329,56 @@ object LlmQueries {
     """)
   )
 
+  /** Multi-probe sign-LSH (Lv et al., VLDB'07 shape): 10 bits/group
+    * (finer buckets — constant occupancy is the anti-quadratic scale
+    * knob; the r5 sf1 curve measured 16×6 at 12.2× for 10× corpus)
+    * with each query also probing its 10 Hamming-distance-1 buckets
+    * per group, recovering the recall finer buckets lose at
+    * query-side-only cost. Measured at sf1 (LshScaleExp, interleaved
+    * arms): 16×10+p10 = 3.93 s / recall 0.760 vs baseline 16×6 =
+    * 4.63 s / 0.710 — better on BOTH axes. Planes stay md5-derived ⇒
+    * full DuckDB oracle (probe = bucket XOR single-bit masks).
+    */
+  val annLshMultiprobe: Q = Q(
+    "ann_lsh_multiprobe",
+    (s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 10), probes = 10),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(10) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM n CROSS JOIN pl GROUP BY 1, 2),
+      q AS (SELECT vec_id AS query_id, g,
+                   xor(bucket, CASE WHEN j = 0 THEN 0::BIGINT
+                                    ELSE (1::BIGINT << (j - 1)::INT) END) AS bucket
+            FROM bkt CROSS JOIN range(11) rf(j) WHERE vec_id % 40 = 0),
+      cand AS (SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+               FROM q JOIN bkt t ON q.g = t.g AND q.bucket = t.bucket
+                AND t.vec_id <> q.query_id),
+      s AS (SELECT c.query_id, c.neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, y) -> x + y)
+                     / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+            FROM cand c
+            JOIN n a ON a.vec_id = c.query_id
+            JOIN n b ON b.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
   /** Embedding-cosine near-duplicate pairs: same-cell (label) blocking
     * — the IVF analogue of LSH blocking — then exact cosine ≥ 0.35 (tuned to the synthetic embedding similarity range).
     * At scale the block key comes from LSH buckets or IVF assignment
@@ -959,7 +1009,8 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupIncremental,
-    dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh, annIvf,
+    dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
+    annLshMultiprobe, annIvf,
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
     charEntropyQ,
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,

@@ -15,6 +15,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("multi-probe recall dominates plain lsh on the same planes") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val planes = Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 10)
+    def pairs(probes: Int) = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5, planes, probes)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(0)
+    val probed = pairs(10)
+    val rPlain = (brute & plain).size.toDouble / brute.size
+    val rProbed = (brute & probed).size.toDouble / brute.size
+    info(s"recall@5 plain=$rPlain probed=$rProbed")
+    // probing only ADDS candidate buckets, so recall can't go down
+    assert(rProbed >= rPlain)
+    // and on this corpus the Hamming-1 probes find genuinely more
+    assert(rProbed > rPlain + 0.05)
+  }
+
   test("lsh topk recall vs brute force") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
