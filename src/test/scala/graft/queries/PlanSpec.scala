@@ -147,6 +147,18 @@ class PlanSpec extends SparkSpec {
       s"no cartesian anywhere in the LM joins:\n$plan")
   }
 
+  test("ann_lsh_multiprobe: candidates come from the (grp,bucket) equi-join, never cartesian") {
+    val df = Registry.byName("ann_lsh_multiprobe").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe explode must stay query-side: ONE hash-keyed candidate
+    // join; a cartesian/theta form would be the quadratic shape the
+    // bucket index exists to avoid
+    assert(!plan.contains("CartesianProduct"),
+      s"multi-probe candidates regressed to a cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("Generate"), // the probe-mask + bucket explodes
+      s"expected query-side explode in:\n${plan.take(3000)}")
+  }
+
   test("q18_big_orders: the HAVING-filtered aggregate broadcasts into orders (pinned, pre-AQE)") {
     val df = Registry.byName("q18_big_orders").fn(spark, sf("sf0.01"))
     // sparkPlan (pre-AQE): the hint must hold without runtime rescue
