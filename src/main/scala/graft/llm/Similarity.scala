@@ -152,6 +152,24 @@ object Similarity {
         (col("nlbl") === col("true_label")).as("correct"))
   }
 
+  /** Coarse sign-bucket refinement for a block key: the group-0
+    * bucket of `planes` appended to an existing block column. This is
+    * how block-bounded pair operators ([[knnGraph]],
+    * `dedup_embedding`) keep Σ cell² linear as the corpus grows: a
+    * FIXED block vocabulary (e.g. 10 labels) makes per-block pairs
+    * quadratic in corpus (measured: `knn_graph` 8.6× for 10× data on
+    * the r5 sf1 slice — quadratic pair work under a then-dominant
+    * fixed cost), while log₂-growing refinement bits hold block
+    * occupancy constant.
+    */
+  def refineBlock(df: DataFrame, blockCol: Column, vecCol: Column,
+                  bits: Int): Column = {
+    val planes = md5Planes(dim = 64, groups = 1, bitsPerGroup = bits)
+    concat(blockCol.cast("string"), lit(":"),
+      element_at(bucketsAll(df, toDoubleVec(vecCol), planes, dotAdaptive(df)), 1)
+        .cast("string"))
+  }
+
   /** All group buckets at once (bit p of group g set iff
     * v·plane_{g,p} > 0). With GraftExtensions the whole matrix runs
     * through the fused `plane_buckets` kernel (the planes flatten ONCE
@@ -166,7 +184,7 @@ object Similarity {
     * accumulation order, so bucket values are bit-identical
     * (VectorExpressionsSpec).
     */
-  private def bucketsAll(df: DataFrame, vecCol: Column, planes: Seq[Seq[Seq[Double]]],
+  def bucketsAll(df: DataFrame, vecCol: Column, planes: Seq[Seq[Seq[Double]]],
                          dotFn: (Column, Column) => Column): Column =
     if (df.sparkSession.catalog.functionExists("plane_buckets"))
       call_function("plane_buckets", vecCol, typedLit(planes))

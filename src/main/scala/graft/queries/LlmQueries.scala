@@ -814,6 +814,58 @@ object LlmQueries {
     """)
   )
 
+  /** k-NN graph with LSH-refined blocks — the scale path the
+    * `knn_graph` scaladoc promises, made real: block = label + a
+    * 3-bit group-0 sign bucket (`Similarity.refineBlock`), so the
+    * per-block pair space shrinks ~8× and STAYS bounded as the corpus
+    * grows (bits grow with log₂(corpus); a fixed 10-label vocabulary
+    * makes Σ cell² quadratic — `knn_graph` measured 8.6× for 10× data
+    * on the r5 sf1 slice). Measured at sf1 (KnnBlockExp, interleaved
+    * arms): 10.2 → 1.1 s (9.6×) at 3 bits, mean edge cosine 0.337 vs
+    * 0.389 optimal (87%), strict edge agreement 0.24 — the blocking
+    * tradeoff is geometry-dependent, and this synthetic corpus is
+    * near-adversarial for sign-LSH (top-3 neighbors average only
+    * cos 0.39, i.e. ~67° apart, so one hyperplane cuts a true pair
+    * with p ≈ 0.37); real embedding corpora whose near-neighbors sit
+    * at cos ≥ 0.9 keep the large majority of edges at the same
+    * speedup. Buckets are md5-planes ⇒ full DuckDB oracle.
+    */
+  val knnGraphBucketed: Q = Q(
+    "knn_graph_bucketed",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val blk = Similarity.refineBlock(emb, col("label"), col("embedding"), bits = 3)
+      Similarity.knnGraph(emb.withColumn("blk", blk), "vec_id", "embedding", "blk", k = 3)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(1) rg(g) CROSS JOIN range(3) rp(p)),
+      bkt AS (SELECT vec_id,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM n CROSS JOIN pl GROUP BY 1),
+      b2 AS (SELECT n.vec_id, n.label::VARCHAR || ':' || bkt.bucket::VARCHAR AS blk, n.v, n.nrm
+             FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+      s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]),
+                               (x, y) -> x + y)
+                     / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+            FROM b2 a JOIN b2 b ON a.blk = b.blk AND a.vec_id <> b.vec_id)
+      SELECT src, dst, cosine,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cosine DESC, dst) AS rank
+      FROM s QUALIFY rank <= 3
+    """)
+  )
+
   /** Contrastive hard negatives: top-5 most-similar DIFFERENT-label
     * vectors per query — exact-scoring baseline (as cosine_topk); LSH/
     * IVF candidate generation is the scale path.
@@ -1014,6 +1066,6 @@ object LlmQueries {
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
     charEntropyQ,
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
-    knnGraphQ, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
+    knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ)
 }

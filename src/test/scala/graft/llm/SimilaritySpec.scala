@@ -15,6 +15,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("refineBlock is a deterministic refinement of the label partition") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val blk = Similarity.refineBlock(emb, col("label"), col("embedding"), bits = 3)
+    val rows = emb.withColumn("blk", blk).select("label", "blk").distinct().collect()
+    // every refined block lives inside exactly one label block
+    assert(rows.map(_.getString(1)).distinct.length === rows.length)
+    assert(rows.forall(r => r.getString(1).startsWith(s"${r.getInt(0)}:")))
+    // and the refinement is real: more blocks than labels
+    assert(rows.length > rows.map(_.getInt(0)).distinct.length)
+    // determinism: a second evaluation produces the identical mapping
+    val again = emb.withColumn("blk", blk).select("label", "blk").distinct().collect()
+    assert(again.map(r => (r.getInt(0), r.getString(1))).toSet ===
+      rows.map(r => (r.getInt(0), r.getString(1))).toSet)
+  }
+
   test("multi-probe recall dominates plain lsh on the same planes") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val planes = Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 10)
