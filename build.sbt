@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt routes the forked run's stdout through its logger and
+// prefixes every line with "[info] " — which breaks any line-oriented JSON
+// consumer of `sbt runMain` output (the driver's bench parser saw
+// `[info] {"metric":...}` and recorded parsed:null in r3–r5). StdoutOutput
+// passes the child's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
