@@ -72,7 +72,8 @@ object LshScaleExp {
     val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", pred, k = 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"corpus=$n queries=${brute.map(_._1).size / 5} sf=$sfDir sweeps=$sweeps")
+    // map(_._1) already dedups to distinct query ids — no /k here
+    println(s"corpus=$n queries=${brute.map(_._1).size} sf=$sfDir sweeps=$sweeps")
     arms.foreach { a =>
       val got = lsh(a).select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet

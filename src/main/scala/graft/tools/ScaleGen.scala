@@ -83,11 +83,21 @@ object ScaleGen {
     val events   = spark.read.parquet(s"$src/events.parquet")
 
     // One row of maxima (tiny) drives every stride; orders/customer and
-    // lineitem/supplier/part share strides so FKs stay intact.
+    // lineitem/supplier/part share strides so FKs stay intact. Each
+    // stride takes the max over BOTH the PK table and the FK column: a
+    // customer/supplier/part key with no referencing row could exceed
+    // the FK-side max and cross the next power of ten, which would make
+    // replica key ranges overlap (duplicate PKs + join fan-out).
+    val customer = spark.read.parquet(s"$src/customer.parquet")
+    val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    val part     = spark.read.parquet(s"$src/part.parquet")
     val m = orders.agg(max("o_orderkey"), max("o_custkey")).collect()(0)
     val ml = lineitem.agg(max("l_suppkey"), max("l_partkey")).collect()(0)
-    val (okS, ckS) = (stride(m.getLong(0)), stride(m.getLong(1)))
-    val (skS, pkS) = (stride(ml.getLong(0)), stride(ml.getLong(1)))
+    val ckMax = m.getLong(1) max customer.agg(max("c_custkey")).collect()(0).getLong(0)
+    val skMax = ml.getLong(0) max supplier.agg(max("s_suppkey")).collect()(0).getLong(0)
+    val pkMax = ml.getLong(1) max part.agg(max("p_partkey")).collect()(0).getLong(0)
+    val (okS, ckS) = (stride(m.getLong(0)), stride(ckMax))
+    val (skS, pkS) = (stride(skMax), stride(pkMax))
     val docS = stride(docs.agg(max("doc_id")).collect()(0).getLong(0))
     val vecS = stride(emb.agg(max("vec_id")).collect()(0).getLong(0))
     val me = events.agg(max("event_id"), max("user_id")).collect()(0)
@@ -107,15 +117,15 @@ object ScaleGen {
         .withColumn("l_partkey", col("l_partkey") + lit(r * pkS))
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    replicate(spark.read.parquet(s"$src/customer.parquet")) { (df, r) =>
+    replicate(customer) { (df, r) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(r * ckS))
     }.write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    replicate(spark.read.parquet(s"$src/supplier.parquet")) { (df, r) =>
+    replicate(supplier) { (df, r) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(r * skS))
     }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
-    replicate(spark.read.parquet(s"$src/part.parquet")) { (df, r) =>
+    replicate(part) { (df, r) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(r * pkS))
     }.write.mode("overwrite").parquet(s"$out/part.parquet")
 
@@ -160,6 +170,13 @@ object ScaleGen {
       .filter(col("w") =!= "").distinct()
       .as[String].collect().sorted
     val v = vocab.length
+    // The shift is cyclic mod v: replica r = v would be a byte-for-byte
+    // duplicate of replica 0, reintroducing the quadratic dup pathology
+    // this permutation exists to avoid. Max r is replicas-1, so
+    // replicas <= v keeps every replica's shift non-zero and distinct.
+    require(replicas <= v,
+      s"documents vocab has $v words; replicas=$replicas would wrap the cyclic shift " +
+        "(replica v duplicates replica 0) — grow the vocab or lower replicas")
     replicate(docs) { (df, r) =>
       val perm = typedLit(vocab.indices.map(i => vocab(i) -> vocab((i + r) % v)).toMap)
       val shifted = array_join(
