@@ -31,21 +31,39 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * (physical; `requiredChildDistribution`/`Ordering` make
   * EnsureRequirements insert the exchanges and sorts).
   *
-  * Semantics = `AsOfJoin.joined`/`unioned` (left outer; latest right
-  * with rightTime ≤ leftTime and leftTime − rightTime ≤ tolerance),
-  * proven on the same DuckDB oracle (`asof_join_native`) and by
+  * Semantics = `AsOfJoin.directional` (left outer) in all three
+  * pandas-`merge_asof` directions, selected by `direction`:
+  *
+  *  - `backward` (default) — latest right with rightTime ≤ leftTime
+  *    and leftTime − rightTime ≤ tolerance
+  *  - `forward` — earliest right with rightTime ≥ leftTime and
+  *    rightTime − leftTime ≤ tolerance
+  *  - `nearest` — right minimizing |rightTime − leftTime| within
+  *    ±tolerance; equidistant ties break to the EARLIER right row
+  *    (same contract as the join+rank form and its oracle)
+  *
+  * All three share one physical shape: the same co-partition + co-sort
+  * requirements, one forward-only merge pass, O(1) per-partition state
+  * (backward keeps the last right row ≤ t; forward keeps only the
+  * lookahead; nearest keeps both and picks the closer). Proven on the
+  * same DuckDB oracles (`asof_join_native`,
+  * `asof_join_forward_native`, `asof_join_nearest_native`) and by
   * direct equality in AsOfJoinNativeSpec.
   */
 object AsOfJoinNative {
 
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
+
   /** Build the DataFrame. `leftTimeCol`/`rightTimeCol` must be
     * TimestampType or LongType; key columns any atomic type with an
     * ordering. Output = left columns ++ right columns (nullable).
+    * `tolerance` is in the time columns' native unit (µs for
+    * TimestampType).
     */
   def join(left: DataFrame, right: DataFrame,
            leftKeyCol: String, leftTimeCol: String,
            rightKeyCol: String, rightTimeCol: String,
-           tolerance: Long): DataFrame = {
+           tolerance: Long, direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     val lp = GraftSqlShim.analyzed(left)
     val rp = GraftSqlShim.analyzed(right)
@@ -55,7 +73,7 @@ object AsOfJoinNative {
           s"column $name not in [${p.output.map(_.name).mkString(", ")}]"))
     GraftSqlShim.ofRows(spark,
       AsOfJoinNode(lp, rp, attr(lp, leftKeyCol), attr(lp, leftTimeCol),
-        attr(rp, rightKeyCol), attr(rp, rightTimeCol), tolerance))
+        attr(rp, rightKeyCol), attr(rp, rightTimeCol), tolerance, direction))
   }
 }
 
@@ -65,7 +83,10 @@ object AsOfJoinNative {
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Attribute, leftTime: Attribute,
                         rightKey: Attribute, rightTime: Attribute,
-                        tolerance: Long) extends BinaryNode {
+                        tolerance: Long,
+                        direction: String = "backward") extends BinaryNode {
+  require(AsOfJoinNative.Directions.contains(direction),
+    s"direction must be one of ${AsOfJoinNative.Directions.mkString("|")}, got $direction")
   require(Seq(TimestampType, LongType).contains(leftTime.dataType) &&
     rightTime.dataType == leftTime.dataType,
     s"as-of time columns must both be timestamp or long, got " +
@@ -92,15 +113,18 @@ class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKey, n.leftTime, n.rightKey, n.rightTime, n.tolerance,
-        planLater(n.left), planLater(n.right)) :: Nil
+        n.direction, planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical as-of join: co-partitioned, co-sorted streaming merge. */
+/** Physical as-of join: co-partitioned, co-sorted streaming merge.
+  * All directions run the same forward-only pass — the direction only
+  * changes which O(1) state the pass keeps per partition.
+  */
 case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
                         rightKey: Attribute, rightTime: Attribute,
-                        tolerance: Long,
+                        tolerance: Long, direction: String,
                         left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -161,10 +185,35 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
       }
       advanceRight()
 
+      // backward-candidate state (kept for backward + nearest); the
+      // retained row is always a copy() because the sorter reuses row
+      // buffers across next() calls
       var matchRow: InternalRow = null
       var matchKey: Any = null
       var matchTime: Long = 0L
 
+      // Consume right rows on earlier keys, then (when tracking the
+      // backward candidate) all rows at this key with time <= t — the
+      // last consumed one is the backward as-of match. After this call
+      // rCur (if on this key) is the earliest right row with time > t,
+      // i.e. exactly the forward candidate.
+      def catchUp(k: Any, t: Long, trackBackward: Boolean): Unit = {
+        // skip right rows on earlier keys (or null keys, which sort
+        // first and can never match)
+        while (rCur != null && (rCurKey == null || keyOrd.compare(rCurKey, k) < 0))
+          advanceRight()
+        while (rCur != null && rCurKey != null &&
+               keyOrd.compare(rCurKey, k) == 0 && rCurTime <= t) {
+          if (trackBackward) {
+            matchRow = rCur.copy()
+            matchKey = rKeyExpr.eval(matchRow)
+            matchTime = rCurTime
+          }
+          advanceRight()
+        }
+      }
+
+      val dir = direction
       lIt.map { l =>
         val k = lKeyExpr.eval(l)
         val tRaw = lTimeExpr.eval(l)
@@ -175,23 +224,38 @@ case class AsOfJoinExec(leftKey: Attribute, leftTime: Attribute,
         else {
           val t = tRaw.asInstanceOf[Long]
           if (matchRow != null && keyOrd.compare(matchKey, k) != 0) matchRow = null
-          // skip right rows on earlier keys (or null keys, which sort
-          // first and can never match)
-          while (rCur != null && (rCurKey == null || keyOrd.compare(rCurKey, k) < 0))
-            advanceRight()
-          // consume all right rows at this key with time <= t; the
-          // last one wins (as-of semantics)
-          while (rCur != null && rCurKey != null &&
-                 keyOrd.compare(rCurKey, k) == 0 && rCurTime <= t) {
-            matchRow = rCur.copy()
-            matchKey = rKeyExpr.eval(matchRow)
-            matchTime = rCurTime
-            advanceRight()
+          val m = dir match {
+            case "backward" =>
+              catchUp(k, t, trackBackward = true)
+              if (matchRow != null && keyOrd.compare(matchKey, k) == 0 &&
+                  t - matchTime <= tol) matchRow
+              else nullRight
+            case "forward" =>
+              // advance to the earliest right row with time >= t on
+              // this key; left times ascend, so never rewinds. The
+              // match is the (un-consumed) lookahead itself — the next
+              // left row may match the same right row.
+              while (rCur != null && (rCurKey == null ||
+                     keyOrd.compare(rCurKey, k) < 0 ||
+                     (keyOrd.compare(rCurKey, k) == 0 && rCurTime < t)))
+                advanceRight()
+              if (rCur != null && rCurKey != null &&
+                  keyOrd.compare(rCurKey, k) == 0 && rCurTime - t <= tol) rCur
+              else nullRight
+            case "nearest" =>
+              // backward candidate consumes rows <= t (so an exact
+              // rt == t hit lands there at distance 0); the forward
+              // candidate is the lookahead, strictly > t. Pick the
+              // closer; equidistant ties to the earlier (backward) row.
+              catchUp(k, t, trackBackward = true)
+              val bOk = matchRow != null && keyOrd.compare(matchKey, k) == 0 &&
+                t - matchTime <= tol
+              val fOk = rCur != null && rCurKey != null &&
+                keyOrd.compare(rCurKey, k) == 0 && rCurTime - t <= tol
+              if (bOk && (!fOk || t - matchTime <= rCurTime - t)) matchRow
+              else if (fOk) rCur
+              else nullRight
           }
-          val m =
-            if (matchRow != null && keyOrd.compare(matchKey, k) == 0 &&
-                t - matchTime <= tol) matchRow
-            else nullRight
           joiner(joined(l, m))
         }
       }

@@ -486,6 +486,44 @@ object MarketQueries {
     asofJoin.oracle
   )
 
+  /** Forward as-of through the native operator — same semantics and
+    * oracle as `asof_join_forward`, but planned as the co-partitioned
+    * sorted-merge pass (the forward match is the merge lookahead
+    * itself, so the pass keeps NO copied state at all).
+    */
+  val asofJoinForwardNative: Q = Q(
+    "asof_join_forward_native",
+    (s, dir) => {
+      val (bars, clicks0) = barsAndClicks(s, dir)
+      val clicks = clicks0.withColumnRenamed("user_id", "r_user")
+      graft.plans.AsOfJoinNative.join(bars, clicks, "user_id", "end_ts",
+        "r_user", "click_ts", tolerance = 3L * 24 * 3600 * 1000000,
+        direction = "forward")
+        .select(col("user_id"), col("bar_num"), col("close"), col("end_ts"),
+          col("click_ts").as("next_click_ts"), col("click_value").as("next_click_value"))
+    },
+    asofJoinForward.oracle
+  )
+
+  /** Nearest as-of through the native operator — same semantics and
+    * oracle as `asof_join_nearest` (closest click within ±3 days,
+    * equidistant ties to the earlier click); the pass keeps the
+    * backward candidate and compares it against the merge lookahead.
+    */
+  val asofJoinNearestNative: Q = Q(
+    "asof_join_nearest_native",
+    (s, dir) => {
+      val (bars, clicks0) = barsAndClicks(s, dir)
+      val clicks = clicks0.withColumnRenamed("user_id", "r_user")
+      graft.plans.AsOfJoinNative.join(bars, clicks, "user_id", "end_ts",
+        "r_user", "click_ts", tolerance = 3L * 24 * 3600 * 1000000,
+        direction = "nearest")
+        .select(col("user_id"), col("bar_num"), col("close"), col("end_ts"),
+          col("click_ts").as("near_click_ts"), col("click_value").as("near_click_value"))
+    },
+    asofJoinNearest.oracle
+  )
+
   /** Per-row expanding EWMA — the scalable secondary-sort
     * `mapPartitions` form (SURVEY.md §7.4, W2 frame semantics).
     */
@@ -860,7 +898,8 @@ object MarketQueries {
   val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
     candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled,
     candlesReagg, asofJoin, asofJoinScalable, asofJoinNative, asofJoinForward,
-    asofJoinNearest, ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook,
+    asofJoinNearest, asofJoinForwardNative, asofJoinNearestNative,
+    ewmaLast, ewmaAdjusted, ewmaRowwise, ofiFlow, ofiBook,
     bookFeatures, bookReplayFinal, rangePairs, distinctUsers, latestPerKey,
     eventEnrich, envelopeRoundtrip)
 }

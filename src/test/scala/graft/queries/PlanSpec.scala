@@ -234,4 +234,15 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
+    Seq("asof_join_native", "asof_join_forward_native", "asof_join_nearest_native")
+      .foreach { name =>
+        val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+        val plan = df.queryExecution.sparkPlan.toString
+        assert(plan.contains("AsOfJoin"), s"$name lost the native operator:\n${plan.take(3000)}")
+        assert(!plan.contains("WindowGroupLimit") && !plan.contains("BroadcastNestedLoop"),
+          s"$name regressed to the band-join + rank formulation:\n${plan.take(3000)}")
+      }
+  }
 }
