@@ -516,6 +516,46 @@ object CurationQueries {
     """)
   )
 
+  /** Whole-document best-fit-decreasing packing, summarized to its
+    * oracle-checkable invariants. Bin ASSIGNMENTS are deterministic
+    * but algorithm-specific (no SQL replay), so the emitted single
+    * row carries what SQL can verify exactly — total packed docs and
+    * tokens (conservation: packing must neither drop nor duplicate
+    * eligible docs) — plus two booleans the oracle pins to TRUE:
+    * `fill_ok` (no bin over 512 tokens) and `half_full_ok` (BFD opens
+    * a bin only when a doc fits nowhere, so per partition at most one
+    * bin can end ≤ half full — globally at most `partitions` such
+    * bins). A packing that dropped docs, overfilled a bin, or
+    * degenerated to one-doc-per-bin fails the hash compare.
+    */
+  val packBestfit: Q = Q(
+    "pack_bestfit",
+    (s, dir) => {
+      val seqLen = 512
+      val parts = 32
+      val packed = Chunking.packBestFit(Tables.documents(s, dir), "doc_id",
+        "text", seqLen, partitions = parts)
+      val bins = packed.groupBy("bin_id")
+        .agg(sum("n_tok").as("fill"), count(lit(1)).as("n_docs"))
+      bins.agg(
+        sum("n_docs").cast("long").as("total_docs"),
+        sum("fill").cast("long").as("total_tokens"),
+        (max(col("fill")) <= lit(seqLen)).as("fill_ok"),
+        (sum(when(col("fill") <= lit(seqLen / 2), 1).otherwise(0)) <= lit(parts))
+          .as("half_full_ok"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tok
+        FROM documents),
+      f AS (SELECT * FROM w WHERE n_tok > 0 AND n_tok <= 512)
+      SELECT CAST(count(*) AS BIGINT) AS total_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             TRUE AS fill_ok, TRUE AS half_full_ok
+      FROM f
+    """)
+  )
+
   /** TF-IDF top-3 terms per document (ratio idf — see
     * TextStats.tfidfTopTerms for why not `ln`).
     */
@@ -705,6 +745,6 @@ object CurationQueries {
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
-    packSequences, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
+    packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode)
 }

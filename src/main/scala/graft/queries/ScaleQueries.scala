@@ -115,6 +115,41 @@ object ScaleQueries {
     """)
   )
 
+  /** Incremental DISTINCT via mergeable HLL sketches — the same
+    * snapshot+delta split as `incremental_stats`, but counting
+    * distinct users per event type: sketch each batch, union the
+    * sketch states, estimate. The estimate can't hash-match an exact
+    * engine, so the emitted row carries the EXACT count (oracle-
+    * matchable) plus `est_ok` — whether the merged-sketch estimate
+    * landed within ±5 % (3× the lgK=12 relative standard error of
+    * 1.04/√2¹² ≈ 1.6 %). The oracle emits TRUE, so a sketch drifting
+    * out of its error bound fails the hash compare — the bounds-
+    * pinned form of an approximate oracle.
+    */
+  val distinctSketch: Q = Q(
+    "distinct_sketch",
+    (s, dir) => {
+      val ev = events(s, dir).select("event_type", "user_id", "ts")
+      val cut = lit("2024-01-15").cast("timestamp")
+      val parts = Seq(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
+        .map(d => Compaction.distinctSketch(d, Seq("event_type"), "user_id"))
+      val est = Compaction.distinctFinish(
+        Compaction.distinctMerge(parts, Seq("event_type")))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("distinct_est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("est_ok"))
+    },
+    Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             TRUE AS est_ok
+      FROM events GROUP BY 1
+    """)
+  )
+
   /** Upsert compaction: latest(latest(base) ∪ latest(delta)) must
     * equal latest over the full table — the CDC snapshot+delta merge.
     * Oracle = plain latest-per-key over everything.
@@ -399,7 +434,7 @@ object ScaleQueries {
   )
 
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, pipelineMetrics,
-    incrementalStats, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
+    incrementalStats, distinctSketch, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
     trailingSum, zorderIndex, outlierFilter, profileNumeric, winsorizeValues,
     featureScale)
 }
