@@ -84,27 +84,115 @@ object Bpe {
   /** Train `numMerges` BPE merges; see [[BpeModel]]. Ties break on
     * (count DESC, a ASC, b ASC) — total order, deterministic. Stops
     * early if no pair remains.
+    *
+    * `batch` > 1 amortizes the driver round-trip that dominates wall
+    * time at production vocab sizes (one Spark job + one collect PER
+    * MERGE otherwise — measured in tools/BpeLoopExp): each round
+    * collects the top `3·batch` pairs and selects a prefix that is
+    * PROVABLY the next run of sequential merges, then applies the
+    * whole run in one projection. The selection rule that makes the
+    * batch bit-identical to `batch = 1`:
+    *
+    *  1. walk the (n DESC, a, b)-sorted candidates in order, keeping a
+    *     pair only while (i) it shares NO symbol — a, b, or the
+    *     produced token a+b — with any pair already kept, and (ii) its
+    *     product does NOT already exist as a symbol in the table; STOP
+    *     at the first violation (the kept set must be a contiguous
+    *     prefix of the total order, or a later-ranked-but-conflicting
+    *     pair could become sequential's next argmax);
+    *  2. trim trailing kept pairs whose count equals the count of the
+    *     first pair NOT kept (stop row, batch cap, or collect bound),
+    *     so every kept count is STRICTLY above every non-kept count.
+    *
+    * Why that is exact: applying a merge only touches pairs that
+    * involve its symbols, so the counts of the kept (pairwise-
+    * disjoint) pairs are invariant while the batch applies. A pair
+    * the batch creates, (x, a+b), inherits count ≤ the old (x, a) —
+    * a conflicting, hence non-kept, pair, strictly below every kept
+    * count after the trim. Rule (ii) closes the one growth channel:
+    * if a+b pre-existed as a symbol, an EXISTING (x, a+b) pair would
+    * gain the created adjacencies on top of its old count and could
+    * overtake a later kept pair — the symbol vocabulary is tracked
+    * driver-side (initial code points + every applied product; one
+    * extra distinct-collect at train start) precisely to veto those.
+    * Sequential's argmax at step k is therefore exactly kept pair k,
+    * ties included (tied kept pairs are disjoint, so their
+    * lexicographic order is preserved). If trimming empties the batch
+    * (top two tied and conflicting), one plain sequential step runs
+    * instead — a single argmax is always exact. Equivalence is
+    * property-checked in BpeSpec (incl. a pre-existing-product
+    * adversarial corpus) and re-proven by the unchanged sequential-
+    * replay DuckDB oracle every round.
     */
-  def train(df: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            batch: Int = 1): BpeModel = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var cur = wordCounts(df, textCol)
       .withColumn("s", spaced(col("word")))
       .localCheckpoint()
+    // ever-existing symbol vocabulary (grows by one product per merge;
+    // removals are ignored — a stale entry only shortens a batch,
+    // never breaks exactness). batch == 1 never consults it.
+    val symbols = collection.mutable.Set.empty[String]
+    if (batch > 1)
+      symbols ++= cur.select(explode(symsOf(col("s"))).as("c"))
+        .distinct().collect().map(_.getString(0))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var i = 0
     var exhausted = false
     while (i < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - i)
+      val k = if (want == 1) 1 else want * 3
       val top = cur
         .select(col("cnt"), explode(pairCol(col("s"))).as("p"))
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((i + 1, a, b, n))
-        cur = cur.withColumn("s", applyMerge(col("s"), a, b)).localCheckpoint()
-        i += 1
+        val selected: Seq[(String, String, Long)] =
+          if (want == 1) top.take(1).toSeq
+          else {
+            val used = collection.mutable.Set.empty[String]
+            var stop = false
+            val kept = Seq.newBuilder[(String, String, Long)]
+            var nKept = 0
+            var j = 0
+            while (!stop && j < top.length && nKept < want) {
+              val (a, b, _) = top(j)
+              val prod = a + b
+              if (used(a) || used(b) || used(prod) || symbols(prod)) stop = true
+              else {
+                kept += top(j); nKept += 1
+                used += a; used += b; used += prod
+                j += 1
+              }
+            }
+            // strict count boundary vs the first non-kept candidate;
+            // if every collected row was kept AND the collect may be
+            // non-exhaustive (size == k), the unseen tail is bounded
+            // by the last collected count — trim against that instead
+            val keptSeq = kept.result()
+            val boundary: Option[Long] =
+              if (keptSeq.size < top.length) Some(top(keptSeq.size)._3)
+              else if (top.length == k) Some(top.last._3)
+              else None
+            val trimmed = boundary match {
+              case Some(bn) => keptSeq.reverse.dropWhile(_._3 == bn).reverse
+              case None => keptSeq
+            }
+            if (trimmed.nonEmpty) trimmed else top.take(1).toSeq
+          }
+        selected.foreach { case (a, b, n) =>
+          merges += ((i + 1, a, b, n)); i += 1
+          symbols += (a + b)
+        }
+        val applied = selected.foldLeft(col("s")) { case (c, (a, b, _)) =>
+          applyMerge(c, a, b)
+        }
+        cur = cur.withColumn("s", applied).localCheckpoint()
       }
     }
     BpeModel(merges.result(), cur)

@@ -1,0 +1,165 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.stream.{StatefulFeatures, Streams}
+
+/** Streaming micro-benchmark (dev-side, not part of the driver
+  * contract) — the reference is 4/5 streaming jobs but the engine's
+  * bench surface was all batch (round-5 verdict item #1). Drives the
+  * headline streaming operators with a chunked FILE source at sf0.1
+  * volume and records, per operator: rows/sec per trigger, per-trigger
+  * latency, and state-store row/byte growth across triggers (from
+  * `StreamingQueryProgress` — the same numbers a production monitor
+  * would scrape).
+  *
+  * Method: the events table is replicated `R`× and split into `C`
+  * time-ordered chunk files written in ascending-mtime order, so the
+  * file source (`maxFilesPerTrigger = 2`) replays them as C/2
+  * micro-batches with advancing event time — watermarks move, windows
+  * close, and state eviction actually runs, unlike a single all-data
+  * batch. Sink is `noop` (operator cost, not sink materialization).
+  *
+  * Usage: tools/run.sh graft.tools.StreamBench [sfDir] [replicas] [outJson]
+  */
+object StreamBench {
+
+  private val Chunks = 40
+  private val FilesPerTrigger = 2
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(5)
+    val outJson = args.lift(2).getOrElse("STREAMBENCH_r6.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "200")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = java.nio.file.Files.createTempDirectory("streambench").toFile
+    val inputDir = new java.io.File(work, "input").getPath
+
+    // ---- input: events → ticks, replicated, chunked by event time ----
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+    val ticks = ev
+      .crossJoin(spark.range(replicas).toDF("r"))
+      .select(
+        col("ts"),
+        col("user_id").as("key"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("value").as("price"),
+        (pmod(col("event_id") * replicas + col("r"), lit(97)) + 1).cast("int").as("size"),
+        when(pmod(col("event_id") + col("r"), lit(2)) === 0, "bid").otherwise("ask").as("side"),
+        floor(pmod(col("value"), lit(20))).as("level_price"),
+        pmod(col("event_id") + col("r"), lit(8)).cast("double").as("level_size"),
+        (pmod(col("value"), lit(10)) + 1).as("vol"),
+        pmod(col("event_id"), lit(10000)).as("dup_key"),
+        to_json(struct(col("ts"), col("user_id").cast("string").as("k"),
+          when(pmod(col("event_id") + col("r"), lit(2)) === 0, "BID").otherwise("ASK").as("side"),
+          col("value").as("v"))).cast("binary").as("value"))
+    // time-ordered chunks, one append write each → ascending mtimes, so
+    // the file source replays them in event-time order (single-task
+    // window is fine in a bench generator)
+    val chunked = ticks
+      .withColumn("__chunk",
+        ntile(Chunks).over(org.apache.spark.sql.expressions.Window.orderBy("tsUs")))
+      .localCheckpoint()
+    val n = chunked.count()
+    for (c <- 1 to Chunks)
+      chunked.filter(col("__chunk") === c).drop("__chunk")
+        .coalesce(1).write.mode("append").parquet(inputDir)
+    val inputSchema = spark.read.parquet(inputDir).schema
+    println(s"input rows=$n chunks=$Chunks sf=$sfDir replicas=$replicas")
+
+    def source(): DataFrame = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", FilesPerTrigger)
+      .parquet(inputDir)
+
+    val candleSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("k", StringType),
+      StructField("side", StringType), StructField("v", DoubleType)))
+
+    // ---- operators under test ----
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "candle_features" -> (() => Streams.candleFeatures(source(), candleSchema,
+        "ts", "k", "v", "side", "ASK", "1 minute", "10 minutes")),
+      "stateful_ewma_ofi" -> (() => StatefulFeatures(source(), alpha = 0.8)),
+      "stateful_ewma_tws" -> (() => StatefulFeatures.applyTws(source(), alpha = 0.8)),
+      "book_replay" -> (() => StatefulFeatures.bookReplay(
+        source().select(col("key"), col("tsUs"), col("side"),
+          col("level_price").as("price"), col("level_size").as("size")))),
+      "vpin_buckets" -> (() => StatefulFeatures.vpinBuckets(
+        source().select(col("key"), col("tsUs"), col("price"), col("vol")),
+        bucketSize = 500.0)),
+      "dedup_watermark" -> (() => Streams.dedupWithinWatermark(
+        source(), "ts", "1 hour", Seq("key", "dup_key"))))
+
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) 0.0
+      else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+    def r1(v: Double) = math.rint(v * 10) / 10
+    def r3(v: Double) = math.rint(v * 1000) / 1000
+
+    val results = ops.map { case (name, mk) =>
+      val ckpt = new java.io.File(work, s"ckpt-$name").getPath
+      // transformWithState requires the RocksDB provider (multiple
+      // column families); the others run on the default HDFS-backed
+      // store so their state_bytes are comparable with each other
+      if (name == "stateful_ewma_tws")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      val t0 = System.nanoTime()
+      val q: StreamingQuery = mk().writeStream
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      q.stop()
+      val trigMs = progress.map(_.durationMs.get("triggerExecution").toDouble)
+      val rowsPerSec = progress.map(p =>
+        p.numInputRows / (p.durationMs.get("triggerExecution").toDouble / 1000))
+      val stateRows = progress.map(
+        _.stateOperators.map(_.numRowsTotal).sum)
+      val stateBytes = progress.map(
+        _.stateOperators.map(_.memoryUsedBytes).sum)
+      val rows = progress.map(_.numInputRows).sum
+      val line = Seq(
+        s""""rows":$rows""",
+        s""""wall_sec":${r3(wall)}""",
+        s""""rows_per_sec_overall":${r1(rows / wall)}""",
+        s""""n_triggers":${progress.size}""",
+        s""""trigger_ms":{"p50":${r1(pct(trigMs, 0.5))},"p95":${r1(pct(trigMs, 0.95))},"max":${r1(if (trigMs.isEmpty) 0 else trigMs.max)}}""",
+        s""""rows_per_sec_per_trigger_p50":${r1(pct(rowsPerSec, 0.5))}""",
+        s""""state_rows":{"first":${stateRows.headOption.getOrElse(0L)},"max":${if (stateRows.isEmpty) 0L else stateRows.max},"last":${stateRows.lastOption.getOrElse(0L)}}""",
+        s""""state_bytes_max":${if (stateBytes.isEmpty) 0L else stateBytes.max}"""
+      ).mkString("{", ",", "}")
+      println(s"$name $line")
+      s""""$name":$line"""
+    }
+
+    val doc =
+      s"""{"sf":"$sfDir","replicas":$replicas,"input_rows":$n,"chunks":$Chunks,""" +
+        s""""files_per_trigger":$FilesPerTrigger,"cpus":$cpus,""" +
+        s""""operators":${results.mkString("{", ",", "}")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (doc + "\n").getBytes("UTF-8"))
+    println(s"wrote $outJson")
+    spark.stop()
+  }
+}

@@ -110,6 +110,43 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched train is bit-identical to sequential on random corpora (5 seeds × 3 batch sizes)") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val vocab = Seq.fill(30)((1 to (1 + rnd.nextInt(6)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val text = Seq.fill(120)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val sequential = Bpe.train(df, "text", 8).merges
+      for (b <- Seq(2, 4, 8))
+        assert(Bpe.train(df, "text", 8, batch = b).merges === sequential,
+          s"seed $seed batch $b")
+    }
+  }
+
+  test("batched train handles the pre-existing-product trap exactly") {
+    import spark.implicits._
+    // 'ab' already exists as a word (single merge away from being a
+    // symbol), so merging (a,b) later re-feeds existing (x,ab) pairs —
+    // the growth channel rule (ii) exists for. Corpus built so the
+    // batch WOULD have kept a lower-count pair that sequential
+    // overtakes after the boost.
+    val text = (Seq.fill(20)("ab") ++ Seq.fill(12)("xab") ++
+      Seq.fill(11)("xa b") ++ Seq.fill(7)("cd")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    for (m <- 1 to 6; b <- Seq(2, 4, 8))
+      assert(Bpe.train(df, "text", m, batch = b).merges ===
+        Bpe.train(df, "text", m).merges, s"merges $m batch $b")
+  }
+
+  test("batched train matches sequential on the documents table") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val sequential = Bpe.train(docs, "text", 8).merges
+    assert(sequential.size === 8)
+    assert(Bpe.train(docs, "text", 8, batch = 8).merges === sequential)
+  }
+
   test("merging to exhaustion stops early and single-symbol words survive") {
     import spark.implicits._
     val tiny = Seq((1L, "a a b")).toDF("doc_id", "text")
