@@ -40,6 +40,12 @@ object LshScaleExp {
       (parts(0).toInt, parts(1).toInt, parts.lift(2).map(_.toInt).getOrElse(0))
     }.toSeq
     val sweeps = args.lift(2).map(_.toInt).getOrElse(3)
+    // query-set modulus: id % mod == 0 selects the queries. Default 40
+    // matches the driver query; at sf10 (200k vectors) the recall
+    // ground truth is brute-force — 5000 queries × 200k corpus is a
+    // 10⁹-pair all-pairs job, so larger decades pass a larger modulus
+    // to hold the query COUNT (not rate) roughly constant.
+    val queryMod = args.lift(3).map(_.toInt).getOrElse(40)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,7 +58,7 @@ object LshScaleExp {
 
     val emb = Tables.embeddings(spark, sfDir)
     val n = emb.count()
-    val pred = col("id") % 40 === 0
+    val pred = col("id") % queryMod === 0
 
     def lsh(arm: (Int, Int, Int)) = Similarity.lshTopK(emb, "vec_id", "embedding",
       pred, k = 5,

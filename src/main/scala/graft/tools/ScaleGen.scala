@@ -48,7 +48,11 @@ import org.apache.spark.sql.functions._
   * inside the repo (`target/` — not committed); testdata is never
   * written.
   *
-  * Usage: runMain graft.tools.ScaleGen [outDir] [replicas] [srcDir]
+  * Usage: runMain graft.tools.ScaleGen [outDir] [replicas] [srcDir] [tables]
+  * `tables` is an optional comma list (e.g. "embeddings") restricting
+  * generation — the sf3–sf10 ANN decades need ONLY embeddings, and an
+  * embeddings-only slice at replicas=100 is 100× smaller on disk than
+  * the full ten-table product.
   */
 object ScaleGen {
 
@@ -63,6 +67,12 @@ object ScaleGen {
     val out      = args.headOption.getOrElse("target/scale/sf1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
     val src      = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val AllTables = Set("orders", "lineitem", "customer", "supplier", "part",
+      "region", "nation", "events", "embeddings", "documents")
+    val want: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(AllTables)
+    require(want.subsetOf(AllTables), s"unknown tables: ${want -- AllTables}")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -71,16 +81,16 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val orders   = spark.read.parquet(s"$src/orders.parquet")
-    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
-    val docs     = spark.read.parquet(s"$src/documents.parquet")
-    val emb      = spark.read.parquet(s"$src/embeddings.parquet")
+    lazy val orders   = spark.read.parquet(s"$src/orders.parquet")
+    lazy val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    lazy val docs     = spark.read.parquet(s"$src/documents.parquet")
+    lazy val emb      = spark.read.parquet(s"$src/embeddings.parquet")
     // events may be TIMESTAMP(NANOS) (old era) or MICROS-NTZ (new) —
     // same dispatch as Tables.eventsRaw, but here the column is kept in
     // whatever logical type it loaded as and only shifted, so the
     // written slice round-trips the CURRENT generator's layout.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events   = spark.read.parquet(s"$src/events.parquet")
+    lazy val events   = spark.read.parquet(s"$src/events.parquet")
 
     // One row of maxima (tiny) drives every stride; orders/customer and
     // lineitem/supplier/part share strides so FKs stay intact. Each
@@ -88,52 +98,56 @@ object ScaleGen {
     // customer/supplier/part key with no referencing row could exceed
     // the FK-side max and cross the next power of ten, which would make
     // replica key ranges overlap (duplicate PKs + join fan-out).
-    val customer = spark.read.parquet(s"$src/customer.parquet")
-    val supplier = spark.read.parquet(s"$src/supplier.parquet")
-    val part     = spark.read.parquet(s"$src/part.parquet")
-    val m = orders.agg(max("o_orderkey"), max("o_custkey")).collect()(0)
-    val ml = lineitem.agg(max("l_suppkey"), max("l_partkey")).collect()(0)
-    val ckMax = m.getLong(1) max customer.agg(max("c_custkey")).collect()(0).getLong(0)
-    val skMax = ml.getLong(0) max supplier.agg(max("s_suppkey")).collect()(0).getLong(0)
-    val pkMax = ml.getLong(1) max part.agg(max("p_partkey")).collect()(0).getLong(0)
-    val (okS, ckS) = (stride(m.getLong(0)), stride(ckMax))
-    val (skS, pkS) = (stride(skMax), stride(pkMax))
-    val docS = stride(docs.agg(max("doc_id")).collect()(0).getLong(0))
-    val vecS = stride(emb.agg(max("vec_id")).collect()(0).getLong(0))
-    val me = events.agg(max("event_id"), max("user_id")).collect()(0)
-    val (evS, uidS) = (stride(me.getLong(0)), stride(me.getLong(1)))
+    // (All lazy so a table-subset run touches only what it writes.)
+    lazy val customer = spark.read.parquet(s"$src/customer.parquet")
+    lazy val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    lazy val part     = spark.read.parquet(s"$src/part.parquet")
+    lazy val m = orders.agg(max("o_orderkey"), max("o_custkey")).collect()(0)
+    lazy val ml = lineitem.agg(max("l_suppkey"), max("l_partkey")).collect()(0)
+    lazy val ckMax = m.getLong(1) max customer.agg(max("c_custkey")).collect()(0).getLong(0)
+    lazy val skMax = ml.getLong(0) max supplier.agg(max("s_suppkey")).collect()(0).getLong(0)
+    lazy val pkMax = ml.getLong(1) max part.agg(max("p_partkey")).collect()(0).getLong(0)
+    lazy val okS = stride(m.getLong(0))
+    lazy val ckS = stride(ckMax)
+    lazy val skS = stride(skMax)
+    lazy val pkS = stride(pkMax)
+    lazy val docS = stride(docs.agg(max("doc_id")).collect()(0).getLong(0))
+    lazy val vecS = stride(emb.agg(max("vec_id")).collect()(0).getLong(0))
+    lazy val me = events.agg(max("event_id"), max("user_id")).collect()(0)
+    lazy val evS = stride(me.getLong(0))
+    lazy val uidS = stride(me.getLong(1))
 
     def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until replicas).map(r => shift(df, r)).reduce(_.unionAll(_))
 
-    replicate(orders) { (df, r) =>
+    if (want("orders")) replicate(orders) { (df, r) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(r * okS))
         .withColumn("o_custkey", col("o_custkey") + lit(r * ckS))
     }.write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    replicate(lineitem) { (df, r) =>
+    if (want("lineitem")) replicate(lineitem) { (df, r) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(r * okS))
         .withColumn("l_suppkey", col("l_suppkey") + lit(r * skS))
         .withColumn("l_partkey", col("l_partkey") + lit(r * pkS))
     }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    replicate(customer) { (df, r) =>
+    if (want("customer")) replicate(customer) { (df, r) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(r * ckS))
     }.write.mode("overwrite").parquet(s"$out/customer.parquet")
 
-    replicate(supplier) { (df, r) =>
+    if (want("supplier")) replicate(supplier) { (df, r) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(r * skS))
     }.write.mode("overwrite").parquet(s"$out/supplier.parquet")
 
-    replicate(part) { (df, r) =>
+    if (want("part")) replicate(part) { (df, r) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(r * pkS))
     }.write.mode("overwrite").parquet(s"$out/part.parquet")
 
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if want(t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    replicate(events) { (df, r) =>
+    if (want("events")) replicate(events) { (df, r) =>
       df.withColumn("event_id", col("event_id") + lit(r * evS))
         .withColumn("user_id", col("user_id") + lit(r * uidS))
         .withColumn("ts",
@@ -147,7 +161,11 @@ object ScaleGen {
 
     // Signed dimension permutation per replica: output dim i reads
     // source dim (i + 7r) mod D with a deterministic ± sign. Orthogonal
-    // ⇒ norms and within-replica cosines preserved exactly.
+    // ⇒ norms and within-replica cosines preserved exactly. (At r
+    // where 7r ≡ 0 mod D the permutation cycles back to identity, but
+    // the sign vector still varies with r, so no replica duplicates
+    // another byte-for-byte.)
+    if (want("embeddings")) {
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
     replicate(emb) { (df, r) =>
       if (r == 0) df
@@ -162,7 +180,9 @@ object ScaleGen {
                 element_at(sign, i + 1)).cast("array<float>"))
       }
     }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
+    if (want("documents")) {
     // The whole vocabulary is ~30 words — a driver-side literal map per
     // replica, applied as a codegen'd transform (no UDF, no join).
     val vocab = docs
@@ -186,8 +206,10 @@ object ScaleGen {
         .withColumn("text", if (r == 0) col("text") else shifted)
         .withColumn("n_chars", length(col("text")))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"  documents: stride=$docS vocab=$v")
+    }
 
-    println(s"wrote $out: replicas=$replicas strides ok=$okS ck=$ckS sk=$skS pk=$pkS doc=$docS vocab=$v")
+    println(s"wrote $out: replicas=$replicas tables=${want.toSeq.sorted.mkString(",")}")
     spark.stop()
   }
 }
