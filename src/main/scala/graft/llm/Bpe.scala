@@ -139,8 +139,10 @@ object Bpe {
         .distinct().collect().map(_.getString(0))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var i = 0
+    var rounds = 0
     var exhausted = false
     while (i < numMerges && !exhausted) {
+      rounds += 1
       val want = math.min(batch, numMerges - i)
       val k = if (want == 1) 1 else want * 3
       val top = cur
@@ -195,8 +197,17 @@ object Bpe {
         cur = cur.withColumn("s", applied).localCheckpoint()
       }
     }
+    lastTrainRounds = rounds
     BpeModel(merges.result(), cur)
   }
+
+  /** Diagnostic only (dev measurement, e.g. [[graft.tools.BpeLoopExp]]):
+    * number of pair-count rounds the last [[train]] call ran. merges ÷
+    * rounds is the realized batch length — how far conflict stops cut
+    * the requested `batch` (the exactness rules keep only a pairwise-
+    * disjoint, strictly-count-separated prefix per round).
+    */
+  @volatile var lastTrainRounds: Int = 0
 
   /** (word, toks) dictionary from the trained word table. */
   def wordTokenCounts(model: BpeModel): DataFrame =

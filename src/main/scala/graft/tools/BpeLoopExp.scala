@@ -57,8 +57,10 @@ object BpeLoopExp {
       val model = Bpe.train(tri, "text", m, batch = b)
       val sec = (System.nanoTime() - t0) / 1e9
       val got = model.merges.size
+      val rounds = Bpe.lastTrainRounds
       println(f"merges=$m%5d batch=$b%3d  time=$sec%8.2f s  " +
-        f"done=$got%5d  ms_per_merge=${sec * 1000 / math.max(got, 1)}%7.1f")
+        f"done=$got%5d  ms_per_merge=${sec * 1000 / math.max(got, 1)}%7.1f  " +
+        f"rounds=$rounds%5d  merges_per_round=${got.toDouble / math.max(rounds, 1)}%5.2f")
       spark.catalog.clearCache(); System.gc()
     }
     spark.stop()
