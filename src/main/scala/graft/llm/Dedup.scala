@@ -99,7 +99,7 @@ object Dedup {
     // |A∪B| = |A|+|B|−|A∩B| from precomputed sizes — one set op per
     // pair instead of two, and the intersection is a cardinality-only
     // native kernel (no intermediate array).
-    jaccardVerify(df)(
+    jaccardVerify(
       minhashCandidates(df, idCol, textCol, numPerm, bands, maxBucket), tau)
   }
 
@@ -118,10 +118,9 @@ object Dedup {
                          numPerm: Int, bands: Int, tau: Double,
                          maxBucket: Int = 64): DataFrame =
     minhashCandidates(df, idCol, textCol, numPerm, bands, maxBucket)
-      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
       .withColumn("containment",
         col("inter").cast("double") /
-          least(size(col("toks_a")), size(col("toks_b"))).cast("double"))
+          least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= tau)
       .select("id_a", "id_b", "containment")
 
@@ -153,8 +152,8 @@ object Dedup {
       .select("band_idx", "band_hash").distinct()
     val restricted = capped
       .join(deltaBuckets, Seq("band_idx", "band_hash"), "left_semi")
-    jaccardVerify(df)(
-      bucketPairs(restricted, col(s"a.$deltaCol") || col(s"b.$deltaCol")), tau)
+    jaccardVerify(
+      bucketPairs(df)(restricted, col(s"a.$deltaCol") || col(s"b.$deltaCol")), tau)
   }
 
   /** Shared LSH candidate generation: banded minhash buckets (skew-
@@ -184,10 +183,19 @@ object Dedup {
       .persist()
   }
 
-  /** Deduplicated (id_a < id_b) bucket-sharing pairs carrying both
-    * token sets; `pairCond` adds variant-specific join constraints.
+  /** Deduplicated (id_a < id_b) bucket-sharing pairs with their exact
+    * overlap stats (inter, na, nb); `pairCond` adds variant-specific
+    * join constraints. The intersection cardinality and set sizes are
+    * computed BEFORE the cross-band dedup: a pair sharing g bands
+    * yields g bit-identical stat rows, so deduping after the
+    * projection returns the same pairs — but the dedup exchange then
+    * carries three scalars instead of BOTH token-hash sets (the same
+    * skinny-shuffle rule as Similarity.lshTopK; with ~1 KB of hashes
+    * per side, that is a ~2-orders-of-magnitude shuffle-byte cut at
+    * the cost of re-running the map-side intersection kernel on the
+    * ≤(bands−1)/bands duplicate fraction).
     */
-  private def bucketPairs(buckets: DataFrame,
+  private def bucketPairs(df: DataFrame)(buckets: DataFrame,
                           pairCond: Column = lit(true)): DataFrame =
     buckets.as("a")
       .join(buckets.as("b"),
@@ -195,24 +203,23 @@ object Dedup {
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id") && pairCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.hs").as("toks_a"), col("b.hs").as("toks_b"))
+        intersectCardAdaptive(df)(col("a.hs"), col("b.hs")).as("inter"),
+        size(col("a.hs")).as("na"), size(col("b.hs")).as("nb"))
       .dropDuplicates("id_a", "id_b")
 
   /** Exact-Jaccard verify tail shared by all pair variants. */
-  private def jaccardVerify(df: DataFrame)(pairs: DataFrame,
-                                           tau: Double): DataFrame =
+  private def jaccardVerify(pairs: DataFrame, tau: Double): DataFrame =
     pairs
-      .withColumn("inter", intersectCardAdaptive(df)(col("toks_a"), col("toks_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (size(col("toks_a")) + size(col("toks_b")) - col("inter")).cast("double"))
+          (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
 
   private def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                                 numPerm: Int, bands: Int,
                                 maxBucket: Int): DataFrame =
-    bucketPairs(bandedBuckets(df, idCol, textCol, numPerm, bands, maxBucket))
+    bucketPairs(df)(bandedBuckets(df, idCol, textCol, numPerm, bands, maxBucket))
 
   /** 60-bit SimHash over a materialized token-hash array (h60 per
     * distinct token): bit j is set when the +1/−1 vote sum of

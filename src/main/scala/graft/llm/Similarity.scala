@@ -307,12 +307,22 @@ object Similarity {
         explode(typedLit(0L +: Seq.tabulate(probes)(1L << _))))
       .withColumn("bucket", expr("bucket ^ __flip"))
       .drop("__flip")
+    // Project to the (query, neighbor, cosine) triple BEFORE the
+    // cross-group dedup: a candidate surfacing in g groups yields g
+    // bit-identical cosines (same operands, same expression), so
+    // dedup after the projection returns the same rows — but the
+    // dedup exchange then carries 24 bytes/row instead of both
+    // 64-dim vectors (~1 KB/row, a measured ~25× shuffle-volume
+    // difference that exhausted local disk on the sf3 scaled-query
+    // experiment). The redundant dot products this recomputes are
+    // map-side arithmetic — orders of magnitude cheaper than the
+    // shuffle bytes they avoid.
     val cand = q.join(exploded, Seq("grp", "bucket"))
       .filter(col("id") =!= col("query_id"))
-      .dropDuplicates("query_id", "id")
       .select(col("query_id"), col("id").as("neighbor_id"),
         (dotAdaptive(df)(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
           .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
