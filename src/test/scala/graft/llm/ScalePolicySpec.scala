@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the scale-policy anchor points to the measured decade arms in
+  * SCALE_DECADES_r6.json and exercises the auto entry points
+  * end-to-end on the sf0.001 embeddings table.
+  */
+class ScalePolicySpec extends SparkSpec {
+
+  test("lshBitsFor reproduces the measured flat-time decade anchors") {
+    assert(ScalePolicy.lshBitsFor(20000) == 10)  // sf1 arm 16:10:10
+    assert(ScalePolicy.lshBitsFor(60000) == 12)  // sf3 arm 16:12:12
+    assert(ScalePolicy.lshBitsFor(200000) == 13) // sf10 arm *:13:13
+    // clamps: tiny corpora never go below 4 bits, huge never above 20
+    assert(ScalePolicy.lshBitsFor(10) == 4)
+    assert(ScalePolicy.lshBitsFor(Long.MaxValue) == 20)
+  }
+
+  test("lshBitsFor grows monotonically with corpus (occupancy held)") {
+    val decades = Seq(2000L, 20000L, 200000L, 2000000L, 20000000L)
+    val bits = decades.map(ScalePolicy.lshBitsFor(_))
+    assert(bits == bits.sorted)
+    // one decade = log2(10) ~ 3.3 bits; consecutive decades differ by 3 or 4
+    bits.sliding(2).foreach { case Seq(a, b) => assert(b - a == 3 || b - a == 4) }
+  }
+
+  test("lshGroupsFor doubles per +3 bits beyond the 16x10 anchor") {
+    assert(ScalePolicy.lshGroupsFor(10) == 16)
+    assert(ScalePolicy.lshGroupsFor(12) == 32) // ceil(2/3)=1 doubling
+    assert(ScalePolicy.lshGroupsFor(13) == 32) // the measured 200k recall arm
+    assert(ScalePolicy.lshGroupsFor(16) == 64)
+    assert(ScalePolicy.lshGroupsFor(6) == 16)  // never below base
+  }
+
+  test("blockBitsFor reproduces the measured knn decade anchors and floors at 0") {
+    assert(ScalePolicy.blockBitsFor(20000, blocks = 10) == 3)  // sf1 b3 (log2(8) = 3)
+    assert(ScalePolicy.blockBitsFor(60000, blocks = 10) == 5)  // sf3 b5 (ceil(log2(24)) = 5)
+    assert(ScalePolicy.blockBitsFor(200000, blocks = 10) == 7) // sf10 b7 (ceil(log2(80)) = 7)
+    assert(ScalePolicy.blockBitsFor(1000, blocks = 10) == 0)   // already bounded
+  }
+
+  test("lshTopKAuto returns the lshTopK schema and plausible neighbors") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val out = ScalePolicy.lshTopKAuto(emb, "vec_id", "embedding",
+      col("vec_id") % 10 === 0, k = 3, corpus = n)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("refinedBlockAuto: identity cast for bounded corpora, refined key above") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    // sf0.001 has few rows per label: policy says no refinement
+    val plain = emb.withColumn("blk",
+      ScalePolicy.refinedBlockAuto(emb, col("label"), col("embedding"), n, blocks = 10))
+    assert(plain.filter(col("blk") =!= col("label").cast("string")).count() == 0)
+    // forcing a large virtual corpus produces a strictly finer key
+    val fine = emb.withColumn("blk",
+      ScalePolicy.refinedBlockAuto(emb, col("label"), col("embedding"),
+        corpus = 1000000, blocks = 10))
+    val coarse = plain.select(countDistinct("blk")).first().getLong(0)
+    val refined = fine.select(countDistinct("blk")).first().getLong(0)
+    assert(refined > coarse)
+    // refined key still starts with the base block (prefix property)
+    assert(fine.filter(!col("blk").startsWith(col("label").cast("string"))).count() == 0)
+  }
+}
