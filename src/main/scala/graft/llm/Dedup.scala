@@ -221,6 +221,17 @@ object Dedup {
                                 maxBucket: Int): DataFrame =
     bucketPairs(df)(bandedBuckets(df, idCol, textCol, numPerm, bands, maxBucket))
 
+  /** The banded signature table as a PUBLIC product — (id, hs,
+    * band_idx, band_hash), corpus-side skew-capped and persisted.
+    * This is the LSH index a production pipeline writes out once per
+    * corpus build and serves lookups from; [[graft.stream.StreamDedup]]
+    * probes it from a stream. Same table every batch variant here
+    * builds internally.
+    */
+  def bandedIndex(df: DataFrame, idCol: String, textCol: String,
+                  numPerm: Int, bands: Int, maxBucket: Int = 64): DataFrame =
+    bandedBuckets(df, idCol, textCol, numPerm, bands, maxBucket)
+
   /** 60-bit SimHash over a materialized token-hash array (h60 per
     * distinct token): bit j is set when the +1/−1 vote sum of
     * token-hash bits j is positive.
