@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
 
-import graft.stream.{StatefulFeatures, Streams}
+import graft.llm.Dedup
+import graft.stream.{StatefulFeatures, StreamDedup, Streams}
 
 /** Streaming micro-benchmark (dev-side, not part of the driver
   * contract) — the reference is 4/5 streaming jobs but the engine's
@@ -39,6 +40,7 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.numRecentProgressUpdates", "200")
       .getOrCreate()
@@ -86,6 +88,34 @@ object StreamBench {
       .option("maxFilesPerTrigger", FilesPerTrigger)
       .parquet(inputDir)
 
+    // ---- second input: documents stream + the persisted LSH index ----
+    // Stream docs are id-offset replicas of the corpus (text repetition
+    // only re-probes the same buckets — stream docs never pair with
+    // each other, so candidate volume per doc stays realistic); the
+    // index is built ONCE from the un-replicated corpus and
+    // materialized before any timing, as production would serve it.
+    val docInputDir = new java.io.File(work, "docs").getPath
+    val docsTbl = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docChunked = docsTbl
+      .crossJoin(spark.range(replicas * 4L).toDF("dr"))
+      .select((col("doc_id") + col("dr") * lit(1000000L)).as("id"), col("text"))
+      .withColumn("__chunk",
+        ntile(Chunks).over(org.apache.spark.sql.expressions.Window.orderBy("id")))
+      .localCheckpoint()
+    val nDocs = docChunked.count()
+    for (c <- 1 to Chunks)
+      docChunked.filter(col("__chunk") === c).drop("__chunk")
+        .coalesce(1).write.mode("append").parquet(docInputDir)
+    val docSchema = spark.read.parquet(docInputDir).schema
+    def docSource(): DataFrame = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", FilesPerTrigger)
+      .parquet(docInputDir)
+    val index = Dedup.bandedIndex(
+      docsTbl.select(col("doc_id").as("id"), col("text")), "id", "text",
+      numPerm = 32, bands = 8, maxBucket = 64)
+    println(s"doc input rows=$nDocs index rows=${index.count()}")
+
     val candleSchema = StructType(Seq(
       StructField("ts", TimestampType), StructField("k", StringType),
       StructField("side", StringType), StructField("v", DoubleType)))
@@ -103,7 +133,9 @@ object StreamBench {
         source().select(col("key"), col("tsUs"), col("price"), col("vol")),
         bucketSize = 500.0)),
       "dedup_watermark" -> (() => Streams.dedupWithinWatermark(
-        source(), "ts", "1 hour", Seq("key", "dup_key"))))
+        source(), "ts", "1 hour", Seq("key", "dup_key"))),
+      "neardup_vs_index" -> (() => StreamDedup.nearDupMatches(
+        docSource(), index, "id", "text", numPerm = 32, bands = 8, tau = 0.7)))
 
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0
