@@ -171,6 +171,67 @@ object LlmQueries {
     """)
   )
 
+  /** The streaming-ingest dedup shape as a batch-anchored query: the
+    * newest ~10% of documents (the "stream") probe a banded LSH index
+    * built ONLY from the old 90% (the persisted corpus index —
+    * [[Dedup.bandedIndex]]), via the SAME operator the stream runs
+    * ([[graft.stream.StreamDedup.nearDupMatches]]; StreamDedupSpec
+    * pins stream == this batch path). Differs from dedup_incremental
+    * in index semantics: the skew cap counts INDEX membership only
+    * (what a prebuilt index can know — stream arrivals must not
+    * retroactively uncap corpus buckets), and delta docs never pair
+    * with each other (they probe, they aren't indexed).
+    */
+  val dedupStreamIndex: Q = Q(
+    "dedup_stream_index",
+    (s, dir) => {
+      val docs = graft.llm.Sampling.withSplit(Tables.documents(s, dir),
+        "doc_id", Seq("old" -> 0.9, "new" -> 0.1))
+      val corpus = docs.filter(col("split") === "old")
+        .select(col("doc_id").as("id"), col("text"))
+      val delta = docs.filter(col("split") === "new")
+        .select(col("doc_id").as("id"), col("text"))
+      val index = Dedup.bandedIndex(corpus, "id", "text",
+        numPerm = 16, bands = 4, maxBucket = 64)
+      graft.stream.StreamDedup.nearDupMatches(delta, index, "id", "text",
+          numPerm = 16, bands = 4, tau = 0.85)
+        .select(col("id").as("delta_id"), col("corpus_id"), col("jaccard"))
+        .distinct()
+    },
+    Some(s"""
+      $toksCte,
+      h AS (SELECT doc_id,
+                   list_distinct(list_transform(toks, x ->
+                     ('0x' || substr(md5(x), 1, 8))::BIGINT)) AS hs
+            FROM t),
+      sig AS (SELECT doc_id, hs,
+                     list_transform(range(16), j ->
+                       list_min(list_transform(hs, hh ->
+                         (hh * (1 + j * 7919) + (1 + j * 104729)) % 2147483647))) AS mh
+              FROM h),
+      band0 AS (SELECT doc_id, hs, k AS band_idx,
+                      list_reduce(list_transform(range(4), i -> mh[(k * 4 + i + 1)::INT]),
+                                  (a, b) -> a * 31 + b) AS band_hash
+               FROM sig CROSS JOIN range(4) r(k)),
+      nw AS (SELECT doc_id FROM documents
+             WHERE ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0 >= 0.9),
+      iband AS (SELECT * FROM band0 WHERE doc_id NOT IN (SELECT doc_id FROM nw)
+                QUALIFY count(*) OVER (PARTITION BY band_idx, band_hash) <= 64),
+      dband AS (SELECT * FROM band0 WHERE doc_id IN (SELECT doc_id FROM nw)),
+      cand AS (SELECT DISTINCT d.doc_id AS delta_id, i.doc_id AS corpus_id,
+                      d.hs AS ta, i.hs AS tb
+               FROM dband d JOIN iband i
+                 ON d.band_idx = i.band_idx AND d.band_hash = i.band_hash)
+      SELECT delta_id, corpus_id,
+             len(list_intersect(ta, tb))::DOUBLE
+               / len(list_distinct(list_concat(ta, tb)))::DOUBLE AS jaccard
+      FROM cand
+      WHERE len(list_intersect(ta, tb))::DOUBLE
+              / len(list_distinct(list_concat(ta, tb)))::DOUBLE >= 0.85
+    """)
+  )
+
   /** SimHash near-dup pairs: 60-bit signatures, 4 × 15-bit bands,
     * Hamming ≤ 3, bucket cap 64 (see dedup_minhash).
     */
@@ -1060,7 +1121,7 @@ object LlmQueries {
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
-    dedupIncremental,
+    dedupIncremental, dedupStreamIndex,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
     annLshMultiprobe, annIvf,
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
