@@ -159,6 +159,19 @@ class PlanSpec extends SparkSpec {
       s"expected query-side explode in:\n${plan.take(3000)}")
   }
 
+  test("dedup_stream_index: probe side stays map-only into the band-bucket equi-join") {
+    val df = Registry.byName("dedup_stream_index").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the streaming-ingest shape: delta docs explode their bands
+    // map-side and hit the index on (band_idx, band_hash) — a
+    // cartesian/theta form would be the all-pairs shape the persisted
+    // index exists to avoid
+    assert(!plan.contains("CartesianProduct"),
+      s"index probe regressed to a cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("Generate"), // the probe-side band explode
+      s"expected probe-side band explode in:\n${plan.take(3000)}")
+  }
+
   test("q18_big_orders: the HAVING-filtered aggregate broadcasts into orders (pinned, pre-AQE)") {
     val df = Registry.byName("q18_big_orders").fn(spark, sf("sf0.01"))
     // sparkPlan (pre-AQE): the hint must hold without runtime rescue
