@@ -17,6 +17,11 @@ run / fork := true
 // `[info] {"metric":...}` and recorded parsed:null in r3–r5). StdoutOutput
 // passes the child's stdout through verbatim.
 run / outputStrategy := Some(StdoutOutput)
+// ... and without this, sbt appends "[success] Total time: ..." AFTER the
+// bench's final JSON line, so a parser reading the LAST stdout line still
+// fails. With both settings, `sbt runMain graft.Bench`'s stdout ENDS with
+// the compact {"metric":"total",...} record.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
