@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextHash.{h32, words}
+
+/** Data Selection via Importance Resampling — the DSIR recipe (Xie et
+  * al. 2023, public): score every raw document by the log likelihood
+  * ratio of a TARGET hashed-n-gram language model over the RAW one,
+  * then resample without replacement by Gumbel top-k on the log
+  * weights. The target model is fit on a small curated slice (here a
+  * deterministic source predicate standing in for "looks like
+  * Wikipedia"); the raw model on the whole corpus.
+  *
+  * Scale design (100 TB): features are hashed word uni+bigrams into a
+  * FIXED bucket space (default 1024, DSIR itself uses 10k) — both
+  * models are bucket-count tables bounded by `buckets` regardless of
+  * corpus size, built by one map-side-combined aggregation each, and
+  * re-enter as a BROADCAST join (the per-doc scoring join never
+  * shuffles the model). Per-document feature extraction is explode +
+  * hash at scan speed; the only full shuffle carries distinct
+  * (doc, bucket) pairs with multiplicity — bounded by min(tokens,
+  * docs x buckets), the same skinny-pair discipline as LangModel /
+  * tfidf. Gumbel noise is a pure per-row md5 deviate (Sampling.u01
+  * family) so resampling is reproducible under retries and engines.
+  *
+  * Numeric determinism: each bucket's two log probabilities are
+  * quantized to integer micro-nats INDEPENDENTLY
+  * (`floor(ln(p)*1e6 + 0.5)`, the Registry/LangModel policy), the
+  * ratio is their exact integer difference, and every per-document
+  * reduction is 64-bit integer arithmetic — partitioning-independent
+  * and bit-identical in DuckDB. The Gumbel transform quantizes the
+  * same way, so the resampling ORDER (score_micro, doc_id) is a total
+  * integer order on both engines.
+  */
+object Dsir {
+
+  /** Hashed uni+bigram bag-of-features: `(doc_id, bucket, m)`.
+    * Unigrams hash "u:w", bigrams "b:w1 w2" — disjoint key spaces
+    * before the modulus, exactly restatable via md5 in any engine.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame = {
+    val ws = words(lower(trim(col(textCol))))
+    val base = df.select(col(idCol).as("doc_id"), ws.as("__ws"))
+    val uni = base.select(col("doc_id"),
+      explode(col("__ws")).as("t"))
+      .select(col("doc_id"),
+        (h32(concat(lit("u:"), col("t"))) % buckets).as("bucket"))
+    val bi = base.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => concat(lit("b:"), a, lit(" "), b))).as("t"))
+      .select(col("doc_id"), (h32(col("t")) % buckets).as("bucket"))
+    uni.union(bi).groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+  }
+
+  /** Per-document DSIR importance weight:
+    * `(doc_id, n_feats, w_micro, avg_w)` where `w_micro` =
+    * Σ_b m_b · (ln p̂_target(b) − ln p̂_raw(b)) in integer micro-nats
+    * under add-one smoothing over `buckets` cells. Documents with no
+    * features score 0. `targetPred` selects the target slice from
+    * `df` itself (production: a separate curated corpus — identical
+    * join shape).
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column, buckets: Int): DataFrame = {
+    val feats = hashedFeatures(df, idCol, textCol, buckets)
+    val targetIds = df.filter(targetPred).select(col(idCol).as("doc_id"))
+
+    val rc = feats.groupBy("bucket").agg(sum("m").as("cr"))
+    val tc = feats.join(targetIds, "doc_id")
+      .groupBy("bucket").agg(sum("m").as("ct"))
+    // Buckets observed in the raw corpus (a superset of the target's);
+    // add-one smoothing covers target-absent cells via ct = 0.
+    val totals0 = rc.join(tc, Seq("bucket"), "left")
+      .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = totals0.crossJoin(broadcast(
+      totals0.agg(sum("cr").as("nr"), sum("ct").as("nt"))))
+    val lnMicro: Column => Column =
+      p => floor(log(p) * lit(1e6) + lit(0.5)).cast("long")
+    val model = totals.select(col("bucket"),
+      (lnMicro((col("ct") + 1).cast("double") /
+          (col("nt") + buckets).cast("double")) -
+        lnMicro((col("cr") + 1).cast("double") /
+          (col("nr") + buckets).cast("double"))).as("lr_micro"))
+
+    val scored = feats.join(broadcast(model), "bucket")
+      .groupBy("doc_id").agg(
+        sum("m").as("n_feats"),
+        sum(col("m") * col("lr_micro")).as("w_micro"))
+    df.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"))
+      .withColumn("avg_w",
+        when(col("n_feats") > 0,
+          col("w_micro").cast("double") /
+            (col("n_feats").cast("double") * lit(1e6)))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Gumbel top-k resample on the importance weights — k docs without
+    * replacement, inclusion probability ∝ softmax of the log weights
+    * (the Gumbel-max trick, standard): score = w_micro +
+    * floor(−ln(−ln(u))·1e6 + 0.5) with u the md5 deviate of
+    * `salt:doc_id` shifted by +0.5/2³² to stay strictly inside (0,1).
+    * Top-k by (score desc, doc_id) via TakeOrderedAndProject — no
+    * global sort; the rank window runs over the k collected rows
+    * only.
+    */
+  def resample(df: DataFrame, idCol: String, textCol: String,
+               targetPred: Column, buckets: Int, k: Int,
+               salt: String = "dsir"): DataFrame = {
+    val weights = importanceWeights(df, idCol, textCol, targetPred, buckets)
+    val u = (h32(concat_ws(":", lit(salt), col("doc_id").cast("string"))) +
+      lit(0.5)) / lit(4294967296.0)
+    val scored = weights
+      .withColumn("gumbel_micro",
+        floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("score_micro", col("w_micro") + col("gumbel_micro"))
+    scored.orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+  }
+}

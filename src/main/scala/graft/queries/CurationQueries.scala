@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -742,9 +742,85 @@ object CurationQueries {
     """)
   )
 
+  /** Shared oracle CTE chain for the DSIR family: hashed uni+bigram
+    * features, target/raw bucket models, per-doc micro-nat weights
+    * (Dsir scaladoc — every ln quantized independently, integer
+    * arithmetic after).
+    */
+  private val dsirWeightsCtes = """
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents),
+      uni AS (SELECT doc_id,
+                     ('0x' || substr(md5('u:' || t), 1, 8))::BIGINT % 1024 AS bucket
+              FROM (SELECT doc_id, unnest(ws) AS t FROM w)),
+      bi AS (SELECT doc_id,
+                    ('0x' || substr(md5('b:' || ws[i::INT] || ' ' || ws[(i + 1)::INT]), 1, 8))::BIGINT % 1024 AS bucket
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+      f AS (SELECT doc_id, bucket, count(*) AS m
+            FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2),
+      rc AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS cr FROM f GROUP BY 1),
+      tc AS (SELECT bucket, CAST(sum(m) AS BIGINT) AS ct
+             FROM f JOIN documents USING (doc_id)
+             WHERE source IN ('src0', 'src1') GROUP BY 1),
+      mt AS (SELECT rc.bucket, rc.cr, coalesce(tc.ct, 0::BIGINT) AS ct
+             FROM rc LEFT JOIN tc USING (bucket)),
+      tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+              FROM mt),
+      model AS (SELECT bucket,
+                  floor(ln((ct + 1)::DOUBLE / (nt + 1024)::DOUBLE) * 1e6 + 0.5)::BIGINT
+                - floor(ln((cr + 1)::DOUBLE / (nr + 1024)::DOUBLE) * 1e6 + 0.5)::BIGINT AS lr_micro
+                FROM mt CROSS JOIN tot),
+      sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_feats,
+                    CAST(sum(m * lr_micro) AS BIGINT) AS w_micro
+             FROM f JOIN model USING (bucket) GROUP BY 1),
+      wt AS (SELECT d.doc_id,
+                    coalesce(sc.n_feats, 0::BIGINT) AS n_feats,
+                    coalesce(sc.w_micro, 0::BIGINT) AS w_micro,
+                    CASE WHEN coalesce(sc.n_feats, 0::BIGINT) > 0
+                         THEN sc.w_micro::DOUBLE / (sc.n_feats::DOUBLE * 1e6)
+                         ELSE 0.0::DOUBLE END AS avg_w
+             FROM documents d LEFT JOIN sc USING (doc_id))"""
+
+  /** DSIR importance weights (Dsir scaladoc): log-likelihood ratio of
+    * a target hashed-n-gram model (sources src0/src1 standing in for
+    * the curated slice) over the raw-corpus model, integer micro-nats.
+    */
+  val dsirWeightsQ: Q = Q(
+    "dsir_weights",
+    (s, dir) => Dsir.importanceWeights(Tables.documents(s, dir), "doc_id", "text",
+      col("source").isin("src0", "src1"), buckets = 1024),
+    Some(dsirWeightsCtes + """
+      SELECT doc_id, n_feats, w_micro, avg_w FROM wt
+    """)
+  )
+
+  /** DSIR Gumbel top-k resample: 100 docs without replacement with
+    * inclusion ∝ softmax of the importance weights; the Gumbel noise
+    * is the md5 deviate of `dsir:doc_id`, quantized to micro-units so
+    * the selection order is a total integer order on both engines.
+    */
+  val dsirResampleQ: Q = Q(
+    "dsir_resample",
+    (s, dir) => Dsir.resample(Tables.documents(s, dir), "doc_id", "text",
+      col("source").isin("src0", "src1"), buckets = 1024, k = 100),
+    Some(dsirWeightsCtes + """,
+      g AS (SELECT doc_id, n_feats, w_micro, avg_w,
+                   floor(-ln(-ln(
+                       ((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE + 0.5)
+                         / CAST(4294967296.0 AS DOUBLE)))
+                     * 1e6 + 0.5)::BIGINT AS gumbel_micro
+            FROM wt)
+      SELECT doc_id, n_feats, w_micro, avg_w, gumbel_micro,
+             w_micro + gumbel_micro AS score_micro,
+             row_number() OVER (ORDER BY w_micro + gumbel_micro DESC, doc_id) AS rank
+      FROM g QUALIFY rank <= 100
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
-    lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode)
+    lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
+    dsirWeightsQ, dsirResampleQ)
 }

@@ -809,6 +809,54 @@ object LlmQueries {
     """)
   )
 
+  /** SemDeDup semantic dedup (SemDedup scaladoc): k-means cells from
+    * the SAME deterministic Lloyd loop as kmeans_cells, then each
+    * vector is absorbed by its most-similar same-cell neighbor that
+    * sits FARTHER from the centroid (cosine ≥ 0.35 — the
+    * dedup_embedding threshold on this synthetic geometry; the paper
+    * uses ~0.95 on real CLIP embeddings). Oracle replays the full
+    * chain: Lloyd, dominance pairs, argmax attribution.
+    */
+  val semanticDedupQ: Q = Q(
+    "semantic_dedup",
+    (s, dir) => graft.llm.SemDedup.semanticDedup(Tables.embeddings(s, dir),
+      "vec_id", "embedding", k = 8, iters = 1, tau = 0.35),
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS cv
+             FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+      ${kmAssignCte("a1", "c0")},
+      m1 AS (SELECT a.cell, list(n2.v ORDER BY n2.vec_id) AS vs, count(*) AS cnt
+             FROM a1 a JOIN n n2 USING (vec_id) GROUP BY 1),
+      c1 AS (SELECT p.cell,
+                    CASE WHEN m.cnt IS NULL THEN p.cv
+                         ELSE list_transform(range(64), kk ->
+                           list_reduce(list_transform(m.vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / m.cnt)
+                    END AS cv
+             FROM c0 p LEFT JOIN m1 m USING (cell)),
+      ${kmAssignCte("a2", "c1")},
+      j AS (SELECT a.vec_id, a.cell, a.dist, n2.v, n2.nrm
+            FROM a2 a JOIN n n2 USING (vec_id)),
+      cand AS (SELECT x.vec_id, y.vec_id AS cand_id,
+                      list_reduce(list_transform(range(1, 65), i -> x.v[i::INT] * y.v[i::INT]),
+                                  (p, q) -> p + q)
+                        / (sqrt(x.nrm) * sqrt(y.nrm)) AS cand_cos
+               FROM j x JOIN j y ON x.cell = y.cell
+                AND (y.dist > x.dist OR (y.dist = x.dist AND y.vec_id < x.vec_id))),
+      d AS (SELECT vec_id, cand_id AS dup_of, cand_cos AS dup_cosine FROM cand
+            WHERE cand_cos >= 0.35
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cand_cos DESC, cand_id) = 1)
+      SELECT a.vec_id, a.cell,
+             CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep,
+             d.dup_of, d.dup_cosine
+      FROM a2 a LEFT JOIN d USING (vec_id)
+    """)
+  )
+
   /** Int8-quantized cosine top-5 (FAISS SQ8 shape): per-vector
     * symmetric scalar quantization, cosine over the integer codes
     * (scales cancel in the ratio). Integer dot products are exact in
@@ -1127,6 +1175,7 @@ object LlmQueries {
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
     charEntropyQ,
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
+    semanticDedupQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ)
 }
