@@ -43,19 +43,78 @@ object Dsir {
     */
   def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
                      buckets: Int): DataFrame = {
+    val (uni, bi) = featureArrays(textCol, buckets)
+    df.select(col(idCol).as("doc_id"), explode(concat(uni, bi)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+  }
+
+  /** The two hashed-feature arrays of one document — unigram and
+    * bigram bucket ids as pure per-row expressions (no explode).
+    */
+  private def featureArrays(textCol: String, buckets: Int): (Column, Column) = {
     val ws = words(lower(trim(col(textCol))))
-    val base = df.select(col(idCol).as("doc_id"), ws.as("__ws"))
-    val uni = base.select(col("doc_id"),
-      explode(col("__ws")).as("t"))
+    val uni = transform(ws, w => h32(concat(lit("u:"), w)) % buckets)
+    val bi = zip_with(
+      slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+      (a, b) => h32(concat(lit("b:"), a, lit(" "), b)) % buckets)
+    (uni, bi)
+  }
+
+  /** Bucket log-ratio model `(bucket, lr_micro)`: ln p̂_target −
+    * ln p̂_raw per hashed-feature bucket in integer micro-nats, over
+    * the buckets observed in the raw corpus (add-one smoothing covers
+    * target-absent cells via ct = 0). `buckets`-bounded — broadcast
+    * material at any corpus size.
+    */
+  def bucketModel(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int): DataFrame = {
+    val feats = hashedFeatures(df, idCol, textCol, buckets)
+    val targetIds = df.filter(targetPred).select(col(idCol).as("doc_id"))
+    val rc = feats.groupBy("bucket").agg(sum("m").as("cr"))
+    val tc = feats.join(targetIds, "doc_id")
+      .groupBy("bucket").agg(sum("m").as("ct"))
+    val totals0 = rc.join(tc, Seq("bucket"), "left")
+      .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = totals0.crossJoin(broadcast(
+      totals0.agg(sum("cr").as("nr"), sum("ct").as("nt"))))
+    val lnMicro: Column => Column =
+      p => floor(log(p) * lit(1e6) + lit(0.5)).cast("long")
+    totals.select(col("bucket"),
+      (lnMicro((col("ct") + 1).cast("double") /
+          (col("nt") + buckets).cast("double")) -
+        lnMicro((col("cr") + 1).cast("double") /
+          (col("nr") + buckets).cast("double"))).as("lr_micro"))
+  }
+
+  /** Map-side DSIR scoring: the trained model re-enters as a MAP
+    * LITERAL inside the projection, so scoring is a pure per-row
+    * expression — ZERO shuffles over the corpus being scored, and
+    * stateless on a stream (each arrival scores itself per
+    * micro-batch; the corpus-derived knowledge lives in the literal,
+    * never in stream state — the same index-not-state discipline as
+    * StreamDedup). `defaultMicro` prices buckets never observed at
+    * training time (the add-one smoothed ratio of zero counts: 0 when
+    * target and raw totals match in scale; any corpus scored against
+    * its own training run never hits it). Integer arithmetic ⇒
+    * bit-equal to the join-based scorer (property-tested in DsirSpec).
+    */
+  def scoreWith(df: DataFrame, idCol: String, textCol: String,
+                model: Map[Long, Long], defaultMicro: Long,
+                buckets: Int): DataFrame = {
+    val m = typedlit(model)
+    val (uni, bi) = featureArrays(textCol, buckets)
+    val score: Column => Column = arr =>
+      aggregate(arr, lit(0L),
+        (acc, b) => acc + coalesce(element_at(m, b), lit(defaultMicro)))
+    df.select(col(idCol).as("doc_id"), uni.as("__u"), bi.as("__b"))
       .select(col("doc_id"),
-        (h32(concat(lit("u:"), col("t"))) % buckets).as("bucket"))
-    val bi = base.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
-        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
-        (a, b) => concat(lit("b:"), a, lit(" "), b))).as("t"))
-      .select(col("doc_id"), (h32(col("t")) % buckets).as("bucket"))
-    uni.union(bi).groupBy("doc_id", "bucket").agg(count(lit(1)).as("m"))
+        (size(col("__u")) + size(col("__b"))).cast("long").as("n_feats"),
+        (score(col("__u")) + score(col("__b"))).as("w_micro"))
+      .withColumn("avg_w",
+        when(col("n_feats") > 0,
+          col("w_micro").cast("double") /
+            (col("n_feats").cast("double") * lit(1e6)))
+          .otherwise(lit(0.0)))
   }
 
   /** Per-document DSIR importance weight:
@@ -69,24 +128,7 @@ object Dsir {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         targetPred: Column, buckets: Int): DataFrame = {
     val feats = hashedFeatures(df, idCol, textCol, buckets)
-    val targetIds = df.filter(targetPred).select(col(idCol).as("doc_id"))
-
-    val rc = feats.groupBy("bucket").agg(sum("m").as("cr"))
-    val tc = feats.join(targetIds, "doc_id")
-      .groupBy("bucket").agg(sum("m").as("ct"))
-    // Buckets observed in the raw corpus (a superset of the target's);
-    // add-one smoothing covers target-absent cells via ct = 0.
-    val totals0 = rc.join(tc, Seq("bucket"), "left")
-      .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
-    val totals = totals0.crossJoin(broadcast(
-      totals0.agg(sum("cr").as("nr"), sum("ct").as("nt"))))
-    val lnMicro: Column => Column =
-      p => floor(log(p) * lit(1e6) + lit(0.5)).cast("long")
-    val model = totals.select(col("bucket"),
-      (lnMicro((col("ct") + 1).cast("double") /
-          (col("nt") + buckets).cast("double")) -
-        lnMicro((col("cr") + 1).cast("double") /
-          (col("nr") + buckets).cast("double"))).as("lr_micro"))
+    val model = bucketModel(df, idCol, textCol, targetPred, buckets)
 
     val scored = feats.join(broadcast(model), "bucket")
       .groupBy("doc_id").agg(

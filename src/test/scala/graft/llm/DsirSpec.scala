@@ -71,6 +71,55 @@ class DsirSpec extends SparkSpec {
       s"target docs must score higher under their own model: $m")
   }
 
+  test("map-side literal-model scorer is bit-equal to the join scorer") {
+    val docs = Tables.documents(spark, sf())
+    val tgt = col("source").isin("src0", "src1")
+    val model = Dsir.bucketModel(docs, "doc_id", "text", tgt, buckets = 1024)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
+      .toMap
+    // Sentinel default: if scoring ever consulted it (a bucket missing
+    // from the model on the training corpus itself), equality breaks.
+    val mapSide = Dsir.scoreWith(docs, "doc_id", "text", model,
+        defaultMicro = Long.MinValue / 4, buckets = 1024).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"))).toMap
+    val joined = Dsir.importanceWeights(docs, "doc_id", "text", tgt,
+        buckets = 1024).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"))).toMap
+    assert(mapSide === joined)
+  }
+
+  test("streaming arrivals score identically to batch — stateless, model as literal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf())
+    val model = Dsir.bucketModel(docs, "doc_id", "text",
+        col("source").isin("src0", "src1"), buckets = 1024)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
+      .toMap
+    val arrivals = docs.select("doc_id", "text").orderBy("doc_id").limit(6)
+      .collect().map(r => (r.getAs[Long](0), r.getAs[String](1))).toSeq
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sdf = mem.toDF().toDF("doc_id", "text")
+    val out = Dsir.scoreWith(sdf, "doc_id", "text", model,
+      defaultMicro = 0L, buckets = 1024)
+    val q = out.writeStream.format("memory").queryName("dsir_stream").start()
+    try {
+      mem.addData(arrivals.take(3)); q.processAllAvailable()
+      mem.addData(arrivals.drop(3)); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w_micro")).toMap
+    val batch = Dsir.scoreWith(
+        docs.select("doc_id", "text").orderBy("doc_id").limit(6),
+        "doc_id", "text", model, defaultMicro = 0L, buckets = 1024).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("w_micro")).toMap
+    assert(streamed === batch && streamed.size === 6)
+  }
+
   test("gumbel top-k resample equals the driver-side sort of the scored corpus") {
     val docs = Tables.documents(spark, sf())
     val k = 50
