@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -742,6 +742,45 @@ object CurationQueries {
     """)
   )
 
+  /** Gopher/MassiveWeb rule bundle (GopherRules scaladoc): the named
+    * public thresholds as 0/1 verdicts + conjunctive pass, pure
+    * per-row HOF expressions — no explode, no shuffle, scan speed.
+    */
+  val gopherRulesQ: Q = Q(
+    "gopher_rules",
+    (s, dir) => GopherRules(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents),
+      s AS (SELECT doc_id,
+              len(ws)::BIGINT AS n_words,
+              list_reduce(list_transform(ws, x -> length(x)), (a, b) -> a + b)::BIGINT AS sum_wl,
+              len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...')))::BIGINT AS sym,
+              len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha,
+              len(list_intersect(list_distinct(ws),
+                  ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::BIGINT AS stop_hits
+            FROM w),
+      t AS (SELECT doc_id, n_words,
+              sum_wl::DOUBLE / n_words::DOUBLE AS mean_word_len,
+              sym::DOUBLE / n_words::DOUBLE AS symbol_ratio,
+              alpha::DOUBLE / n_words::DOUBLE AS alpha_frac,
+              stop_hits
+            FROM s),
+      r AS (SELECT *,
+              CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+              CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS r_mean_word_len,
+              CASE WHEN symbol_ratio < 0.1 THEN 1 ELSE 0 END AS r_symbol_ratio,
+              CASE WHEN alpha_frac > 0.8 THEN 1 ELSE 0 END AS r_alpha_frac,
+              CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords
+            FROM t)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+             r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_frac, r_stopwords,
+             r_word_count * r_mean_word_len * r_symbol_ratio * r_alpha_frac
+               * r_stopwords AS passes
+      FROM r
+    """)
+  )
+
   /** Shared oracle CTE chain for the DSIR family: hashed uni+bigram
     * features, target/raw bucket models, per-doc micro-nat weights
     * (Dsir scaladoc — every ln quantized independently, integer
@@ -822,5 +861,5 @@ object CurationQueries {
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
-    dsirWeightsQ, dsirResampleQ)
+    dsirWeightsQ, dsirResampleQ, gopherRulesQ)
 }
