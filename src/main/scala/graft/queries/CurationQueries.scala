@@ -742,6 +742,83 @@ object CurationQueries {
     """)
   )
 
+  /** Shared oracle CTE chain: per-document add-one-smoothed bigram
+    * avg log-likelihood (the lm_bigram_score arithmetic) joined with
+    * the language column — base for the CCNet bucketing query.
+    */
+  private val bigramAvgLlCtes = """
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents),
+      be AS (SELECT doc_id, ws[i::INT] AS w1, ws[(i + 1)::INT] AS w2
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+      db AS (SELECT doc_id, w1, w2, count(*) AS m FROM be GROUP BY 1, 2, 3),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM be GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM be GROUP BY 1),
+      vv AS (SELECT count(DISTINCT u.x) AS v FROM (SELECT unnest(ws) AS x FROM w) u),
+      t AS (SELECT doc_id, m,
+                   floor(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + vv.v)::DOUBLE) * 1e6 + 0.5)::BIGINT AS llm
+            FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+      d2 AS (SELECT doc_id,
+                    CAST(sum(m * llm) AS BIGINT)::DOUBLE
+                      / (CAST(sum(m) AS BIGINT)::DOUBLE * 1e6) AS avg_ll
+             FROM t GROUP BY 1),
+      sc AS (SELECT d2.doc_id, documents.lang, avg_ll
+             FROM d2 JOIN documents USING (doc_id))"""
+
+  /** CCNet perplexity buckets (Wenzek et al. 2019, public): each
+    * document's LM score assigns it to head/middle/tail within its
+    * language — the curation signal CCNet keeps/drops on. The tercile
+    * CUTOFFS come from a deterministic md5-sampled 20% slice (exactly
+    * CCNet's own recipe: cutoffs are trained once, then applied as
+    * constants), so bucketing the corpus is a BROADCAST join + map
+    * comparison — no per-language global sort, no single-task window
+    * (a `ntile` over `partitionBy(lang)` would put an entire language
+    * in one task at 100 TB; the sampled-cutoff form is the skew-free
+    * plan). Sorted-list cutoffs and every comparison restate exactly
+    * in DuckDB; languages absent from the sample fall to 'middle'.
+    */
+  val ccnetBucketsQ: Q = Q(
+    "ccnet_buckets",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = LangModel.bigramScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("avg_ll"))
+      val samp = scored.filter(Sampling.u01(col("doc_id"), "ccnet") < 0.2)
+      val cuts = samp.groupBy("lang").agg(
+        sort_array(collect_list(col("avg_ll"))).as("a"),
+        count(lit(1)).as("n"))
+      val n1 = greatest(lit(1L), floor(col("n") / 3).cast("long"))
+      val n2 = greatest(n1, floor(col("n") * 2 / 3).cast("long"))
+      val cc = cuts.select(col("lang"),
+        element_at(col("a"), n1.cast("int")).as("c1"),
+        element_at(col("a"), n2.cast("int")).as("c2"))
+      scored.join(broadcast(cc), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"), col("avg_ll"),
+          when(col("c1").isNull, "middle")
+            .when(col("avg_ll") > col("c2"), "head")
+            .when(col("avg_ll") <= col("c1"), "tail")
+            .otherwise("middle").as("bucket"))
+    },
+    Some(bigramAvgLlCtes + """,
+      samp AS (SELECT * FROM sc
+               WHERE (('0x' || substr(md5('ccnet:' || doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+                       / CAST(4294967296.0 AS DOUBLE) < 0.2),
+      cuts AS (SELECT lang, list_sort(list(avg_ll)) AS a, count(*) AS n
+               FROM samp GROUP BY 1),
+      cc AS (SELECT lang,
+                    a[greatest(1, n // 3)::INT] AS c1,
+                    a[greatest(greatest(1, n // 3), 2 * n // 3)::INT] AS c2
+             FROM cuts)
+      SELECT sc.doc_id, sc.lang, sc.avg_ll,
+             CASE WHEN cc.c1 IS NULL THEN 'middle'
+                  WHEN sc.avg_ll > cc.c2 THEN 'head'
+                  WHEN sc.avg_ll <= cc.c1 THEN 'tail'
+                  ELSE 'middle' END AS bucket
+      FROM sc LEFT JOIN cc USING (lang)
+    """)
+  )
+
   /** Gopher/MassiveWeb rule bundle (GopherRules scaladoc): the named
     * public thresholds as 0/1 verdicts + conjunctive pass, pure
     * per-row HOF expressions — no explode, no shuffle, scan speed.
@@ -861,5 +938,5 @@ object CurationQueries {
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
-    dsirWeightsQ, dsirResampleQ, gopherRulesQ)
+    dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ)
 }

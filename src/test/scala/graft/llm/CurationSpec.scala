@@ -33,4 +33,24 @@ class CurationSpec extends SparkSpec {
     val normed = surv.select(TextHash.normalize(col("text")).as("n"))
     assert(normed.count() === normed.distinct().count())
   }
+
+  test("ccnet buckets: every doc bucketed; per-lang mean LL orders head > middle > tail") {
+    val b = CurationQueries.ccnetBucketsQ.fn(spark, sf("sf0.01")).cache()
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    assert(b.count() === docs.count())
+    assert(b.filter(!col("bucket").isin("head", "middle", "tail")).count() === 0)
+    val means = b.groupBy("lang", "bucket").agg(avg("avg_ll").as("m"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) ->
+        r.getAs[Double]("m")).toMap
+    means.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      for (h <- means.get((lang, "head")); t <- means.get((lang, "tail"))) {
+        assert(h > t, s"$lang: head mean $h must exceed tail mean $t")
+        means.get((lang, "middle")).foreach { m =>
+          assert(h > m && m > t, s"$lang: bucket means must be ordered")
+        }
+      }
+    }
+    b.unpersist()
+  }
 }

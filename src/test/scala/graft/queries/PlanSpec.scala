@@ -248,6 +248,42 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("gopher_rules: pure projection — zero shuffles, scan is the only source") {
+    val df = Registry.byName("gopher_rules").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"rule bundle must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"rule bundle must not explode:\n$plan")
+  }
+
+  test("dsir: bucket model joins as broadcast; resample top-k is TakeOrdered, not a global sort") {
+    val w = Registry.byName("dsir_weights").fn(spark, sf("sf0.01"))
+    val wplan = w.queryExecution.sparkPlan.toString
+    assert(wplan.contains("BroadcastHashJoin"),
+      s"model must broadcast into the scoring join:\n${wplan.take(3000)}")
+    val r = Registry.byName("dsir_resample").fn(spark, sf("sf0.01"))
+    val rplan = r.queryExecution.sparkPlan.toString
+    assert(rplan.contains("TakeOrderedAndProject"),
+      s"resample must plan as TakeOrdered (no global sort):\n${rplan.take(3000)}")
+  }
+
+  test("semantic_dedup: candidates ride the cell equi-join — never a pairwise cartesian") {
+    val df = Registry.byName("semantic_dedup").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.sparkPlan.toString
+    // the x-y candidate join must key on cell (equi), with dominance as
+    // a post-join condition
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("[cell")),
+      s"within-cell pairs must come from an equi-join on cell:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only nested-loop joins allowed are kmeansCells' deliberate
+    // k-row centroid broadcasts (BuildRight, Cross) — a vector-side
+    // pairwise nested loop would not carry the Cross marker alone
+    val bnlj = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("Cross")),
+      s"unexpected nested-loop join shape:\n${bnlj.mkString("\n")}")
+  }
+
   test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
     Seq("asof_join_native", "asof_join_forward_native", "asof_join_nearest_native")
       .foreach { name =>
