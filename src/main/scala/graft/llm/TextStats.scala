@@ -169,9 +169,13 @@ object TextStats {
     val t = col(textCol)
     val w = words(t)
     val nW = size(w)
-    val bigrams = when(nW < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), nW - 1),
-        i => array_join(slice(w, i, lit(2)), " ")))
+    // bigram positions bind the token array through a one-element
+    // lambda so the split evaluates once per row, not once per
+    // position (the gramHashes O(len²) lesson)
+    val bigrams = element_at(transform(array(w), wsv =>
+      when(size(wsv) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(wsv) - 1),
+          i => array_join(slice(wsv, i, lit(2)), " ")))), 1)
     val sorted = array_sort(bigrams)
     val acc0 = struct(lit("").as("prev"), lit(0).as("run"),
       lit(0).as("best_n"), lit("").as("best"))

@@ -742,6 +742,37 @@ object CurationQueries {
     """)
   )
 
+  /** Maximal duplicated spans (Decontam.dupSpans scaladoc — Lee et
+    * al. substring-dedup semantics, first occurrence survives): the
+    * position-level report `dup_ngram_pairs` cannot express. One
+    * combiner aggregation + one gram join + one doc window.
+    */
+  val dupSpansQ: Q = Q(
+    "dup_spans",
+    (s, dir) => Decontam.dupSpans(Tables.documents(s, dir), "doc_id", "text",
+      n = 8),
+    Some("""
+      WITH u AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                 FROM documents),
+      o AS (SELECT doc_id, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS pos, ws
+            FROM u),
+      occ AS (SELECT doc_id, pos::BIGINT AS pos,
+                     ('0x' || substr(md5(array_to_string(ws[pos:pos+7], ' ')), 1, 8))::BIGINT AS g
+              FROM o),
+      a AS (SELECT g, count(*) AS cnt,
+                   min(doc_id * 4294967296 + pos) AS firstk
+            FROM occ GROUP BY 1),
+      d AS (SELECT occ.doc_id, occ.pos FROM occ JOIN a USING (g)
+            WHERE cnt >= 2 AND doc_id * 4294967296 + pos <> firstk),
+      i AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM d)
+      SELECT doc_id, min(pos) AS span_start,
+             max(pos) + 7 AS span_end, count(*) AS n_grams
+      FROM i GROUP BY doc_id, grp
+    """)
+  )
+
   /** Shared oracle CTE chain: per-document add-one-smoothed bigram
     * avg log-likelihood (the lm_bigram_score arithmetic) joined with
     * the language column — base for the CCNet bucketing query.
@@ -938,5 +969,5 @@ object CurationQueries {
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
-    dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ)
+    dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ)
 }

@@ -90,4 +90,55 @@ class DecontamSpec extends SparkSpec {
       .selectExpr("size(g)").as[Int].head()
     assert(short === 0)
   }
+
+  test("dupSpans: later occurrence of a shared substring becomes one maximal span; first survives") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 shared words
+    val doc1 = s"alpha beta gamma delta $shared omega psi chi phi"
+    val doc2 = s"one two three four five $shared six seven eight nine"
+    val doc3 = "totally different words with no overlap at all whatsoever here today"
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val out = Decontam.dupSpans(df, "doc_id", "text", n = 8).collect()
+    // only doc2 (the later occurrence) reports a span
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
+    val s = out.head
+    // doc2 words: 5 unique + 12 shared + 4 unique. The shared 12-word
+    // region yields 12-8+1 = 5 duplicated 8-grams at positions 6..10
+    // -> span words 6..17 (1-based, inclusive: exactly the shared run)
+    assert(s.getAs[Long]("span_start") === 6L)
+    assert(s.getAs[Long]("span_end") === 17L)
+    assert(s.getAs[Long]("n_grams") === 5L)
+  }
+
+  test("dupSpans: within-document repetition keeps the first copy only") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"w$i").mkString(" ")
+    val doc = s"$run filler1 filler2 filler3 $run" // same 10 words twice
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+    val out = Decontam.dupSpans(df, "doc_id", "text", n = 8).collect()
+    assert(out.length === 1)
+    val s = out.head
+    // second copy starts at word 14 (10 + 3 fillers + 1); its 3
+    // duplicated 8-grams (positions 14..16) close the span at 23
+    assert(s.getAs[Long]("span_start") === 14L)
+    assert(s.getAs[Long]("span_end") === 23L)
+    assert(s.getAs[Long]("n_grams") === 3L)
+  }
+
+  test("dupSpans: disjoint duplicated regions stay separate spans") {
+    import spark.implicits._
+    val a = (1 to 9).map(i => s"a$i").mkString(" ")
+    val b = (1 to 9).map(i => s"b$i").mkString(" ")
+    val src = s"$a gapone gaptwo gapthree gapfour gapfive $b"
+    val cpy = s"$a xgapone xgaptwo xgapthree xgapfour xgapfive $b"
+    val df = Seq((1L, src), (2L, cpy)).toDF("doc_id", "text")
+    val out = Decontam.dupSpans(df, "doc_id", "text", n = 8)
+      .orderBy("span_start").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L, 2L))
+    // two 9-word shared runs -> two 2-gram islands in the copy
+    assert(out(0).getAs[Long]("span_start") === 1L)
+    assert(out(0).getAs[Long]("span_end") === 9L)
+    assert(out(1).getAs[Long]("span_start") === 15L)
+    assert(out(1).getAs[Long]("span_end") === 23L)
+  }
 }

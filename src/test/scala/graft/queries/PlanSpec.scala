@@ -201,10 +201,14 @@ class PlanSpec extends SparkSpec {
     // the bloom probe is a scan-side Filter over element_at on a
     // literal array — it must appear, and must NOT be implemented as
     // a join against a broadcast gram table
-    assert(plan.contains("element_at"), s"bloom bit-test filter missing:\n$plan")
-    val filterLine = plan.linesIterator.find(_.contains("element_at")).get
-    assert(filterLine.trim.startsWith("+- Filter") || filterLine.contains("Filter"),
-      s"bloom probe should be a Filter, got:\n$filterLine")
+    // the probe is the element_at bit test (shiftleft mask) — find it
+    // by the mask, not by element_at alone (gramHashes' token-binding
+    // lambda also uses element_at since the O(len²) fix)
+    val probeLine = plan.linesIterator
+      .find(l => l.contains("element_at") && l.contains("shiftleft"))
+    assert(probeLine.isDefined, s"bloom bit-test filter missing:\n$plan")
+    assert(probeLine.get.contains("Filter"),
+      s"bloom probe should be a Filter, got:\n${probeLine.get}")
   }
 
   test("char_entropy: char explode is combined map-side before anything can shuffle") {
