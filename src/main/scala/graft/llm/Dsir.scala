@@ -67,9 +67,16 @@ object Dsir {
     * material at any corpus size.
     */
   def bucketModel(df: DataFrame, idCol: String, textCol: String,
-                  targetPred: Column, buckets: Int): DataFrame = {
-    val feats = hashedFeatures(df, idCol, textCol, buckets)
-    val targetIds = df.filter(targetPred).select(col(idCol).as("doc_id"))
+                  targetPred: Column, buckets: Int): DataFrame =
+    modelFromFeats(hashedFeatures(df, idCol, textCol, buckets),
+      df.filter(targetPred).select(col(idCol).as("doc_id")), buckets)
+
+  /** [[bucketModel]] body over an already-built feature table — lets
+    * the weights path share ONE feature pass between model fit and
+    * scoring (the feature explode is the dominant cost).
+    */
+  private def modelFromFeats(feats: DataFrame, targetIds: DataFrame,
+                             buckets: Int): DataFrame = {
     val rc = feats.groupBy("bucket").agg(sum("m").as("cr"))
     val tc = feats.join(targetIds, "doc_id")
       .groupBy("bucket").agg(sum("m").as("ct"))
@@ -127,8 +134,12 @@ object Dsir {
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         targetPred: Column, buckets: Int): DataFrame = {
-    val feats = hashedFeatures(df, idCol, textCol, buckets)
-    val model = bucketModel(df, idCol, textCol, targetPred, buckets)
+    // ONE feature pass feeds both the model fit and the scoring join
+    // (persist: three consumers — raw counts, target counts, scoring;
+    // the explode is the dominant cost and would otherwise run 3x)
+    val feats = hashedFeatures(df, idCol, textCol, buckets).persist()
+    val model = modelFromFeats(feats,
+      df.filter(targetPred).select(col(idCol).as("doc_id")), buckets)
 
     val scored = feats.join(broadcast(model), "bucket")
       .groupBy("doc_id").agg(
