@@ -115,6 +115,13 @@ object StreamBench {
       docsTbl.select(col("doc_id").as("id"), col("text")), "id", "text",
       numPerm = 32, bands = 8, maxBucket = 64)
     println(s"doc input rows=$nDocs index rows=${index.count()}")
+    // DSIR model trained once on the batch corpus, served as a map
+    // literal — the scorer is a pure projection (zero stream state)
+    val dsirModel = graft.llm.Dsir.bucketModel(
+      docsTbl, "doc_id", "text", col("doc_id") % 10 < 2, buckets = 1024)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
+      .toMap
+    println(s"dsir model buckets=${dsirModel.size}")
 
     val candleSchema = StructType(Seq(
       StructField("ts", TimestampType), StructField("k", StringType),
@@ -135,7 +142,10 @@ object StreamBench {
       "dedup_watermark" -> (() => Streams.dedupWithinWatermark(
         source(), "ts", "1 hour", Seq("key", "dup_key"))),
       "neardup_vs_index" -> (() => StreamDedup.nearDupMatches(
-        docSource(), index, "id", "text", numPerm = 32, bands = 8, tau = 0.7)))
+        docSource(), index, "id", "text", numPerm = 32, bands = 8, tau = 0.7)),
+      "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
+        docSource(), "id", "text", dsirModel, defaultMicro = 0L,
+        buckets = 1024)))
 
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0
