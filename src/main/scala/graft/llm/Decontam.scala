@@ -119,8 +119,13 @@ object Decontam {
       .otherwise(transform(sequence(lit(1), cnt), i =>
         struct(i.cast("long").as("pos"),
           h32(array_join(slice(w, i, lit(n)), " ")).as("g"))))
+    // persist: the occurrence table feeds both the gram aggregate and
+    // the join-back — without it the gram hashing (the dominant
+    // map-side cost) runs twice (selfOverlapPairs note; at production
+    // scale write it out instead)
     val occ = toks.select(col("doc_id"), explode(posGrams).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .persist()
     val key = col("doc_id") * lit(4294967296L) + col("pos")
     val agg = occ.groupBy("g").agg(count(lit(1)).as("cnt"),
       min(key).as("firstk"))

@@ -812,9 +812,13 @@ object CurationQueries {
     "ccnet_buckets",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // persist: the scored table feeds both the sampled cutoff fit
+      // and the final bucketing join — the bigram-LM chain (the
+      // dominant cost) must not run twice
       val scored = LangModel.bigramScore(docs, "doc_id", "text")
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .select(col("doc_id"), col("lang"), col("avg_ll"))
+        .persist()
       val samp = scored.filter(Sampling.u01(col("doc_id"), "ccnet") < 0.2)
       val cuts = samp.groupBy("lang").agg(
         sort_array(collect_list(col("avg_ll"))).as("a"),
