@@ -146,11 +146,15 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
           col("quality_score"), col("re_tokens"))
       // exact-dedup: keep the min doc_id of each normalized-text group
+      // persist: exact feeds BOTH the near-dup clustering and the
+      // survivor rejoin — its quality/token-count/window chain is the
+      // pipeline's dominant map-side cost and must not run twice
       val exact = scored
         .withColumn("__th", md5(TextHash.normalize(col("text"))))
         .withColumn("__rep0", min("doc_id").over(Window.partitionBy("__th")))
         .filter(col("doc_id") === col("__rep0"))
         .drop("__th", "__rep0")
+        .persist()
       // near-dup clusters among the remaining; keep representatives
       val reps = Dedup.minHashClusters(exact, "doc_id", "text",
           numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64)
