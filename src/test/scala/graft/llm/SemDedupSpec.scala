@@ -23,9 +23,10 @@ class SemDedupSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_cosine") > 0.999999)
   }
 
-  test("matches a driver-side brute-force recompute on the sf0.001 embeddings") {
+  for (k <- Seq(8, 32))
+  test(s"matches a driver-side brute-force recompute on the sf0.001 embeddings (k=$k)") {
     val emb = Tables.embeddings(spark, sf())
-    val k = 8; val iters = 1; val tau = 0.35
+    val iters = 1; val tau = 0.35
     val out = SemDedup.semanticDedup(emb, "vec_id", "embedding", k, iters, tau)
       .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
 
