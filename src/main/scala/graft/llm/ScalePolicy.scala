@@ -96,4 +96,28 @@ object ScalePolicy {
     if (bits == 0) blockCol.cast("string")
     else Similarity.refineBlock(df, blockCol, vecCol, bits)
   }
+
+  /** SemDeDup cluster count holding expected cell occupancy at
+    * `targetRows`: ceil(corpus / targetRows), min 2 — the same
+    * quadratic-pair-space law as [[blockBitsFor]] applied to k-means
+    * cells (pair work is Σ cell² ≈ n²/k with fixed k; the sf1 screen
+    * measured pinned k=8 at 4.3× for 10× data while the k=32 arm cut
+    * it ~2×, BENCH_SF1_r6; SemDeDup itself runs k=50k on LAION-440M,
+    * i.e. occupancy ~9k). Ceil errs toward more cells — the cheap
+    * direction for quadratic work.
+    */
+  def semanticCellsFor(corpus: Long, targetRows: Int = 640): Int = {
+    require(corpus > 0 && targetRows > 0,
+      s"corpus/targetRows must be positive, got $corpus/$targetRows")
+    math.max(2, math.ceil(corpus.toDouble / targetRows).toInt)
+  }
+
+  /** [[SemDedup.semanticDedup]] with the cluster count derived from
+    * the corpus size.
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        corpus: Long, tau: Double, iters: Int = 1,
+                        targetRows: Int = 640): DataFrame =
+    SemDedup.semanticDedup(df, idCol, vecCol,
+      semanticCellsFor(corpus, targetRows), iters, tau)
 }

@@ -71,4 +71,30 @@ class ScalePolicySpec extends SparkSpec {
     // refined key still starts with the base block (prefix property)
     assert(fine.filter(!col("blk").startsWith(col("label").cast("string"))).count() == 0)
   }
+
+  test("semanticCellsFor anchors: pinned-arm corpora map to the measured ks") {
+    // sf0.1 bench corpus (2k vectors) at the default occupancy -> ~k=4;
+    // sf1 (20k) -> 32 (the measured scale arm); LAION-440M at the
+    // paper's k=50k implies occupancy ~8.8k (documented regime)
+    assert(ScalePolicy.semanticCellsFor(2000) === 4)
+    assert(ScalePolicy.semanticCellsFor(20000) === 32)
+    assert(ScalePolicy.semanticCellsFor(100) === 2) // floor
+    // occupancy stays bounded: cells * targetRows >= corpus
+    for (n <- Seq(1000L, 50000L, 1000000L)) {
+      val k = ScalePolicy.semanticCellsFor(n)
+      assert(k.toLong * 640 >= n)
+    }
+  }
+
+  test("semanticDedupAuto verdicts match semanticDedup at the derived k") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val auto = ScalePolicy.semanticDedupAuto(emb, "vec_id", "embedding",
+      corpus = n, tau = 0.35)
+    val manual = SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      ScalePolicy.semanticCellsFor(n), iters = 1, tau = 0.35)
+    assert(auto.exceptAll(manual).count() === 0)
+    assert(manual.exceptAll(auto).count() === 0)
+    assert(auto.count() === n)
+  }
 }
