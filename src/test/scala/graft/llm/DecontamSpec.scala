@@ -125,6 +125,55 @@ class DecontamSpec extends SparkSpec {
     assert(s.getAs[Long]("n_grams") === 3L)
   }
 
+  test("dupSpans equals a naive driver-side reference on random planted corpora") {
+    import spark.implicits._
+    val n = 6
+    val rnd = new scala.util.Random(42)
+    def word() = s"w${rnd.nextInt(40)}"
+    // 30 random docs over a small vocabulary (natural 6-gram collisions
+    // are possible and MUST be reported identically by both sides),
+    // plus planted copies: doc i copies a slice of doc i-1 every 5th doc
+    val base = (0 until 30).map { i =>
+      val ws = Vector.fill(12 + rnd.nextInt(25))(word())
+      (i.toLong, ws)
+    }
+    val docs = base.map { case (i, ws0) =>
+      val ws = if (i % 5 == 4) {
+        val src = base((i - 1).toInt)._2
+        val take = math.min(src.length, 8 + rnd.nextInt(5))
+        ws0.take(4) ++ src.take(take) ++ ws0.drop(4)
+      } else ws0
+      (i, ws.mkString(" "))
+    }
+    val out = Decontam.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_grams"))).toSet
+
+    // naive reference: full gram table, first occurrence by (doc, pos),
+    // island merge per doc
+    val grams = for {
+      (id, text) <- docs
+      ws = text.split("\\s+").toVector
+      p <- 1 to math.max(ws.length - n + 1, 0)
+    } yield ((id, p.toLong), ws.slice(p - 1, p + n - 1).mkString(" "))
+    val byGram = grams.groupBy(_._2)
+    val removable = byGram.values.filter(_.size >= 2).flatMap { occ =>
+      occ.map(_._1).sorted.drop(1) // keep corpus-first
+    }.toSet
+    val expect = removable.groupBy(_._1).flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      // islands of consecutive positions
+      val islands = sorted.foldLeft(Vector.empty[Vector[Long]]) { (acc, p) =>
+        if (acc.nonEmpty && acc.last.last == p - 1) acc.init :+ (acc.last :+ p)
+        else acc :+ Vector(p)
+      }
+      islands.map(is => (id, is.head, is.last + n - 1, is.size.toLong))
+    }.toSet
+    assert(out === expect)
+    assert(expect.nonEmpty, "planted copies must produce spans")
+  }
+
   test("dupSpans: disjoint duplicated regions stay separate spans") {
     import spark.implicits._
     val a = (1 to 9).map(i => s"a$i").mkString(" ")
