@@ -881,6 +881,60 @@ object LlmQueries {
     Some(semanticDedupSql(32))
   )
 
+  /** Semantic decontamination — the embedding-space member of the
+    * decontam family (decontam_overlap / decontam_bloom are n-gram
+    * exact-match; paraphrased leakage defeats them, which is why
+    * published pipelines add an embedding-similarity screen): flag
+    * every TRAIN vector whose cosine to some EVAL vector reaches τ
+    * (0.25 here — the p99 of the same-label null distribution on this
+    * synthetic geometry is 0.28, so the flag means "well above
+    * chance"; real CLIP/text-embedding screens run ~0.9), with the
+    * most-similar eval attribution. Blocked by the label
+    * cell like dedup_embedding (at 100 TB the block comes from
+    * kmeansCells / LSH — the same Σ cell² bound); eval is the
+    * corpus-standard `vec_id % 40 = 0` slice, so eval-side size is
+    * benchmark-like (~2.5 %). One equi-join on the block key,
+    * (ids, cosine) projection through the exchange, per-train argmax
+    * as WindowGroupLimit.
+    */
+  val decontamSemanticQ: Q = Q(
+    "decontam_semantic",
+    (s, dir) => {
+      val base = Similarity.withNorm(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+          Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+      val dotF = Similarity.dotAdaptive(base)(_, _)
+      val eval_ = base.filter(col("vec_id") % 40 === 0)
+      val train = base.filter(col("vec_id") % 40 =!= 0)
+      val scored = train.as("t").join(eval_.as("e"),
+          col("t.label") === col("e.label"))
+        .select(col("t.vec_id").as("train_id"), col("e.vec_id").as("eval_id"),
+          (dotF(col("t.v"), col("e.v")) /
+            (sqrt(col("t.__norm")) * sqrt(col("e.__norm")))).as("cosine"))
+        .filter(col("cosine") >= 0.25)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("train_id").orderBy(col("cosine").desc, col("eval_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("train_id", "eval_id", "cosine")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      p AS (SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+                   list_reduce(list_transform(range(1, 65), i -> t.v[i::INT] * q.v[i::INT]),
+                               (x, y) -> x + y)
+                     / (sqrt(t.nrm) * sqrt(q.nrm)) AS cosine
+            FROM n t JOIN n q ON t.label = q.label
+             AND t.vec_id % 40 <> 0 AND q.vec_id % 40 = 0)
+      SELECT train_id, eval_id, cosine FROM p
+      WHERE cosine >= 0.25
+      QUALIFY row_number() OVER (PARTITION BY train_id
+                                 ORDER BY cosine DESC, eval_id) = 1
+    """)
+  )
+
   /** Int8-quantized cosine top-5 (FAISS SQ8 shape): per-vector
     * symmetric scalar quantization, cosine over the integer codes
     * (scales cancel in the ratio). Integer dot products are exact in
@@ -1199,7 +1253,7 @@ object LlmQueries {
     annIvfMultiprobe, embeddingCentroid, langId, textQuality, tokenCount,
     charEntropyQ,
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
-    semanticDedupQ, semanticDedupScaledQ,
+    semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ)
 }
