@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Exact per-group discrete quantiles by rank selection: the value at
@@ -72,5 +72,81 @@ object Quantiles {
     df.join(broadcast(bounds), keyCol)
       .withColumn(s"${valCol}_wins",
         least(greatest(col(valCol), col("lo")), col("hi")))
+  }
+
+  /** One (hash, value) observation for the bottom-k sketch. */
+  final case class QHV(h: String, v: Double)
+
+  /** Sketch buffer: total row count + an entry list bounded by lazy
+    * compaction (prepend is O(1); compacting sorts and truncates, so
+    * per-row cost is O(1) amortized — unlike an eager sorted insert).
+    */
+  final case class QSkBuf(n: Long, size: Int, hs: List[String], vs: List[Double])
+
+  /** Sketch result: total count, sample size m = min(k, n), and the
+    * sample's values sorted ascending (ready for rank selection).
+    */
+  final case class QSkOut(n: Long, m: Int, vs: Array[Double])
+
+  /** Mergeable bottom-k quantile sketch: keep the k entries with the
+    * SMALLEST md5 hash — "k smallest of a set" is order-independent,
+    * so the aggregate is bit-reproducible under any partitioning or
+    * merge order (the property KLL buys with random compaction and
+    * loses in determinism). The survivors are a uniform k-sample of
+    * the group (md5 is the uniform deviate, Sampling.u01's policy),
+    * so sample-rank selection estimates quantiles with DKW rank error
+    * ~sqrt(ln(2/δ)/2k). Partial aggregation combines map-side: each
+    * task ships ≤2k entries per group, never its rows.
+    */
+  final class BottomKAgg(k: Int) extends Aggregator[QHV, QSkBuf, QSkOut] {
+    require(k > 0, "sketch size k must be positive")
+
+    private def compact(b: QSkBuf): QSkBuf = {
+      val kept = b.hs.zip(b.vs).sortBy(identity).take(k)
+      QSkBuf(b.n, kept.size, kept.map(_._1), kept.map(_._2))
+    }
+
+    def zero: QSkBuf = QSkBuf(0L, 0, Nil, Nil)
+    def reduce(b: QSkBuf, a: QHV): QSkBuf = {
+      val nb = QSkBuf(b.n + 1, b.size + 1, a.h :: b.hs, a.v :: b.vs)
+      if (nb.size > 2 * k) compact(nb) else nb
+    }
+    def merge(b1: QSkBuf, b2: QSkBuf): QSkBuf =
+      compact(QSkBuf(b1.n + b2.n, b1.size + b2.size,
+        b1.hs ::: b2.hs, b1.vs ::: b2.vs))
+    def finish(b: QSkBuf): QSkOut = {
+      val kept = compact(b)
+      QSkOut(kept.n, kept.size, kept.vs.sorted.toArray)
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[QSkBuf] = Encoders.product[QSkBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[QSkOut] = Encoders.product[QSkOut]
+  }
+
+  /** Per-group approximate quantiles from a [[BottomKAgg]] sketch:
+    * the sampled complement of [[exactQuantiles]] — ONE aggregation
+    * pass, no per-group sort of the data (only the k-sample sorts,
+    * in `finish`), which is the 100 TB shape exact rank selection
+    * can't have. The md5 sample is exactly restatable in SQL
+    * (`row_number` by hash ≤ k), so unlike `approx_percentile` the
+    * estimate itself hash-matches across engines; groups with n ≤ k
+    * degenerate to exact quantiles (tie order by hash).
+    *
+    * @param pcts integer percentiles in (0, 100].
+    */
+  def sampledQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                       idCol: String, k: Int, pcts: Seq[Int],
+                       salt: String = "qsketch"): DataFrame = {
+    require(pcts.forall(p => p > 0 && p <= 100), "percentiles must be in (0,100]")
+    val h = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val agg = udaf(new BottomKAgg(k), Encoders.product[QHV])
+    df.select(col(keyCol), h.as("__h"), col(valCol).cast("double").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(agg(col("__h"), col("__v")).as("__sk"))
+      .withColumn("pct", explode(array(pcts.map(lit(_)): _*)))
+      .select(col(keyCol), col("pct"),
+        element_at(col("__sk.vs"),
+          expr("cast((pct * __sk.m + 99) div 100 as int)")).as("quantile_est"),
+        col("__sk.m").cast("long").as("n_sample"),
+        col("__sk.n").as("n_total"))
   }
 }

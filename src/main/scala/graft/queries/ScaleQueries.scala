@@ -433,8 +433,43 @@ object ScaleQueries {
     """)
   )
 
+  /** Mergeable bottom-k quantile sketch (Quantiles.sampledQuantiles):
+    * the third mergeable summary next to HLL distinct and CMS counts,
+    * and the one-pass sibling of `value_quantiles`' exact rank
+    * selection (no per-group sort of the data — only the k-sample
+    * sorts). Unlike `approx_percentile`, the md5 bottom-k sample is
+    * exactly restatable in SQL, so the ESTIMATE hash-matches: the
+    * oracle replays hash-rank ≤ k then sample-rank selection. k=256
+    * ⇒ DKW rank error ≲ 0.11 at 95 % — bounded in QuantilesSpec
+    * against the exact quantiles.
+    */
+  val sampledQuantiles: Q = Q(
+    "sampled_quantiles",
+    (s, dir) => Quantiles.sampledQuantiles(events(s, dir), "event_type", "value",
+      "event_id", k = 256, pcts = Seq(10, 50, 90, 99)),
+    Some("""
+      WITH h AS (
+        SELECT event_type, value,
+               md5('qsketch:' || CAST(event_id AS VARCHAR)) AS h
+        FROM events),
+      r AS (SELECT event_type, value, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS rh,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM h),
+      samp AS (SELECT * FROM r WHERE rh <= 256),
+      rv AS (SELECT event_type, value, n,
+                    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rv,
+                    count(*) OVER (PARTITION BY event_type) AS m
+             FROM samp)
+      SELECT event_type, pct, value AS quantile_est,
+             CAST(m AS BIGINT) AS n_sample, CAST(n AS BIGINT) AS n_total
+      FROM rv CROSS JOIN unnest([10, 50, 90, 99]) AS u(pct)
+      WHERE rv = (pct * m + 99) // 100
+    """)
+  )
+
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, pipelineMetrics,
     incrementalStats, distinctSketch, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
     trailingSum, zorderIndex, outlierFilter, profileNumeric, winsorizeValues,
-    featureScale)
+    featureScale, sampledQuantiles)
 }

@@ -77,6 +77,58 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k sketch: identical output under any partitioning") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    def run(parts: Int) =
+      Quantiles.sampledQuantiles(ev.repartition(parts), "event_type", "value",
+          "event_id", k = 128, pcts = Seq(10, 50, 90))
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(run(1) === run(17))
+  }
+
+  test("bottom-k sketch degenerates to exact quantiles when n <= k") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "id")
+    val est = Quantiles.sampledQuantiles(df, "k", "v", "id", k = 1000,
+        pcts = Seq(25, 50, 99))
+      .collect().map(r => (r.getInt(1), r.getDouble(2))).toSet
+    // same ranks as exactQuantiles over all 50 values: 13, 25, 50
+    assert(est === Set((25, 13.0), (50, 25.0), (99, 50.0)))
+    val meta = Quantiles.sampledQuantiles(df, "k", "v", "id", k = 1000,
+      pcts = Seq(50)).head()
+    assert(meta.getLong(3) === 50L && meta.getLong(4) === 50L)
+  }
+
+  test("bottom-k sketch estimate sits within DKW rank error of exact") {
+    // k=256 ⇒ ε = sqrt(ln(2/δ)/(2k)) ≈ 0.13 at δ=1e-4; assert 0.15.
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val est = Quantiles.sampledQuantiles(ev, "event_type", "value", "event_id",
+        k = 256, pcts = Seq(10, 50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2))
+    // empirical CDF per group from the full data
+    val all = ev.select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val worst = est.map { case ((g, p), v) =>
+      val vs = all(g)
+      val rank = vs.count(_ <= v).toDouble / vs.length
+      math.abs(rank - p / 100.0)
+    }.max
+    info(f"worst sketch rank error: $worst%.4f (bound 0.15)")
+    assert(worst <= 0.15)
+  }
+
+  test("bottom-k sketch plan: one aggregation, no window over the data") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val q = Quantiles.sampledQuantiles(ev, "event_type", "value", "event_id",
+      k = 64, pcts = Seq(50))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sketch must not sort the data:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected a typed aggregate:\n$plan")
+  }
+
   test("winsorize clips into the group's [p-lo, p-hi] envelope, keeps all rows") {
     import spark.implicits._
     val df = (1 to 100).map(i => ("g", i.toLong, i.toDouble)).toDF("k", "id", "v")
