@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan et
+  * al. 2007), determinism-fixed: every node takes the label that is
+  * MOST FREQUENT among its neighbors, ties broken by SMALLEST label —
+  * a total preference order, so the iteration is engine-exact and an
+  * oracle can replay it (classic LPA breaks ties randomly and never
+  * hash-matches). Complements the graph family: PageRank (influence),
+  * large-star/small-star (connectivity), triangles (cohesion) — LPA
+  * gives the mesoscale grouping none of those produce.
+  *
+  * Scale shape: per iteration one degree-sized shuffle (neighbor
+  * label counts grouped by (node, label)) and two node-sized
+  * aggregates — the same O(|E|)-per-round profile as PageRank.ranks;
+  * labels are localCheckpoint'ed each round so the plan does not
+  * re-expand across iterations. Synchronous updates (all nodes read
+  * the PREVIOUS round's labels) avoid the asynchronous variant's
+  * partition-order dependence — the property that makes the result
+  * reproducible on a 1000-executor cluster.
+  */
+object Communities {
+
+  /** @param edges undirected edge list (each row one edge; direction
+    *              and duplicates are normalized away).
+    * @return (id, community) for every node appearing in an edge.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need at least one propagation round")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val und = e.select(col("src").as("a"), col("dst").as("b"))
+      .union(e.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = und.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to iters) {
+      val c = und.join(labels, und("b") === labels("id"))
+        .groupBy(und("a").as("n"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = c.groupBy(col("n").as("n2")).agg(max("cnt").as("mc"))
+      labels = c.join(m, c("n") === m("n2") && c("cnt") === m("mc"))
+        .groupBy(col("n").as("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(eager = false)
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+}

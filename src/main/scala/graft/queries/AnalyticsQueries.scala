@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.llm.{Sampling, Similarity, TextHash}
-import graft.ops.{Analytics, PageRank, Scd, Triangles}
+import graft.ops.{Analytics, Communities, PageRank, Scd, Triangles}
 
 /** Product/OLAP analytics over `events` plus relational breadth ops
   * (explicit set operations, semi/anti joins, CUBE, exact
@@ -612,9 +612,52 @@ object AnalyticsQueries {
     """)
   )
 
+  /** Label-propagation communities over the same customer↔supplier
+    * order-flow graph as `supplier_pagerank` (undirected; customers
+    * even ids, suppliers odd). 3 synchronous rounds, most-frequent-
+    * neighbor-label with min-label ties — a total preference order,
+    * so the oracle unrolls the identical (count → max → min) chain
+    * and the result hash-matches, which randomized-tie LPA never
+    * could. Mesoscale complement of pagerank/CC/triangles.
+    */
+  val labelCommunities: Q = Q(
+    "label_communities",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select("src", "dst")
+      Communities.labelPropagation(edges, "src", "dst", iters = 3)
+    },
+    Some("""
+      WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      und AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+      l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und),
+      c1 AS (SELECT u.a, l.lbl, count(*) AS cnt
+             FROM und u JOIN l0 l ON u.b = l.id GROUP BY 1, 2),
+      m1 AS (SELECT a, max(cnt) AS mc FROM c1 GROUP BY 1),
+      l1 AS (SELECT c1.a AS id, min(c1.lbl) AS lbl
+             FROM c1 JOIN m1 ON c1.a = m1.a AND c1.cnt = m1.mc GROUP BY 1),
+      c2 AS (SELECT u.a, l.lbl, count(*) AS cnt
+             FROM und u JOIN l1 l ON u.b = l.id GROUP BY 1, 2),
+      m2 AS (SELECT a, max(cnt) AS mc FROM c2 GROUP BY 1),
+      l2 AS (SELECT c2.a AS id, min(c2.lbl) AS lbl
+             FROM c2 JOIN m2 ON c2.a = m2.a AND c2.cnt = m2.mc GROUP BY 1),
+      c3 AS (SELECT u.a, l.lbl, count(*) AS cnt
+             FROM und u JOIN l2 l ON u.b = l.id GROUP BY 1, 2),
+      m3 AS (SELECT a, max(cnt) AS mc FROM c3 GROUP BY 1),
+      l3 AS (SELECT c3.a AS id, min(c3.lbl) AS lbl
+             FROM c3 JOIN m3 ON c3.a = m3.a AND c3.cnt = m3.mc GROUP BY 1)
+      SELECT id, lbl AS community FROM l3
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
     groupingSetsStats, scd2History, knnTriangles, eventTransitions,
-    paretoFront)
+    paretoFront, labelCommunities)
 }
