@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats, Wordpiece}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -972,10 +972,77 @@ object CurationQueries {
     """)
   )
 
+  private val WpMaxWordLen = 24
+
+  /** The greedy wordpiece loop unrolled in SQL on top of [[bpeCtes]]:
+    * the vocabulary is the position-tagged symbols of the final BPE
+    * word table; each step joins the unfinished (word, pos) states
+    * against the vocab on prefix equality and advances by the LONGEST
+    * match. Steps are token-indexed (every step consumes one piece;
+    * a piece is ≥1 char, so `maxLen` steps finish every non-UNK word
+    * of ≤ maxLen chars) while the Spark fold is char-indexed — both
+    * compute "repeatedly consume the longest matching prefix".
+    */
+  private def wordpieceCtes(k: Int, maxLen: Int): String = {
+    val sb = new StringBuilder(bpeCtes(k))
+    sb.append(s""",
+      vocab AS MATERIALIZED (
+        SELECT DISTINCT (p).piece AS piece, (p).cont AS cont
+        FROM (SELECT unnest(list_transform(range(1, len(l) + 1),
+                j -> struct_pack(piece := l[j], cont := j > 1))) AS p
+              FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l
+                    FROM w$k))),
+      st0 AS (SELECT word, 1 AS pos, 0 AS toks,
+                     (length(word) > $maxLen OR length(word) = 0) AS unk
+              FROM w0)""")
+    for (i <- 1 to maxLen) sb.append(s""",
+      mt$i AS MATERIALIZED (SELECT s.word, max(length(v.piece)) AS l
+               FROM st${i - 1} s JOIN vocab v
+                 ON v.cont = (s.pos > 1)
+                AND substr(s.word, s.pos, length(v.piece)) = v.piece
+               WHERE NOT s.unk AND s.pos <= length(s.word)
+               GROUP BY 1),
+      st$i AS MATERIALIZED (SELECT s.word,
+                CASE WHEN m.l IS NOT NULL THEN s.pos + m.l ELSE s.pos END AS pos,
+                CASE WHEN m.l IS NOT NULL THEN s.toks + 1 ELSE s.toks END AS toks,
+                s.unk OR (s.pos <= length(s.word) AND m.l IS NULL) AS unk
+               FROM st${i - 1} s LEFT JOIN mt$i m USING (word))""")
+    sb.toString
+  }
+
+  /** WordPiece greedy longest-match encoding under the BPE-derived
+    * position-tagged vocabulary (Wordpiece.encodeCounts): the second
+    * tokenizer family next to BPE's merge replay. The match itself
+    * is a zero-shuffle per-row fold over the DISTINCT-word table with
+    * the vocab as map literals; the oracle re-derives the vocabulary
+    * from the unrolled BPE CTEs and replays greedy matching as
+    * `maxLen` prefix-join steps.
+    */
+  val wordpieceEncode: Q = Q(
+    "wordpiece_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Wordpiece.encodeCounts(docs, "doc_id", "text",
+        Bpe.train(docs, "text", BpeMerges), maxWordLen = WpMaxWordLen)
+    },
+    Some(wordpieceCtes(BpeMerges, WpMaxWordLen) + s""",
+      wp AS (SELECT word, CASE WHEN unk THEN 1 ELSE toks END AS toks, unk
+             FROM st$WpMaxWordLen),
+      d AS (SELECT doc_id,
+              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+            FROM documents)
+      SELECT d.doc_id, count(*) AS n_words,
+             CAST(sum(wp.toks) AS BIGINT) AS wp_tokens,
+             CAST(sum(CASE WHEN wp.unk THEN 1 ELSE 0 END) AS BIGINT) AS unk_words
+      FROM d JOIN wp USING (word) GROUP BY 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
-    dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ)
+    dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
+    wordpieceEncode)
 }
