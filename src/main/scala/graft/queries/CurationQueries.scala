@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats, Wordpiece}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats, Unigram, Wordpiece}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -1038,11 +1038,152 @@ object CurationQueries {
     """)
   )
 
+  private val UgMaxPiece = 6
+  private val UgSeedK = 100
+  private val UgMaxWord = 16
+
+  /** Unigram-LM tokenizer replay, stage 1: substring seed counts →
+    * kept inventory (all single chars + top `seedK` multi-char by
+    * (n DESC, piece)) → integer micro-nat seed costs (`ukept`/`uv0`).
+    */
+  private def unigramSeedCtes: String = s"""
+      WITH uw0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+              FROM documents)
+        GROUP BY 1),
+      ucand AS MATERIALIZED (
+        SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt, unnest(flatten(list_transform(range(1, length(word) + 1),
+                st -> list_transform(range(1, least($UgMaxPiece, length(word) - st + 1) + 1),
+                  l -> substr(word, st, l))))) AS piece
+              FROM uw0)
+        GROUP BY 1),
+      ukept AS MATERIALIZED (
+        SELECT piece, n FROM ucand WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, n FROM (SELECT piece, n FROM ucand WHERE length(piece) > 1
+                              ORDER BY n DESC, piece LIMIT $UgSeedK)),
+      ut0 AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM ukept),
+      uv0 AS MATERIALIZED (
+        SELECT piece,
+               CAST(-floor(ln(CAST(n AS DOUBLE) / tot) * 1e6 + 0.5) AS BIGINT) AS cost
+        FROM ukept CROSS JOIN ut0)"""
+
+  /** One Viterbi pass under vocabulary table `vtab` (piece, cost):
+    * forward DP as `maxWord` stepwise position CTEs (packed
+    * `cost·64 + len` min — the Unigram.scala tie order), then a
+    * backtrace walk emitting the winning pieces. All MATERIALIZED —
+    * each step reads its predecessor twice and non-materialized CTEs
+    * would inline exponentially.
+    */
+  private def unigramDpChain(p: String, vtab: String): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+      ${p}a0 AS MATERIALIZED (
+        SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS l FROM uw0)""")
+    for (i <- 1 to UgMaxWord) sb.append(s""",
+      ${p}s$i AS MATERIALIZED (
+        SELECT word, $i AS pos,
+               min((cost + vcost) * 64 + vlen) // 64 AS cost,
+               CAST(min((cost + vcost) * 64 + vlen) % 64 AS INT) AS l
+        FROM (SELECT d.word, d.cost, v.cost AS vcost, length(v.piece) AS vlen
+              FROM ${p}a${i - 1} d JOIN $vtab v
+                ON d.pos = $i - length(v.piece)
+               AND substr(d.word, d.pos + 1, length(v.piece)) = v.piece
+              WHERE length(d.word) >= $i AND length(v.piece) <= $UgMaxPiece)
+        GROUP BY 1),
+      ${p}a$i AS MATERIALIZED (
+        SELECT * FROM ${p}a${i - 1} UNION ALL SELECT * FROM ${p}s$i)""")
+    sb.append(s""",
+      ${p}fin AS MATERIALIZED (
+        SELECT word, cost FROM ${p}a$UgMaxWord WHERE pos = length(word)),
+      ${p}b0 AS MATERIALIZED (
+        SELECT word, length(word) AS pos FROM ${p}fin)""")
+    for (j <- 1 to UgMaxWord) sb.append(s""",
+      ${p}b$j AS MATERIALIZED (
+        SELECT b.word, b.pos - a.l AS pos,
+               substr(b.word, b.pos - a.l + 1, a.l) AS piece
+        FROM ${p}b${j - 1} b JOIN ${p}a$UgMaxWord a
+          ON a.word = b.word AND a.pos = b.pos
+        WHERE b.pos > 0)""")
+    sb.append(s""",
+      ${p}p AS MATERIALIZED (
+        ${(1 to UgMaxWord).map(j => s"SELECT word, piece FROM ${p}b$j")
+      .mkString("\n        UNION ALL ")})""")
+    sb.toString
+  }
+
+  /** Seed + E-step + M-step: the full `Unigram.train` replay ending
+    * at `uv1` (piece, cnt, cost).
+    */
+  private def unigramTrainCtes: String =
+    unigramSeedCtes + unigramDpChain("d1", "uv0") + s""",
+      uc1 AS MATERIALIZED (
+        SELECT p.piece, CAST(sum(w.cnt) AS BIGINT) AS cnt
+        FROM d1p p JOIN uw0 w USING (word) GROUP BY 1),
+      ut1 AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM uc1),
+      uv1 AS MATERIALIZED (
+        SELECT piece, cnt,
+               CAST(-floor(ln(CAST(cnt AS DOUBLE) / tot) * 1e6 + 0.5) AS BIGINT) AS cost
+        FROM uc1 CROSS JOIN ut1)"""
+
+  /** Unigram-LM (SentencePiece) tokenizer training: substring seed,
+    * one EM round (Viterbi E-step, count-renormalized M-step). The
+    * oracle replays the ENTIRE algorithm in SQL — seed counts, the
+    * 16-step packed-min DP, the backtrace, and the micro-nat
+    * renormalization — so agreement proves every DP cell and tie.
+    */
+  val unigramVocab: Q = Q(
+    "unigram_vocab",
+    (s, dir) => Unigram.vocabDF(s,
+      Unigram.train(Tables.documents(s, dir), "text",
+        UgMaxPiece, UgSeedK, UgMaxWord)),
+    Some(unigramTrainCtes + """
+      SELECT piece, cnt, cost AS cost_micro FROM uv1
+    """)
+  )
+
+  /** Per-document Viterbi token statistics under the trained unigram
+    * model — globally-optimal segmentation, unlike WordPiece's greedy
+    * matcher; the DP runs once per DISTINCT word with the model as a
+    * map-literal attribute (zero shuffles), the corpus pass is the
+    * shared explode + dictionary join.
+    */
+  val unigramEncode: Q = Q(
+    "unigram_encode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Unigram.encodeCounts(docs, "doc_id", "text",
+        Unigram.train(docs, "text", UgMaxPiece, UgSeedK, UgMaxWord),
+        UgMaxPiece, UgMaxWord)
+    },
+    Some(unigramTrainCtes + unigramDpChain("d2", "uv1") + s""",
+      d2toks AS MATERIALIZED (
+        SELECT word, count(*) AS toks FROM d2p GROUP BY 1),
+      uwp AS MATERIALIZED (
+        SELECT w.word,
+               CASE WHEN f.cost IS NULL THEN 0 ELSE t.toks END AS toks,
+               CASE WHEN f.cost IS NULL THEN 0 ELSE f.cost END AS cost,
+               f.cost IS NULL AS unk
+        FROM uw0 w LEFT JOIN d2fin f USING (word)
+                   LEFT JOIN d2toks t USING (word)),
+      ud AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+             FROM documents)
+      SELECT ud.doc_id, count(*) AS n_words,
+             CAST(sum(uwp.toks) AS BIGINT) AS unigram_tokens,
+             CAST(sum(CASE WHEN uwp.unk THEN 1 ELSE 0 END) AS BIGINT) AS unk_words,
+             CAST(sum(uwp.cost) AS BIGINT) AS sum_cost_micro
+      FROM ud JOIN uwp USING (word) GROUP BY 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
     dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
-    wordpieceEncode)
+    wordpieceEncode, unigramVocab, unigramEncode)
 }
