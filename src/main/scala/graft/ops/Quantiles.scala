@@ -74,6 +74,33 @@ object Quantiles {
         least(greatest(col(valCol), col("lo")), col("hi")))
   }
 
+  /** Per-group quantile discretization (the QuantileDiscretizer
+    * feature op — equal-frequency binning): each row gets the bucket
+    * index `1 + #{inner cutoffs strictly below it}` where the
+    * nBuckets−1 inner cutoffs are the group's exact rank-selected
+    * quantiles. Values FROM the data, integer rank arithmetic, `>`
+    * comparisons only — engine-exact like every quantile op here.
+    * The cutoff table is group-count-sized and broadcasts; the
+    * assignment pass is map-side over the fact scan.
+    */
+  def bucketize(df: DataFrame, keyCol: String, valCol: String,
+                tieCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && 100 % nBuckets == 0,
+      "nBuckets must divide 100 (integer percentile ranks)")
+    val pcts = (1 until nBuckets).map(_ * 100 / nBuckets)
+    val bounds = exactQuantiles(df, keyCol, valCol, tieCol, pcts)
+      .groupBy(col(keyCol))
+      .agg(pcts.map(p =>
+        max(when(col("pct") === p, col("quantile_value"))).as(s"__c$p")).head,
+        pcts.map(p =>
+          max(when(col("pct") === p, col("quantile_value"))).as(s"__c$p")).tail: _*)
+    df.join(broadcast(bounds), keyCol)
+      .withColumn("bucket",
+        pcts.map(p => when(col(valCol) > col(s"__c$p"), 1).otherwise(0))
+          .reduce(_ + _) + 1)
+      .drop(pcts.map(p => s"__c$p"): _*)
+  }
+
   /** One (hash, value) observation for the bottom-k sketch. */
   final case class QHV(h: String, v: Double)
 

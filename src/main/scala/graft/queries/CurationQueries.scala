@@ -1179,11 +1179,33 @@ object CurationQueries {
     """)
   )
 
+  /** Fuzzy vocabulary self-join (typo/variant detection — the string
+    * analogue of the MinHash near-dup family): all word pairs within
+    * Levenshtein distance 2 via SymSpell deletion-neighborhood
+    * blocking — equi-join candidates + exact verify, never the cross
+    * product the ORACLE is allowed to run at gate scale.
+    */
+  val fuzzyWordPairs: Q = Q(
+    "fuzzy_word_pairs",
+    (s, dir) => graft.ops.FuzzyJoin.editPairs(
+      Tables.documents(s, dir)
+        .select(explode(TextHash.words(lower(trim(col("text"))))).as("word")),
+      "word", maxEdits = 2),
+    Some("""
+      WITH w AS (SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+                 FROM documents)
+      SELECT a.word AS w1, b.word AS w2,
+             CAST(levenshtein(a.word, b.word) AS INT) AS dist
+      FROM w a JOIN w b
+        ON a.word < b.word AND levenshtein(a.word, b.word) <= 2
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
     dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
-    wordpieceEncode, unigramVocab, unigramEncode)
+    wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs)
 }

@@ -468,8 +468,39 @@ object ScaleQueries {
     """)
   )
 
+  /** Quartile discretization of `value` per event type
+    * (Quantiles.bucketize): equal-frequency feature binning with
+    * exact rank-selected cutoffs — the fourth member of the exact-
+    * quantile family (select / fence / clip / BIN). Broadcast cutoff
+    * join, map-side bucket assignment.
+    */
+  val valueBuckets: Q = Q(
+    "value_buckets",
+    (s, dir) => Quantiles.bucketize(
+        events(s, dir).select("event_type", "event_id", "value"),
+        "event_type", "value", "event_id", nBuckets = 4)
+      .select("event_type", "event_id", "value", "bucket"),
+    Some("""
+      WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS cnt
+        FROM events),
+      c AS (SELECT event_type,
+              max(CASE WHEN rn = (25 * cnt + 99) // 100 THEN value END) AS c25,
+              max(CASE WHEN rn = (50 * cnt + 99) // 100 THEN value END) AS c50,
+              max(CASE WHEN rn = (75 * cnt + 99) // 100 THEN value END) AS c75
+            FROM r GROUP BY 1)
+      SELECT e.event_type, e.event_id, e.value,
+             1 + (CASE WHEN e.value > c.c25 THEN 1 ELSE 0 END)
+               + (CASE WHEN e.value > c.c50 THEN 1 ELSE 0 END)
+               + (CASE WHEN e.value > c.c75 THEN 1 ELSE 0 END) AS bucket
+      FROM events e JOIN c USING (event_type)
+    """)
+  )
+
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, pipelineMetrics,
     incrementalStats, distinctSketch, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
     trailingSum, zorderIndex, outlierFilter, profileNumeric, winsorizeValues,
-    featureScale, sampledQuantiles)
+    featureScale, sampledQuantiles, valueBuckets)
 }

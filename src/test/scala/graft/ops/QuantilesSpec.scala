@@ -77,6 +77,20 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("bucketize: equal-frequency bins with exact boundary semantics") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "id")
+    val out = Quantiles.bucketize(df, "k", "v", "id", nBuckets = 4)
+      .collect().map(r => r.getAs[Double]("v") -> r.getAs[Int]("bucket")).toMap
+    // cutoffs at ranks 25/50/75 -> values 25,50,75; bucket = 1 + #cuts below
+    assert(out(1.0) === 1 && out(25.0) === 1)
+    assert(out(26.0) === 2 && out(50.0) === 2)
+    assert(out(51.0) === 3 && out(75.0) === 3)
+    assert(out(76.0) === 4 && out(100.0) === 4)
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes === Map(1 -> 25, 2 -> 25, 3 -> 25, 4 -> 25))
+  }
+
   test("bottom-k sketch: identical output under any partitioning") {
     val ev = Tables.events(spark, sf("sf0.01"))
     def run(parts: Int) =
