@@ -288,6 +288,44 @@ class PlanSpec extends SparkSpec {
       s"unexpected nested-loop join shape:\n${bnlj.mkString("\n")}")
   }
 
+  test("sampled_quantiles: one aggregation shuffle, no per-group sort of the data") {
+    val df = Registry.byName("sampled_quantiles").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sketch must not rank the data:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected the typed sketch aggregate:\n$plan")
+    assert(shuffles(plan) == 1,
+      s"bottom-k sketch must shuffle once (the groupBy):\n$plan")
+  }
+
+  test("value_buckets: cutoffs broadcast onto an unshuffled fact scan") {
+    val df = Registry.byName("value_buckets").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoff table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side must not shuffle for the bucket join:\n$plan")
+  }
+
+  test("fuzzy_word_pairs: deletion-variant blocking — no cross product anywhere") {
+    val df = Registry.byName("fuzzy_word_pairs").fn(spark, sf("sf0.01"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"fuzzy join must block on variants:\n$plan")
+  }
+
+  test("tokenizer encodes: dictionary joins, no cartesian, no window over the corpus") {
+    Seq("wordpiece_encode", "unigram_encode").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+        s"$name corpus pass must be a dictionary equi-join:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$name must not rank anything:\n$plan")
+    }
+  }
+
   test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
     Seq("asof_join_native", "asof_join_forward_native", "asof_join_nearest_native")
       .foreach { name =>
