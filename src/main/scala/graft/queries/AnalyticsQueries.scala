@@ -655,9 +655,64 @@ object AnalyticsQueries {
     """)
   )
 
+  /** Spearman rank correlation between value and event time per
+    * event type — the robust complement of `corr_features`' Pearson.
+    * Ranks are `row_number` over (x, event_id) — INTEGER, so every
+    * moment sum is exact 64-bit arithmetic (rank products bounded by
+    * n³ ≪ 2⁶³ at any test scale) and both engines start the final
+    * IEEE expression from identical values; the tie policy
+    * (deterministic id-ranked, not midrank) is pinned here and in
+    * the oracle. n·Σxy first multiplies AFTER the double cast — the
+    * corr_features overflow discipline.
+    */
+  val spearmanRank: Q = Q(
+    "spearman_rank",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("value"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      val wv = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val wt = Window.partitionBy("event_type").orderBy(col("tus"), col("event_id"))
+      val ranked = ev
+        .withColumn("r1", row_number().over(wv).cast("long"))
+        .withColumn("r2", row_number().over(wt).cast("long"))
+      val m = ranked.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("r1")).as("s1"), sum(col("r2")).as("s2"),
+        sum(col("r1") * col("r1")).as("s11"),
+        sum(col("r2") * col("r2")).as("s22"),
+        sum(col("r1") * col("r2")).as("s12"))
+      def dbl(name: String) = col(name).cast("double")
+      val nD = col("n").cast("double")
+      m.select(col("event_type"), col("n"),
+        ((nD * dbl("s12") - dbl("s1") * dbl("s2")) /
+          (sqrt(nD * dbl("s11") - dbl("s1") * dbl("s1")) *
+            sqrt(nD * dbl("s22") - dbl("s2") * dbl("s2")))).as("rho"))
+    },
+    Some("""
+      WITH r AS (
+        SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS BIGINT) AS r1,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS BIGINT) AS r2
+        FROM events),
+      m AS (
+        SELECT event_type, count(*) AS n,
+               sum(r1) AS s1, sum(r2) AS s2,
+               sum(r1 * r1) AS s11, sum(r2 * r2) AS s22,
+               sum(r1 * r2) AS s12
+        FROM r GROUP BY 1)
+      SELECT event_type, n,
+             (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS rho
+      FROM m
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
     groupingSetsStats, scd2History, knnTriangles, eventTransitions,
-    paretoFront, labelCommunities)
+    paretoFront, labelCommunities, spearmanRank)
 }
