@@ -499,8 +499,106 @@ object ScaleQueries {
     """)
   )
 
+  /** Population Stability Index per event type — the standard ML
+    * feature-drift monitor: decile cutoffs from the REFERENCE window
+    * (ts < cut, the train-time distribution), both windows bucketed
+    * against them, PSI = Σ (p−q)·ln(p/q) with add-one (Laplace)
+    * smoothing so empty buckets stay finite — a documented, exactly
+    * restatable convention. Determinism: bucket counts are exact
+    * integers; p and q are single correctly-rounded double divisions;
+    * each bucket term quantizes to integer NANO-units at the ln
+    * (LangModel policy, finer grain because PSI terms are tiny) and
+    * the sum is exact 64-bit before ONE final division. Scale shape:
+    * cutoffs broadcast (group-count-sized), bucketing map-side, one
+    * (type, half, bucket) aggregate — no new shuffle class.
+    */
+  val psiDrift: Q = Q(
+    "psi_drift",
+    (s, dir) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      val ev = events(s, dir).select(col("event_type"), col("value"),
+        col("event_id"), (col("ts") < cut).as("is_ref"))
+      val pcts = (1 until 10).map(_ * 10)
+      val bounds = Quantiles.exactQuantiles(ev.filter(col("is_ref")),
+          "event_type", "value", "event_id", pcts)
+        .groupBy(col("event_type"))
+        .agg(pcts.map(p =>
+          max(when(col("pct") === p, col("quantile_value"))).as(s"c$p")).head,
+          pcts.map(p =>
+            max(when(col("pct") === p, col("quantile_value"))).as(s"c$p")).tail: _*)
+      val bucket = pcts.map(p =>
+        when(col("value") > col(s"c$p"), 1).otherwise(0)).reduce(_ + _) + 1
+      val counts = ev.join(broadcast(bounds), "event_type")
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+      val tot = counts.groupBy("event_type")
+        .agg(sum("cr").as("nr"), sum("cc").as("nc"))
+      val p = (col("cr") + 1).cast("double") / (col("nr") + 10).cast("double")
+      val q = (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")
+      counts.join(broadcast(tot), "event_type")
+        .withColumn("term_nano",
+          floor((p - q) * log(p / q) * lit(1e9) + lit(0.5)).cast("long"))
+        .groupBy("event_type")
+        .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+          (sum("term_nano").cast("double") / lit(1e9)).as("psi"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, value, event_id,
+               CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' AS is_ref
+        FROM events),
+      r AS (SELECT event_type, value, event_id,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM ev WHERE is_ref),
+      c AS (SELECT event_type,
+              max(CASE WHEN rn = (10 * cnt + 99) // 100 THEN value END) AS c10,
+              max(CASE WHEN rn = (20 * cnt + 99) // 100 THEN value END) AS c20,
+              max(CASE WHEN rn = (30 * cnt + 99) // 100 THEN value END) AS c30,
+              max(CASE WHEN rn = (40 * cnt + 99) // 100 THEN value END) AS c40,
+              max(CASE WHEN rn = (50 * cnt + 99) // 100 THEN value END) AS c50,
+              max(CASE WHEN rn = (60 * cnt + 99) // 100 THEN value END) AS c60,
+              max(CASE WHEN rn = (70 * cnt + 99) // 100 THEN value END) AS c70,
+              max(CASE WHEN rn = (80 * cnt + 99) // 100 THEN value END) AS c80,
+              max(CASE WHEN rn = (90 * cnt + 99) // 100 THEN value END) AS c90
+            FROM r GROUP BY 1),
+      b AS (SELECT e.event_type, e.is_ref,
+              1 + (CASE WHEN e.value > c.c10 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c20 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c30 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c40 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c50 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c60 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c70 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c80 THEN 1 ELSE 0 END)
+                + (CASE WHEN e.value > c.c90 THEN 1 ELSE 0 END) AS bucket
+            FROM ev e JOIN c USING (event_type)),
+      k AS (SELECT event_type, bucket,
+                   CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                   CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+            FROM b GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(cc) AS BIGINT) AS nc
+            FROM k GROUP BY 1),
+      terms AS (
+        SELECT k.event_type, t.nr, t.nc,
+               CAST(floor(
+                 (CAST(k.cr + 1 AS DOUBLE) / CAST(t.nr + 10 AS DOUBLE)
+                  - CAST(k.cc + 1 AS DOUBLE) / CAST(t.nc + 10 AS DOUBLE))
+                 * ln((CAST(k.cr + 1 AS DOUBLE) / CAST(t.nr + 10 AS DOUBLE))
+                      / (CAST(k.cc + 1 AS DOUBLE) / CAST(t.nc + 10 AS DOUBLE)))
+                 * CAST(1e9 AS DOUBLE) + 0.5) AS BIGINT) AS term_nano
+        FROM k JOIN t USING (event_type))
+      SELECT event_type, max(nr) AS n_ref, max(nc) AS n_cur,
+             CAST(sum(term_nano) AS DOUBLE) / CAST(1e9 AS DOUBLE) AS psi
+      FROM terms GROUP BY 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, pipelineMetrics,
     incrementalStats, distinctSketch, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
     trailingSum, zorderIndex, outlierFilter, profileNumeric, winsorizeValues,
-    featureScale, sampledQuantiles, valueBuckets)
+    featureScale, sampledQuantiles, valueBuckets, psiDrift)
 }
