@@ -57,6 +57,30 @@ object Streams {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked tumbling-window bottom-k quantile sketch per key —
+    * the streaming face of `Quantiles.BottomKAgg`: because the
+    * aggregate is order-independent, the window emitted at watermark
+    * close is bit-identical to a batch sketch over the same rows
+    * (StreamSketchSpec), and state per open (key, window) is the
+    * bounded ≤2k-entry buffer, never the rows. Append-mode safe.
+    */
+  def windowedSketch(df: DataFrame, tsCol: String, keyCol: String,
+                     valCol: String, idCol: String, k: Int,
+                     windowDur: String, delay: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.ops.Quantiles
+    val agg = udaf(new Quantiles.BottomKAgg(k), Encoders.product[Quantiles.QHV])
+    df.withWatermark(tsCol, delay)
+      .select(col(tsCol), col(keyCol),
+        md5(concat_ws(":", lit("qsketch"), col(idCol).cast("string"))).as("__h"),
+        col(valCol).cast("double").as("__v"))
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(agg(col("__h"), col("__v")).as("sk"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("sk.n").as("n"), col("sk.m").as("m"), col("sk.vs").as("vs"))
+  }
+
   /** Stream-stream band (interval) join: left rows match right rows
     * of the same key whose event time is within `[leftTs − bandSec,
     * leftTs]` — the trade↔quote enrichment join. In streaming both

@@ -145,7 +145,10 @@ object StreamBench {
         docSource(), index, "id", "text", numPerm = 32, bands = 8, tau = 0.7)),
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
-        buckets = 1024)))
+        buckets = 1024)),
+      "sketch_quantiles" -> (() => Streams.windowedSketch(
+        source(), "ts", "key", "price", "tsUs", k = 64,
+        windowDur = "10 minutes", delay = "5 seconds")))
 
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0

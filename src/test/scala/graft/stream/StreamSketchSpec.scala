@@ -53,4 +53,37 @@ class StreamSketchSpec extends SparkSpec {
       assert(streamed.values.forall(_._2 === 32), "groups larger than k sample to k")
     } finally q.stop()
   }
+
+  test("windowed append-mode sketch: closed windows equal the batch window sketch") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = (0 until 200).map { i =>
+      (t(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), s"g${i % 2}", i.toLong, (i * 13 % 47).toDouble)
+    }
+    val late = Seq((t("2024-01-01 01:00:00"), "g0", 9999L, 1.0)) // closes all 1-min windows
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val sdf = mem.toDF().toDF("ts", "k", "id", "v")
+    val q = Streams.windowedSketch(sdf, "ts", "k", "v", "id", k = 16,
+        windowDur = "1 minute", delay = "10 seconds")
+      .writeStream.format("memory").queryName("wsketch_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(70)); q.processAllAvailable()
+      mem.addData(rows.drop(70)); q.processAllAvailable()
+      mem.addData(late); q.processAllAvailable()
+      val streamed = spark.table("wsketch_stream")
+        .filter($"window_end" <= t("2024-01-01 00:04:00"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(2)) ->
+          (r.getLong(3), r.getInt(4), r.getSeq[Double](5))).toMap
+      val batch = Streams.windowedSketch(rows.toDF("ts", "k", "id", "v"),
+          "ts", "k", "v", "id", k = 16, windowDur = "1 minute", delay = "10 seconds")
+        .filter($"window_end" <= t("2024-01-01 00:04:00"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(2)) ->
+          (r.getLong(3), r.getInt(4), r.getSeq[Double](5))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
