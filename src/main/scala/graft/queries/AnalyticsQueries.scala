@@ -710,9 +710,61 @@ object AnalyticsQueries {
     """)
   )
 
+  /** Pairwise association rules over per-user event-type baskets —
+    * the k=2 frequent-itemset/market-basket classic: for every
+    * ordered type pair (a → b), support = P(a,b), confidence =
+    * P(b|a), lift = P(a,b)/(P(a)P(b)). Baskets are DISTINCT
+    * (user, type) memberships; the pair space is |types|²-bounded
+    * (the event_transitions discipline), generated by ONE per-user
+    * self-join over ≤|types| rows per user — at 100 TB the join is
+    * user-partitioned with per-user fanout capped by the type
+    * vocabulary, never a corpus cross product. All probabilities are
+    * exact integer count ratios divided once in DOUBLE — no ln, so
+    * no quantization needed.
+    */
+  val assocRules: Q = Q(
+    "assoc_rules",
+    (s, dir) => {
+      val m = events(s, dir).select(col("user_id"), col("event_type")).distinct()
+      val nUsers = m.select(countDistinct(col("user_id")).as("nu"))
+      val tc = m.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("ct"))
+      val pairs = m.as("x").join(m.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") =!= col("y.event_type"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("cab"))
+      pairs
+        .join(broadcast(tc.withColumnRenamed("t", "a").withColumnRenamed("ct", "ca")), "a")
+        .join(broadcast(tc.withColumnRenamed("t", "b").withColumnRenamed("ct", "cb")), "b")
+        .crossJoin(broadcast(nUsers))
+        .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+          (col("cab").cast("double") / col("nu").cast("double")).as("support"),
+          (col("cab").cast("double") / col("ca").cast("double")).as("confidence"),
+          (col("cab").cast("double") * col("nu").cast("double") /
+            (col("ca").cast("double") * col("cb").cast("double"))).as("lift"))
+    },
+    Some("""
+      WITH m AS (SELECT DISTINCT user_id, event_type FROM events),
+      nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+      tc AS (SELECT event_type AS t, count(*) AS ct FROM m GROUP BY 1),
+      p AS (SELECT x.event_type AS a, y.event_type AS b, count(*) AS cab
+            FROM m x JOIN m y
+              ON x.user_id = y.user_id AND x.event_type <> y.event_type
+            GROUP BY 1, 2)
+      SELECT p.a, p.b, CAST(p.cab AS BIGINT) AS cab,
+             CAST(ta.ct AS BIGINT) AS ca, CAST(tb.ct AS BIGINT) AS cb,
+             CAST(p.cab AS DOUBLE) / CAST(nu.nu AS DOUBLE) AS support,
+             CAST(p.cab AS DOUBLE) / CAST(ta.ct AS DOUBLE) AS confidence,
+             CAST(p.cab AS DOUBLE) * CAST(nu.nu AS DOUBLE)
+               / (CAST(ta.ct AS DOUBLE) * CAST(tb.ct AS DOUBLE)) AS lift
+      FROM p JOIN tc ta ON p.a = ta.t JOIN tc tb ON p.b = tb.t
+      CROSS JOIN nu
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
     groupingSetsStats, scd2History, knnTriangles, eventTransitions,
-    paretoFront, labelCommunities, spearmanRank)
+    paretoFront, labelCommunities, spearmanRank, assocRules)
 }
