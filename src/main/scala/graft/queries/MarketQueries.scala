@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.ops.{AsOfJoin, Candles, DollarBars, Envelope, Ewma, Ofi, RangeJoin}
+import graft.ops.{AsOfJoin, Candles, DollarBars, Envelope, Ewma, ImbalanceBars, Ofi, RangeJoin}
 
 /** Market-data (reference-parity) queries over the `events` table,
   * which plays the trade/orderbook stream role (FIXTURES.md §B):
@@ -895,7 +895,79 @@ object MarketQueries {
     """)
   )
 
-  val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars,
+  /** Tick-imbalance bars (López de Prado §2.3.2) — the reset-
+    * accumulator bar family dollar bars' global-cumsum trick cannot
+    * express: |Σ tick_sign| within the bar reaches 4 → close ON that
+    * row, reset. Engine side: one sequential mapPartitions scan per
+    * key (O(1) state); oracle side: the reset re-expressed as a
+    * per-key RECURSIVE chain over the global sign cumsum — each step
+    * finds the next row at |cum − anchor| ≥ T (correlated min), so
+    * agreement proves every boundary, sign, and tie.
+    */
+  val imbalanceBars: Q = Q(
+    "imbalance_bars",
+    (s, dir) => ImbalanceBars.bars(
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      "user_id", "ts", "value", threshold = 4L, tieCols = Seq("event_id")),
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS ts, event_id, value AS p
+        FROM events),
+      s AS (
+        SELECT k, ts, event_id, p,
+               row_number() OVER (PARTITION BY k ORDER BY ts, event_id) AS rn,
+               CASE WHEN p > lag(p) OVER (PARTITION BY k ORDER BY ts, event_id) THEN 1
+                    WHEN p < lag(p) OVER (PARTITION BY k ORDER BY ts, event_id) THEN -1
+               END AS raw
+        FROM ev),
+      g AS (
+        SELECT k, ts, event_id, p, rn,
+               coalesce(last_value(raw IGNORE NULLS) OVER
+                 (PARTITION BY k ORDER BY rn ROWS UNBOUNDED PRECEDING), 1) AS b
+        FROM s),
+      c AS (
+        SELECT *, CAST(sum(b) OVER (PARTITION BY k ORDER BY rn
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM g),
+      closes AS (
+        SELECT k, 0 AS bar_num, CAST(0 AS BIGINT) AS close_rn,
+               CAST(0 AS BIGINT) AS anchor
+        FROM (SELECT DISTINCT k FROM ev)
+        UNION ALL
+        SELECT x.k, x.bar_num + 1, x.nxt,
+               (SELECT c2.cum FROM c c2 WHERE c2.k = x.k AND c2.rn = x.nxt)
+        FROM (SELECT b.k, b.bar_num,
+                (SELECT min(c1.rn) FROM c c1
+                 WHERE c1.k = b.k AND c1.rn > b.close_rn
+                   AND abs(c1.cum - b.anchor) >= 4) AS nxt
+              FROM closes b) x
+        WHERE x.nxt IS NOT NULL),
+      iv AS (
+        SELECT k, bar_num - 1 AS bar_num, close_rn,
+               lag(close_rn, 1, 0) OVER (PARTITION BY k ORDER BY bar_num) AS prev_rn
+        FROM closes WHERE bar_num >= 1),
+      mx AS (SELECT k, max(close_rn) AS m, max(bar_num) AS nb
+             FROM closes GROUP BY 1),
+      a AS (
+        SELECT c.k, c.ts, c.p, c.b, c.rn, iv.bar_num
+        FROM c JOIN iv ON c.k = iv.k AND c.rn > iv.prev_rn AND c.rn <= iv.close_rn
+        UNION ALL
+        SELECT c.k, c.ts, c.p, c.b, c.rn, mx.nb AS bar_num
+        FROM c JOIN mx ON c.k = mx.k AND c.rn > mx.m)
+      SELECT k AS user_id, CAST(bar_num AS INT) AS bar_num,
+             arg_min(p, rn) AS open,
+             max(p)         AS high,
+             min(p)         AS low,
+             arg_max(p, rn) AS close,
+             CAST(sum(b) AS BIGINT) AS theta,
+             count(*)       AS n_trades,
+             min(ts)        AS start_ts,
+             max(ts)        AS end_ts
+      FROM a GROUP BY 1, 2
+    """)
+  )
+
+  val all: Seq[Q] = Seq(dollarBars, dollarBarsScalable, tickBars, imbalanceBars,
     candlesTumbling, candlesSliding, candlesVolume, candlesGapFilled,
     candlesReagg, asofJoin, asofJoinScalable, asofJoinNative, asofJoinForward,
     asofJoinNearest, asofJoinForwardNative, asofJoinNearestNative,

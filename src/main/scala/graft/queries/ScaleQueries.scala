@@ -176,6 +176,43 @@ object ScaleQueries {
     """)
   )
 
+  /** CDC apply with DELETE semantics — the MERGE-INTO complement of
+    * `upsert_latest`'s pure upserts: error events act as tombstones
+    * ('D'), everything else upserts ('U'). Production shape: latest
+    * snapshot (tombstones dropped) + latest of the delta batch,
+    * merged, tombstones dropped again — provably equal to one
+    * latest-per-key pass over full history with a final tombstone
+    * filter, which is what the oracle runs. A key deleted in the
+    * snapshot window revives iff the delta carries a newer upsert —
+    * the edge the two-phase/full-history equality pins.
+    */
+  val cdcApply: Q = Q(
+    "cdc_apply",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      val cut = lit("2024-01-15").cast("timestamp")
+      val snap = Compaction.latest(ev.filter(col("ts") < cut),
+          Seq("user_id"), Seq("ts", "event_id"))
+        .filter(col("op") =!= "D")
+      val delta = Compaction.latest(ev.filter(col("ts") >= cut),
+        Seq("user_id"), Seq("ts", "event_id"))
+      Compaction.latestMerge(Seq(snap, delta), Seq("user_id"), Seq("ts", "event_id"))
+        .filter(col("op") =!= "D")
+        .select("user_id", "ts", "event_id", "value")
+    },
+    Some("""
+      SELECT user_id, ts, event_id, value
+      FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+              CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND op <> 'D'
+    """)
+  )
+
   /** Multi-granularity rollup: (event_type, day) → (event_type) →
     * grand total in ONE pass — Spark expands grouping sets before the
     * aggregation so the fact table is scanned once, not three times.
@@ -600,5 +637,5 @@ object ScaleQueries {
   val all: Seq[Q] = Seq(sessionize, sessionizeNative, saltedAgg, pipelineMetrics,
     incrementalStats, distinctSketch, upsertLatest, valueQuantiles, rollupStats, pivotDaily,
     trailingSum, zorderIndex, outlierFilter, profileNumeric, winsorizeValues,
-    featureScale, sampledQuantiles, valueBuckets, psiDrift)
+    featureScale, sampledQuantiles, valueBuckets, psiDrift, cdcApply)
 }
