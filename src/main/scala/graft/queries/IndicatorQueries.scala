@@ -463,6 +463,75 @@ object IndicatorQueries {
     """)
   )
 
+  /** Roll (1984) implied-spread estimator per instrument:
+    * spread = 2·√(−cov(Δp_t, Δp_{t−1})) — the classic "effective
+    * spread from the serial covariance of price changes" model,
+    * complementing tca_spread's realized measure. Determinism: price
+    * deltas are DECIMAL(20,4) (exact subtraction), delta products are
+    * exact decimals summed exactly; the covariance assembles from the
+    * exact moment sums in DOUBLE (decimal→double through VARCHAR on
+    * the DuckDB side — the Registry scale-8 rule). A positive serial
+    * covariance (model violated) reports NULL spread, flagged.
+    */
+  val rollSpread: Q = Q(
+    "roll_spread",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val d = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast(DecimalType(20, 4)).as("p"))
+        .withColumn("d", col("p") - lag(col("p"), 1).over(w))
+        .withColumn("dl", lag(col("d"), 1).over(w))
+        .filter(col("d").isNotNull && col("dl").isNotNull)
+      val m = d.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("d")).as("sd"), sum(col("dl")).as("sdl"),
+        sum(col("d") * col("dl")).as("sddl"))
+      def dbl(c: String) = col(c).cast("double")
+      val nD = col("n").cast("double")
+      val cov = (nD * dbl("sddl") - dbl("sd") * dbl("sdl")) / (nD * nD)
+      m.select(col("user_id"), col("n"),
+        cov.as("serial_cov"),
+        when(cov < 0, lit(2.0) * sqrt(-cov)).as("roll_spread"),
+        (cov >= 0).as("model_violated"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(value AS DECIMAL(20,4)) AS p
+        FROM events),
+      d0 AS (
+        SELECT user_id, ts, event_id, p,
+               p - lag(p) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        FROM ev),
+      d1 AS (
+        SELECT user_id, d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dl
+        FROM d0),
+      m AS (
+        SELECT user_id, count(*) AS n,
+               sum(d) AS sd, sum(dl) AS sdl, sum(d * dl) AS sddl
+        FROM d1 WHERE d IS NOT NULL AND dl IS NOT NULL
+        GROUP BY 1),
+      dm AS (
+        SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+               CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sd,
+               CAST(CAST(sdl AS VARCHAR) AS DOUBLE) AS sdl,
+               CAST(CAST(sddl AS VARCHAR) AS DOUBLE) AS sddl
+        FROM m)
+      SELECT user_id, n,
+             (nd * sddl - sd * sdl) / (nd * nd) AS serial_cov,
+             CASE WHEN (nd * sddl - sd * sdl) / (nd * nd) < 0
+                  THEN 2.0 * sqrt(-((nd * sddl - sd * sdl) / (nd * nd)))
+             END AS roll_spread,
+             (nd * sddl - sd * sdl) / (nd * nd) >= 0 AS model_violated
+      FROM dm
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
-    twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread, feedHealth)
+    twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread, feedHealth,
+    rollSpread)
 }

@@ -288,4 +288,69 @@ object StatefulFeatures {
         })
       .toDF()
   }
+
+  case class ImbTick(key: Long, tsUs: Long, price: Double)
+  case class ImbState(prevPrice: Double, sign: Int, hasPrev: Boolean,
+                      theta: Long, barNum: Int,
+                      open: Double, high: Double, low: Double, close: Double,
+                      nTrades: Long, startUs: Long, endUs: Long)
+  case class ImbBar(key: Long, bar_num: Int, open: Double, high: Double,
+                    low: Double, close: Double, theta: Long, n_trades: Long,
+                    start_us: Long, end_us: Long)
+
+  /** Streaming tick-imbalance bars — the stateful form of
+    * `graft.ops.ImbalanceBars`: tick-rule signing and the reset
+    * imbalance accumulator as O(1)-per-key state; a bar row is
+    * EMITTED on the row where |θ| reaches the threshold (that row
+    * included, matching the batch operator), the open bar stays in
+    * state. On in-order input the emitted rows equal the batch
+    * operator's closed bars row-for-row (ImbalanceStreamSpec, across
+    * arbitrary micro-batch splits).
+    */
+  def imbalanceBars(ticks: DataFrame, threshold: Long): DataFrame = {
+    import ticks.sparkSession.implicits._
+    require(threshold >= 1, "imbalance threshold must be >= 1")
+    val typed = ticks
+      .select(col("key").cast("long"), col("tsUs").cast("long"),
+        col("price").cast("double"))
+      .as[ImbTick]
+    typed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[ImbTick], state: GroupState[ImbState]) => {
+          val batch = it.toArray.sortBy(_.tsUs)
+          var st = state.getOption.getOrElse(
+            ImbState(0.0, 1, hasPrev = false, 0L, 0,
+              0.0, Double.MinValue, Double.MaxValue, 0.0, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ImbBar]
+          batch.foreach { t =>
+            val sign =
+              if (!st.hasPrev) 1
+              else if (t.price > st.prevPrice) 1
+              else if (t.price < st.prevPrice) -1
+              else st.sign
+            val fresh = st.nTrades == 0L
+            st = st.copy(
+              prevPrice = t.price, sign = sign, hasPrev = true,
+              theta = st.theta + sign,
+              open = if (fresh) t.price else st.open,
+              high = if (fresh) t.price else math.max(st.high, t.price),
+              low = if (fresh) t.price else math.min(st.low, t.price),
+              close = t.price,
+              nTrades = st.nTrades + 1,
+              startUs = if (fresh) t.tsUs else st.startUs,
+              endUs = t.tsUs)
+            if (math.abs(st.theta) >= threshold) {
+              out += ImbBar(key, st.barNum, st.open, st.high, st.low,
+                st.close, st.theta, st.nTrades, st.startUs, st.endUs)
+              st = st.copy(theta = 0L, barNum = st.barNum + 1,
+                open = 0.0, high = Double.MinValue, low = Double.MaxValue,
+                close = 0.0, nTrades = 0L, startUs = 0L, endUs = 0L)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
 }

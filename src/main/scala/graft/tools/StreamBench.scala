@@ -148,7 +148,9 @@ object StreamBench {
         buckets = 1024)),
       "sketch_quantiles" -> (() => Streams.windowedSketch(
         source(), "ts", "key", "price", "tsUs", k = 64,
-        windowDur = "10 minutes", delay = "5 seconds")))
+        windowDur = "10 minutes", delay = "5 seconds")),
+      "imbalance_bars" -> (() => StatefulFeatures.imbalanceBars(
+        source(), threshold = 9L)))
 
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0
