@@ -45,6 +45,60 @@ object Wordpiece {
       map_from_arrays(array().cast("array<string>"), array().cast("array<int>"))
     else map(pieces.flatMap(p => Seq(lit(p), lit(1))): _*)
 
+  /** Greedy-match state struct for one word `w` (any Column — an
+    * attribute or a HOF lambda variable): (pos, toks, unk). `initM`/
+    * `contM` MUST be attribute references to bound map columns (the
+    * CreateMap-cloning trap — see object doc).
+    */
+  private[llm] def greedyFold(w: Column, initM: Column, contM: Column,
+                              maxPiece: Int, maxWordLen: Int): Column = {
+    val steps = sequence(lit(1), greatest(least(length(w), lit(maxWordLen)), lit(1)))
+    val init = struct(lit(1).as("pos"), lit(0).as("toks"),
+      (length(w) > maxWordLen || length(w) === 0).as("unk"))
+    aggregate(steps, init, (st, i) => {
+      val active = !st("unk") && (st("pos") === i)
+      val m = (1 to maxPiece).foldLeft(lit(0)) { case (els, l) =>
+        val sl = w.substr(i, lit(l))
+        val hit = when(i === 1, map_contains_key(initM, sl))
+          .otherwise(map_contains_key(contM, sl))
+        when(hit, length(sl)).otherwise(els)
+      }
+      when(!active, st).otherwise(
+        when(m > 0, struct((st("pos") + m).as("pos"),
+          (st("toks") + 1).as("toks"), lit(false).as("unk")))
+          .otherwise(struct(st("pos").as("pos"), st("toks").as("toks"),
+            lit(true).as("unk"))))
+    })
+  }
+
+  /** Per-document wordpiece token count as ONE pure projection — the
+    * streaming/scoring form (no distinct-word table, no joins, no
+    * state): every word of the doc runs the greedy fold inside a
+    * `transform` lambda, UNK words count 1. Batch-equal to
+    * [[encodeCounts]]' join-based `wp_tokens` (WordpieceSpec); on a
+    * stream this is a STATELESS per-micro-batch scorer, the
+    * index-not-state discipline of Dsir.scoreWith.
+    */
+  def tokenCountCol(text: Column, vs: Seq[(String, Boolean)],
+                    initAttr: Column, contAttr: Column,
+                    maxWordLen: Int = 24): Column = {
+    require(vs.nonEmpty, "empty wordpiece vocabulary")
+    val maxPiece = vs.map(_._1.length).max
+    aggregate(
+      transform(words(lower(trim(text))), w => {
+        val st = greedyFold(w, initAttr, contAttr, maxPiece, maxWordLen)
+        when(st("unk"), lit(1)).otherwise(st("toks"))
+      }),
+      lit(0), (acc, t) => acc + t)
+  }
+
+  /** The two vocab map literals (word-initial, continuation) to bind
+    * as columns before using [[tokenCountCol]].
+    */
+  def vocabMaps(vs: Seq[(String, Boolean)]): (Column, Column) =
+    (literalSet(vs.collect { case (p, false) => p }),
+      literalSet(vs.collect { case (p, true) => p }))
+
   /** (word, toks, unk) for every distinct corpus word under greedy
     * longest-match against `vs` (piece, isContinuation) — exposed
     * separately for specs.
@@ -60,34 +114,12 @@ object Wordpiece {
     // exploding the expression tree Catalyst has to analyze; a
     // projected column constant-folds once and probes read the
     // attribute.
-    val initM = col("__im")
-    val contM = col("__cm")
-    val w = col("word")
-    val wordsDf = Bpe.wordCounts(df, textCol)
-      .select(col("word")).withColumn("wlen", length(w))
-      .withColumn("__im", literalSet(vs.collect { case (p, false) => p }))
-      .withColumn("__cm", literalSet(vs.collect { case (p, true) => p }))
-    val steps = sequence(lit(1), greatest(least(col("wlen"), lit(maxWordLen)), lit(1)))
-    val init = struct(lit(1).as("pos"), lit(0).as("toks"),
-      (col("wlen") > maxWordLen || col("wlen") === 0).as("unk"))
-    val folded = aggregate(steps, init, (st, i) => {
-      val active = !st("unk") && (st("pos") === i)
-      // longest matching piece at position i (probes of l beyond the
-      // word end degenerate to the remaining suffix; the advance uses
-      // the ACTUAL matched length, so over-long probes are harmless)
-      val m = (1 to maxPiece).foldLeft(lit(0)) { case (els, l) =>
-        val sl = w.substr(i, lit(l))
-        val hit = when(i === 1, map_contains_key(initM, sl))
-          .otherwise(map_contains_key(contM, sl))
-        when(hit, length(sl)).otherwise(els)
-      }
-      when(!active, st).otherwise(
-        when(m > 0, struct((st("pos") + m).as("pos"),
-          (st("toks") + 1).as("toks"), lit(false).as("unk")))
-          .otherwise(struct(st("pos").as("pos"), st("toks").as("toks"),
-            lit(true).as("unk"))))
-    })
-    wordsDf.withColumn("st", folded)
+    val (im, cm) = vocabMaps(vs)
+    Bpe.wordCounts(df, textCol)
+      .select(col("word"))
+      .withColumn("__im", im).withColumn("__cm", cm)
+      .withColumn("st",
+        greedyFold(col("word"), col("__im"), col("__cm"), maxPiece, maxWordLen))
       .drop("__im", "__cm")
       .select(col("word"),
         when(col("st.unk"), lit(1)).otherwise(col("st.toks")).as("toks"),

@@ -122,6 +122,13 @@ object StreamBench {
       .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
       .toMap
     println(s"dsir model buckets=${dsirModel.size}")
+    // wordpiece vocab trained once on the batch corpus (8 BPE merges),
+    // served as map literals — the tokenizer scorer is a stateless
+    // pure projection on the stream
+    val wpVocab = graft.llm.Wordpiece.vocab(
+        graft.llm.Bpe.train(docsTbl, "text", numMerges = 8))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq.sorted
+    println(s"wordpiece vocab pieces=${wpVocab.size}")
 
     val candleSchema = StructType(Seq(
       StructField("ts", TimestampType), StructField("k", StringType),
@@ -150,7 +157,15 @@ object StreamBench {
         source(), "ts", "key", "price", "tsUs", k = 64,
         windowDur = "10 minutes", delay = "5 seconds")),
       "imbalance_bars" -> (() => StatefulFeatures.imbalanceBars(
-        source(), threshold = 9L)))
+        source(), threshold = 9L)),
+      "wordpiece_score" -> (() => {
+        val (im, cm) = graft.llm.Wordpiece.vocabMaps(wpVocab)
+        docSource()
+          .withColumn("__im", im).withColumn("__cm", cm)
+          .select(col("id"),
+            graft.llm.Wordpiece.tokenCountCol(col("text"), wpVocab,
+              col("__im"), col("__cm")).as("wp_tokens"))
+      }))
 
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0

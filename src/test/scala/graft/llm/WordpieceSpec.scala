@@ -81,6 +81,23 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+  test("tokenCountCol projection equals the join-based encode on the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val model = Bpe.train(docs, "text", numMerges = 8)
+    val vs = Wordpiece.vocab(model).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq.sorted
+    val (im, cm) = Wordpiece.vocabMaps(vs)
+    val direct = docs
+      .withColumn("__im", im).withColumn("__cm", cm)
+      .select(col("doc_id"),
+        Wordpiece.tokenCountCol(col("text"), vs, col("__im"), col("__cm")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val joined = Wordpiece.encodeCounts(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2).toInt).toMap
+    assert(direct === joined)
+  }
+
   test("encodeCounts is partition-invariant and covers every doc") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val model = Bpe.train(docs, "text", numMerges = 4)
