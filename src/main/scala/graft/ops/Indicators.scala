@@ -226,6 +226,147 @@ object Indicators {
     * u = 0 exactly; candles with a non-positive low are dropped (ln
     * undefined) and excluded in the oracle identically.
     */
+  /** Kyle (1985) price-impact lambda per instrument: the OLS slope of
+    * price change on signed volume, Δp_t = λ·(b_t·q_t) + ε — the
+    * canonical "how many price units does a unit of net order flow
+    * move the market" estimator, joining [[graft.ops.Vpin]] (flow
+    * toxicity) and the Roll spread (implied cost) to complete the
+    * classic microstructure triple over the same trade stream.
+    *
+    * Signs use the tick rule with the [[Vpin]] convention (up-tick +1,
+    * down-tick −1, unchanged carries, leading ties +1) so all three
+    * estimators agree on flow direction. Determinism: Δp is
+    * DECIMAL(18,4) (exact subtraction), signed volume is exact BIGINT,
+    * the five regression moments (Σd, Σsv, Σsv², Σd·sv, Σd²) are exact
+    * decimal/integer sums — associative, partitioning-proof — and
+    * λ / intercept / R² assemble from them in one fixed double
+    * expression both engines execute identically. Degenerate groups
+    * (zero signed-volume variance) report NULL λ; R² is additionally
+    * NULL when Δp has zero variance.
+    *
+    * Scale: one (key, time) window for the lag/sign forward-fill and
+    * one partial-aggregated groupBy on the SAME key — a single shuffle
+    * whose reduce side carries |instruments| moment rows, never trades.
+    */
+  def kyleLambda(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                 priceCol: String, qtyCol: String): DataFrame = {
+    val byTime = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val cum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = col(priceCol).cast(DecimalType(19, 4))
+    // deltas re-tightened to (18,4) so every product stays inside
+    // precision 38 EXACTLY — a (20,4)² product hits Spark's precision
+    // cap and silently rounds the product to scale 6 (the vwap
+    // headroom rule). Input contract: |Δp| < 10¹⁴, |sv| < 10¹⁴.
+    val d = (p - lag(p, 1).over(byTime)).cast(DecimalType(18, 4))
+    val signed = df
+      .withColumn("__d", d)
+      .withColumn("__raw", when(col("__d") > 0, 1).when(col("__d") < 0, -1))
+      .withColumn("__sign",
+        coalesce(last(col("__raw"), ignoreNulls = true).over(cum), lit(1)))
+      .filter(col("__d").isNotNull)
+      .withColumn("__sv", col("__sign").cast("long") * col(qtyCol).cast("long"))
+      .withColumn("__svd", col("__sv").cast(DecimalType(14, 0)))
+    val m = signed.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__d")).as("sd"),
+      sum(col("__d") * col("__d")).as("sd2"),
+      sum(col("__sv")).as("ssv"),
+      sum(col("__sv") * col("__sv")).as("ssv2"),
+      sum(col("__d") * col("__svd")).as("sdsv"))
+    def dbl(c: String) = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val cov = nD * dbl("sdsv") - dbl("sd") * dbl("ssv")
+    val varSv = nD * dbl("ssv2") - dbl("ssv") * dbl("ssv")
+    val varD = nD * dbl("sd2") - dbl("sd") * dbl("sd")
+    val lam = when(varSv > 0, cov / varSv)
+    m.select(col(keyCol), col("n"),
+      lam.as("kyle_lambda"),
+      when(varSv > 0, (dbl("sd") - (cov / varSv) * dbl("ssv")) / nD)
+        .as("intercept"),
+      when(varSv > 0 && varD > 0, cov * cov / (varSv * varD)).as("r2"))
+  }
+
+  /** Amihud (2002) illiquidity per (instrument, day):
+    * ILLIQ = mean(|Δp_t| / (p_{t−1}·q_t)) — price move per unit of
+    * dollar volume traded, the standard daily liquidity feature next
+    * to the spread/impact estimators above.
+    *
+    * Each per-trade ratio is computed in double (identical IEEE op
+    * shape both engines) and immediately quantized to integer
+    * PICO-units (`floor(x·10¹²)` — the LangModel integer-quantization
+    * policy at the grain these tiny ratios need); the daily mean is
+    * then exact integer arithmetic over an exact count. Trades with a
+    * non-positive previous price or quantity are dropped on both
+    * sides identically (the ratio is undefined).
+    *
+    * Scale: one key-time window + one (key, day) groupBy — map-side
+    * partial aggregation, reduce side carries |instrument×day| rows.
+    */
+  def amihud(df: DataFrame, keyCol: String, tsCol: String,
+             priceCol: String, qtyCol: String,
+             tieCols: Seq[String] = Nil): DataFrame = {
+    val byTime = Window.partitionBy(keyCol).orderBy((tsCol +: tieCols).map(col): _*)
+    val p = col(priceCol).cast(DecimalType(20, 4))
+    val terms = df
+      .withColumn("__p", p)
+      .withColumn("__pl", lag(p, 1).over(byTime))
+      .withColumn("__d", col("__p") - col("__pl"))
+      .filter(col("__d").isNotNull && col("__pl") > 0 && col(qtyCol) > 0)
+      .withColumn("__t",
+        floor(abs(col("__d").cast("double")) /
+          (col("__pl").cast("double") * col(qtyCol).cast("double")) * lit(1e12))
+          .cast("long"))
+    terms
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__t")).as("sum_pico"))
+      .withColumn("amihud",
+        col("sum_pico").cast("double") / col("n_obs").cast("double") / lit(1e12))
+  }
+
+  /** Realized variance vs bipower variation per instrument
+    * (Barndorff-Nielsen & Shephard 2004): RV = Σd², BPV =
+    * (π/2)·Σ|d_t||d_{t−1}|; BPV is jump-robust, so the gap
+    * max(RV − BPV, 0) estimates the jump component and its share of
+    * total variance flags discontinuous price moves. Both sums run
+    * over the rows where BOTH lags exist (one consistent sample for
+    * the pair — documented choice, restated identically in the
+    * oracle).
+    *
+    * Determinism: d is DECIMAL(18,4); d², |d|·|d_lag| are exact
+    * decimal products summed exactly; π/2 enters as the
+    * correctly-rounded double literal (a runtime `pi()/2` could
+    * differ in the last ulp); the assembly is one fixed double
+    * expression. Scale: one key window + one groupBy on the same key
+    * — single shuffle, |instruments| output rows.
+    */
+  def bipowerVariation(df: DataFrame, keyCol: String,
+                       orderCols: Seq[String], priceCol: String): DataFrame = {
+    val byTime = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val p = col(priceCol).cast(DecimalType(19, 4))
+    // (18,4) deltas keep the (37,8) products precision-exact — see
+    // kyleLambda. Input contract: |Δp| < 10¹⁴.
+    val d = df
+      .withColumn("__d", (p - lag(p, 1).over(byTime)).cast(DecimalType(18, 4)))
+      .withColumn("__dl", lag(col("__d"), 1).over(byTime))
+      .filter(col("__d").isNotNull && col("__dl").isNotNull)
+    val m = d.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("__d") * col("__d")).as("srv"),
+      sum(abs(col("__d")) * abs(col("__dl"))).as("sbp"))
+    val rv = col("srv").cast("double")
+    val bpv = lit(HalfPi) * col("sbp").cast("double")
+    m.select(col(keyCol), col("n"),
+      rv.as("realized_var"),
+      bpv.as("bipower_var"),
+      greatest(rv - bpv, lit(0.0)).as("jump_var"),
+      when(rv > 0, greatest(rv - bpv, lit(0.0)) / rv).as("jump_share"))
+  }
+
+  /** π/2 as a correctly-rounded double literal (Registry literal
+    * policy — both engines must parse the identical bit pattern).
+    */
+  private val HalfPi = 1.5707963267948966
+
   def rangeVolatility(df: DataFrame, keyCol: String, tsCol: String,
                       priceCol: String, candleDur: String = "1 hour"): DataFrame = {
     val candles = df

@@ -531,7 +531,164 @@ object IndicatorQueries {
     """)
   )
 
+  /** Kyle (1985) price impact per instrument: OLS slope of Δprice on
+    * tick-rule-signed volume (`k` from the props payload — the
+    * candles_volume volume role), from exact decimal/integer moment
+    * sums. Completes the microstructure triple with vpin_toxicity and
+    * roll_spread on the same trade stream and sign convention.
+    */
+  val kyleLambda: Q = Q(
+    "kyle_lambda",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val kSchema = StructType(Seq(StructField("k", IntegerType)))
+      Indicators.kyleLambda(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+          col("value"),
+          from_json(col("props"), kSchema).getField("k").as("qty")),
+        "user_id", Seq("ts", "event_id"), "value", "qty")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(value AS DECIMAL(19,4)) AS p,
+               CAST(props->>'k' AS INT) AS qty
+        FROM events),
+      d0 AS (
+        SELECT user_id, ts, event_id, qty,
+               CAST(p - lag(p) OVER w AS DECIMAL(18,4)) AS d,
+               CASE WHEN p > lag(p) OVER w THEN 1
+                    WHEN p < lag(p) OVER w THEN -1 END AS raw,
+               row_number() OVER w AS rn
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sg AS (
+        SELECT user_id, d, qty,
+               coalesce(last_value(raw IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING), 1)
+                 AS sign
+        FROM d0),
+      sv AS (
+        SELECT user_id, d, CAST(sign AS BIGINT) * CAST(qty AS BIGINT) AS sv
+        FROM sg WHERE d IS NOT NULL),
+      m AS (
+        SELECT user_id, count(*) AS n,
+               sum(d) AS sd, sum(d * d) AS sd2,
+               sum(sv) AS ssv, sum(sv * sv) AS ssv2,
+               sum(d * CAST(sv AS DECIMAL(14,0))) AS sdsv
+        FROM sv GROUP BY 1),
+      dm AS (
+        SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+               CAST(CAST(sd AS VARCHAR) AS DOUBLE) AS sd,
+               CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) AS sd2,
+               CAST(ssv AS DOUBLE) AS ssv,
+               CAST(ssv2 AS DOUBLE) AS ssv2,
+               CAST(CAST(sdsv AS VARCHAR) AS DOUBLE) AS sdsv
+        FROM m)
+      SELECT user_id, n,
+             CASE WHEN nd * ssv2 - ssv * ssv > 0
+                  THEN (nd * sdsv - sd * ssv) / (nd * ssv2 - ssv * ssv)
+             END AS kyle_lambda,
+             CASE WHEN nd * ssv2 - ssv * ssv > 0
+                  THEN (sd - ((nd * sdsv - sd * ssv) / (nd * ssv2 - ssv * ssv))
+                          * ssv) / nd
+             END AS intercept,
+             CASE WHEN nd * ssv2 - ssv * ssv > 0 AND nd * sd2 - sd * sd > 0
+                  THEN (nd * sdsv - sd * ssv) * (nd * sdsv - sd * ssv)
+                       / ((nd * ssv2 - ssv * ssv) * (nd * sd2 - sd * sd))
+             END AS r2
+      FROM dm
+    """)
+  )
+
+  /** Amihud (2002) daily illiquidity per instrument:
+    * mean(|Δp| / (p_prev·qty)), each ratio pico-quantized to integer
+    * before the exact-integer daily mean (LangModel quantization
+    * policy).
+    */
+  val amihudIlliq: Q = Q(
+    "amihud_illiq",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val kSchema = StructType(Seq(StructField("k", IntegerType)))
+      Indicators.amihud(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+          col("value"),
+          from_json(col("props"), kSchema).getField("k").as("qty")),
+        "user_id", "ts", "value", "qty", tieCols = Seq("event_id"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(value AS DECIMAL(20,4)) AS p,
+               CAST(props->>'k' AS INT) AS qty
+        FROM events),
+      d0 AS (
+        SELECT user_id, ts, qty,
+               p - lag(p) OVER w AS d,
+               lag(p) OVER w AS pl
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(floor(abs(CAST(d AS DOUBLE))
+                 / (CAST(pl AS DOUBLE) * CAST(qty AS DOUBLE)) * 1e12) AS BIGINT)
+                 AS tq
+        FROM d0 WHERE d IS NOT NULL AND pl > 0 AND qty > 0)
+      SELECT user_id, day, count(*) AS n_obs,
+             CAST(sum(tq) AS BIGINT) AS sum_pico,
+             CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / 1e12 AS amihud
+      FROM t GROUP BY 1, 2
+    """)
+  )
+
+  /** Realized variance vs jump-robust bipower variation per
+    * instrument (Barndorff-Nielsen–Shephard), with the jump component
+    * and its variance share. Exact decimal moment sums; π/2 as a
+    * pinned double literal.
+    */
+  val bipowerVar: Q = Q(
+    "bipower_var",
+    (s, dir) => Indicators.bipowerVariation(
+      events(s, dir).select(col("event_id"), col("user_id"), col("ts"),
+        col("value")),
+      "user_id", Seq("ts", "event_id"), "value"),
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(value AS DECIMAL(19,4)) AS p
+        FROM events),
+      d0 AS (
+        SELECT user_id, ts, event_id,
+               CAST(p - lag(p) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS DECIMAL(18,4)) AS d
+        FROM ev),
+      d1 AS (
+        SELECT user_id, d,
+               lag(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dl
+        FROM d0),
+      m AS (
+        SELECT user_id, count(*) AS n,
+               sum(d * d) AS srv, sum(abs(d) * abs(dl)) AS sbp
+        FROM d1 WHERE d IS NOT NULL AND dl IS NOT NULL
+        GROUP BY 1),
+      dm AS (
+        SELECT user_id, n,
+               CAST(CAST(srv AS VARCHAR) AS DOUBLE) AS rv,
+               CAST(1.5707963267948966 AS DOUBLE)
+                 * CAST(CAST(sbp AS VARCHAR) AS DOUBLE) AS bpv
+        FROM m)
+      SELECT user_id, n,
+             rv AS realized_var,
+             bpv AS bipower_var,
+             greatest(rv - bpv, 0.0) AS jump_var,
+             CASE WHEN rv > 0 THEN greatest(rv - bpv, 0.0) / rv END AS jump_share
+      FROM dm
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
     twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread, feedHealth,
-    rollSpread)
+    rollSpread, kyleLambda, amihudIlliq, bipowerVar)
 }
