@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval (Okapi BM25) and rank fusion — the retrieval
+  * face of a training-data pipeline. BM25 is the canonical first-stage
+  * retriever for retrieval-based decontamination ("is this eval
+  * question answerable verbatim from the corpus?"), hard-negative
+  * mining for embedding training, and corpus QA; reciprocal-rank
+  * fusion (Cormack et al. 2009) is the standard way to combine a
+  * lexical ranking with a dense (embedding-cosine) one without score
+  * calibration.
+  *
+  * Numeric determinism: BM25 mixes `ln` (idf) with divisions, so each
+  * per-(term, doc) contribution is quantized to integer MICRO-units
+  * immediately (the [[LangModel]] policy — quantize before any
+  * order-sensitive aggregate) and the per-document score is an exact
+  * integer sum. RRF goes further: the 1/(k0+rank) contribution is an
+  * exact INTEGER division (1e9 div (k0+rank)), so fusion never touches
+  * floating point at all.
+  *
+  * Scale design: BM25 is an inverted-index equi-join — postings
+  * sharded by term, the (tiny) query-term table broadcast. Per-query
+  * fanout is Σ_t df(t); terms with df > maxDfFrac·N are dropped
+  * (boilerplate/stopword cap, mirrored in the oracle) so one
+  * pathological term can't fan a query out to the whole corpus. The
+  * per-query top-k plans as WindowGroupLimit. Nothing here is
+  * all-pairs: cost is (query terms × capped df), independent of
+  * corpus size for fixed caps.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query document (rows matching
+    * `queryPred`, query = its first `queryTerms` distinct tokens),
+    * the top `k` OTHER documents by BM25 score.
+    *
+    * Emits `(query_id, doc_id, score_micro, rank)` — `score_micro` is
+    * the exact integer sum of per-term micro-quantized contributions:
+    *
+    *   idf(t)·tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    *   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (Lucene form, >0)
+    *
+    * k1/b are passed as exact double literals on both engines
+    * (Registry decimal-literal pitfall: the oracle must write
+    * CAST(1.2 AS DOUBLE)); the whole double chain is written with
+    * identical association on both sides, then floored to micro-units.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryPred: Column, k: Int, queryTerms: Int = 6,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfFrac: Double = 0.95): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("ws"))
+    val tf = toks.select(col("doc_id"), explode(col("ws")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+    val qterms = toks.filter(queryPred)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("ws"), 1, queryTerms))).as("token"))
+
+    // Exact-integer cap compare (df·100 ≤ N·pct): a double 0.95·N
+    // here would diverge from DuckDB's DECIMAL literal arithmetic at
+    // the boundary (Registry literal pitfall) — integers cannot.
+    val capPct = math.round(maxDfFrac * 100)
+    val post = tf.join(dl, "doc_id").join(dfreq, "token")
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * lit(100L) <= col("n_docs") * lit(capPct))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+
+    val hits = post.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (w * lit(1e6) + lit(0.5)).cast("long").as("contrib"))
+
+    val scored = hits.groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_micro"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score_micro", "rank")
+  }
+
+  /** Reciprocal-rank fusion over any number of `(query_id, doc_id,
+    * rank)` candidate rankings: fused score = Σ_r 1e9 div (k0 +
+    * rank_r) — an exact integer for every rank, summed exactly, so
+    * fusion is bit-reproducible under any partitioning and engine
+    * (no floating point anywhere). A document absent from a ranker
+    * simply contributes nothing (standard RRF over the candidate
+    * union). Emits the top `k` per query by (rrf_nano desc, doc_id).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val normed = rankings.map(_.select(
+      col("query_id").cast("long"), col("doc_id").cast("long"),
+      expr(s"1000000000L div (${k0}L + rank)").as("contrib")))
+    val unioned = normed.reduce(_.unionByName(_))
+    val fused = unioned.groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_nano"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rrf_nano", "rank")
+  }
+}

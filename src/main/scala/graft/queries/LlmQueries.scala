@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, EmbeddingStats, Multimodal, Redact, Similarity, Sparse, TextStats}
+import graft.llm.{Dedup, EmbeddingStats, Multimodal, Redact, Retrieval, Similarity, Sparse, TextStats}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup family, similarity search, text analysis, multimodal
@@ -1246,6 +1246,104 @@ object LlmQueries {
     """)
   )
 
+  /** Shared BM25 oracle CTE chain (inverted index + per-term
+    * micro-quantized contributions + per-query ranking) — reused by
+    * the plain top-k query and the RRF hybrid. Every double op is
+    * written with the association of Retrieval.bm25TopK; the 1.2
+    * literal is CAST to DOUBLE (Registry decimal-literal pitfall);
+    * the df cap compares exact integers (df·100 ≤ N·95).
+    */
+  private def bm25Ctes(k: Int): String = s"""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM documents),
+      tf AS (SELECT doc_id, t AS token, count(*) AS tf
+             FROM (SELECT doc_id, unnest(ws) AS t FROM toks) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS token
+             FROM toks WHERE doc_id % 40 = 0),
+      hit AS (
+        SELECT qt.query_id, tf.doc_id,
+               floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (tf + CAST(1.2 AS DOUBLE)
+                    * (1.0 - 0.75 + 0.75 * dl
+                       / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1e6 + 0.5
+                 )::BIGINT AS contrib
+        FROM qt JOIN tf USING (token)
+             JOIN dl ON tf.doc_id = dl.doc_id
+             JOIN dfq ON tf.token = dfq.token
+             CROSS JOIN st
+        WHERE tf.doc_id <> qt.query_id AND df * 100 <= n_docs * 95),
+      sc AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+             FROM hit GROUP BY 1, 2),
+      bm AS (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rank
+        FROM sc QUALIFY rank <= $k)"""
+
+  /** Okapi BM25 top-5 retrieval: query = first 6 distinct tokens of
+    * every 40th document, ranked against the rest of the corpus
+    * through the inverted-index join (Retrieval.bm25TopK).
+    */
+  val bm25Q: Q = Q(
+    "bm25_topk",
+    (s, dir) => Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      col("doc_id") % 40 === 0, k = 5),
+    Some(bm25Ctes(5) + """
+      SELECT query_id, doc_id, score_micro, rank FROM bm
+    """)
+  )
+
+  /** Hybrid retrieval: BM25 top-20 (lexical) fused with brute cosine
+    * top-20 (dense, same query ids — the paired-corpus convention of
+    * decontam_semantic: document i's embedding is vec i) by exact
+    * integer reciprocal-rank fusion, top-10 per query. The fusion
+    * stage itself never touches floating point (1e9 div (60+rank)
+    * summed as longs), so the fused ranking is engine- and
+    * partitioning-independent by construction.
+    */
+  val rrfHybridQ: Q = Q(
+    "rrf_hybrid",
+    (s, dir) => {
+      val lex = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        col("doc_id") % 40 === 0, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val dense = Similarity.bruteTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("id") % 40 === 0, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+    },
+    Some(bm25Ctes(20) + """,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nn AS (SELECT vec_id, v,
+                    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+             FROM e),
+      qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nn WHERE vec_id % 40 = 0),
+      cs0 AS (SELECT query_id, t.vec_id AS doc_id,
+                     list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]),
+                                 (a, b) -> a + b)
+                       / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+              FROM qv JOIN nn t ON t.vec_id <> qv.query_id),
+      cs AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, doc_id) AS rank
+             FROM cs0 QUALIFY rank <= 20),
+      u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS contrib FROM bm
+            UNION ALL
+            SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM cs),
+      f AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_nano
+            FROM u GROUP BY 1, 2)
+      SELECT query_id, doc_id, rrf_nano,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nano DESC, doc_id) AS rank
+      FROM f QUALIFY rank <= 10
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupIncremental, dedupStreamIndex,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
@@ -1255,5 +1353,5 @@ object LlmQueries {
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
     semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
-    embeddingGram, pcaProjectQ)
+    embeddingGram, pcaProjectQ, bm25Q, rrfHybridQ)
 }

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BM25 contribution with the engine's exact IEEE shape
+    * (same association, same micro-quantization).
+    */
+  private def refContrib(tf: Long, df: Long, n: Long, dl: Long,
+                         avgdl: Double): Long = {
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    val w = idf * (tf * (1.2 + 1.0)) /
+      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    (w * 1e6 + 0.5).toLong
+  }
+
+  test("bm25TopK matches the hand-computed inverted-index scores exactly") {
+    val docs = Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "apple apple apple durian"),
+      (2L, "banana banana fig"),
+      (3L, "grape kiwi lemon")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+        col("doc_id") === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+    // N=4, sum_dl=14, avgdl=3.5; query terms {apple, banana, cherry}.
+    val avgdl = 14.0 / 4
+    val d1 = refContrib(tf = 3, df = 2, n = 4, dl = 4, avgdl) // apple in d1
+    val d2 = refContrib(tf = 2, df = 2, n = 4, dl = 3, avgdl) // banana in d2
+    assert(d1 != d2) // distinct scores so the rank assertion is meaningful
+    val expected = Seq((0L, 1L, d1, 1), (0L, 2L, d2, 2))
+      .sortBy(t => t._4)
+    assert(out.sortBy(_._4).toSeq == expected)
+  }
+
+  test("df cap drops corpus-saturating terms; query of only such terms retrieves nothing") {
+    val docs = Seq(
+      (0L, "the"),
+      (1L, "the alpha"),
+      (2L, "the beta"),
+      (3L, "the alpha beta")
+    ).toDF("doc_id", "text")
+    // 'the' has df = N -> df*100 > N*95 -> capped out everywhere.
+    val onlyThe = Retrieval.bm25TopK(docs, "doc_id", "text",
+      col("doc_id") === 0, k = 5)
+    assert(onlyThe.count() == 0)
+    // a non-saturating term still retrieves
+    val mixed = Retrieval.bm25TopK(docs, "doc_id", "text",
+      col("doc_id") === 1, k = 5).collect()
+    assert(mixed.nonEmpty)
+    assert(mixed.forall(_.getLong(1) != 1L)) // self excluded
+  }
+
+  test("rrfFuse: exact integer contributions, union semantics, doc_id tie-break") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3)
+    val c61 = 1000000000L / 61 // exact integer division
+    val c62 = 1000000000L / 62
+    assert(out.toSeq == Seq(
+      (11L, c61 + c62, 1), // present in both rankers -> sum
+      (10L, c61, 2),
+      (12L, c62, 3)))      // same-rank singletons: 10 beats 12? no —
+    // 10 has rank1-in-A (c61) vs 12 rank2-in-B (c62): strictly ordered.
+
+    // tie-break: identical contributions -> ascending doc_id
+    val t1 = Seq((7L, 5L, 1)).toDF("query_id", "doc_id", "rank")
+    val t2 = Seq((7L, 3L, 1)).toDF("query_id", "doc_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(t1, t2), k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2)
+    assert(tied.toSeq == Seq((3L, 1), (5L, 2)))
+  }
+
+  test("rrf fusion is pure integer math: repartitioned input fuses bit-identically") {
+    val a = (1 to 50).map(i => (i.toLong % 3, i.toLong, (i % 7) + 1))
+      .toDF("query_id", "doc_id", "rank")
+    val r1 = Retrieval.rrfFuse(Seq(a), k = 100).collect().toSet
+    val r2 = Retrieval.rrfFuse(Seq(a.repartition(13)), k = 100).collect().toSet
+    assert(r1 == r2)
+  }
+}

@@ -326,6 +326,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25_topk: query terms broadcast onto the postings index; top-k is WindowGroupLimit") {
+    val df = Registry.byName("bm25_topk").fn(spark, sf("sf0.01"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term join must broadcast (postings stay sharded by term):\n$plan")
+    assert(!plan.contains("Cartesian"),
+      s"bm25 must never go all-pairs:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must push the rank limit below the sort:\n$plan")
+  }
+
+  test("rrf_hybrid: fusion is a union + one aggregation — no join between the rankers") {
+    val df = Registry.byName("rrf_hybrid").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"RRF must fuse via union, not join:\n$plan")
+    assert(!plan.contains("Cartesian"), s"no cross product in fusion:\n$plan")
+  }
+
   test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
     Seq("asof_join_native", "asof_join_forward_native", "asof_join_nearest_native")
       .foreach { name =>
