@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats, Unigram, Wordpiece}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats, Unigram, Winnow, Wordpiece}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -1201,11 +1201,68 @@ object CurationQueries {
     """)
   )
 
+  /** Shared winnowing oracle CTEs: ordered 5-gram hash sequence →
+    * windowed (w=4) minima per document, distinct within document.
+    * Mirrors Winnow.fingerprints exactly (md5-prefix gram hashes,
+    * set semantics so no tie rule is needed).
+    */
+  private val winnowCtes = """
+      WITH u AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) - 4 <= 0 THEN []::BIGINT[]
+                    ELSE list_transform(range(1, len(ws) - 4 + 1),
+                           i -> ('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8))::BIGINT)
+               END AS hs
+        FROM u),
+      f AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) - 3 <= 0
+                    THEN CASE WHEN len(hs) > 0 THEN [list_min(hs)]
+                              ELSE []::BIGINT[] END
+                    ELSE list_distinct(list_transform(range(1, len(hs) - 3 + 1),
+                           i -> list_min(hs[i:i+3])))
+               END AS fps
+        FROM g),
+      fp AS (SELECT doc_id, unnest(fps) AS fp FROM f)"""
+
+  /** Winnowing fingerprints (MOSS): windowed-min selection over the
+    * gram-hash stream — ~2/(w+1) of the grams with a guaranteed hit
+    * for any shared span of ≥ w+k−1 words.
+    */
+  val winnowFingerprints: Q = Q(
+    "winnow_fingerprints",
+    (s, dir) => Winnow.fingerprints(Tables.documents(s, dir), "doc_id", "text"),
+    Some(winnowCtes + """
+      SELECT doc_id, fp FROM fp
+    """)
+  )
+
+  /** MOSS match report: pairs sharing ≥2 winnowed fingerprints, df
+    * cap 64 pre-join (the selfOverlapPairs shape over the winnowed
+    * table).
+    */
+  val winnowPairs: Q = Q(
+    "winnow_pairs",
+    (s, dir) => Winnow.pairs(Tables.documents(s, dir), "doc_id", "text"),
+    Some(winnowCtes + """,
+      d AS (SELECT doc_id, fp FROM (
+              SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS dfc FROM fp)
+            WHERE dfc <= 64)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
     packSequences, packBestfit, tfidfTopTerms, dupNgramPairs, qualityWeightedSample,
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
     dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
-    wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs)
+    wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
+    winnowFingerprints, winnowPairs)
 }
