@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.llm.{Sampling, Similarity, TextHash}
-import graft.ops.{Analytics, Communities, PageRank, Scd, Triangles}
+import graft.ops.{Analytics, Communities, KCore, LinkPrediction, PageRank, Scd, Triangles}
 
 /** Product/OLAP analytics over `events` plus relational breadth ops
   * (explicit set operations, semi/anti joins, CUBE, exact
@@ -762,9 +762,86 @@ object AnalyticsQueries {
     """)
   )
 
+  /** 30-core of the customer–supplier order-flow graph: 3 unrolled
+    * peel rounds (measured fixpoint depth 2 at both gate scales —
+    * KCoreSpec re-asserts stability), same graph construction as
+    * supplier_pagerank / label_communities. Dense-backbone summary
+    * completing the graph family (PageRank, CC, LPA, triangles).
+    */
+  val kcoreNodes: Q = Q(
+    "kcore_nodes",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), (col("o_custkey") * 2).as("src"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select("src", "dst")
+      KCore.nodes(edges, "src", "dst", k = 30, rounds = 3)
+    },
+    Some("""
+      WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      u0 AS (SELECT src AS a, dst AS b FROM e0 UNION SELECT dst, src FROM e0),
+      k1 AS (SELECT a FROM (SELECT a, count(*) AS deg FROM u0 GROUP BY 1)
+             WHERE deg >= 30),
+      u1 AS (SELECT u0.a, u0.b FROM u0 JOIN k1 x ON u0.a = x.a
+                                       JOIN k1 y ON u0.b = y.a),
+      k2 AS (SELECT a FROM (SELECT a, count(*) AS deg FROM u1 GROUP BY 1)
+             WHERE deg >= 30),
+      u2 AS (SELECT u1.a, u1.b FROM u1 JOIN k2 x ON u1.a = x.a
+                                       JOIN k2 y ON u1.b = y.a),
+      k3 AS (SELECT a FROM (SELECT a, count(*) AS deg FROM u2 GROUP BY 1)
+             WHERE deg >= 30),
+      u3 AS (SELECT u2.a, u2.b FROM u2 JOIN k3 x ON u2.a = x.a
+                                       JOIN k3 y ON u2.b = y.a)
+      SELECT a AS id, count(*) AS deg FROM u3 GROUP BY 1
+    """)
+  )
+
+  /** Adamic–Adar link prediction over the embedding kNN graph (same
+    * graph as knn_triangles): non-adjacent pairs ranked by
+    * Σ 1/ln(deg) over shared neighbors, hub-bounded pair generation,
+    * integer micro-quantized contributions.
+    */
+  val linkPrediction: Q = Q(
+    "link_prediction",
+    (s, dir) => LinkPrediction.adamicAdar(
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 3),
+      "src", "dst"),
+    Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                   list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]),
+                               (x, y) -> x + y) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      g AS (SELECT src, dst FROM (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+              FROM s) WHERE rank <= 3),
+      und AS (SELECT src AS a, dst AS b FROM g UNION SELECT dst, src FROM g),
+      deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+      hub AS (SELECT und.a AS u, und.b AS w, deg.deg
+              FROM und JOIN deg ON und.b = deg.a
+              WHERE deg.deg <= 64),
+      p AS (SELECT x.u AS id_a, y.u AS id_b,
+                   count(*) AS n_common,
+                   CAST(sum(floor(1e6 / ln(x.deg) + 0.5)::BIGINT) AS BIGINT) AS aa_micro
+            FROM hub x JOIN hub y ON x.w = y.w AND x.u < y.u
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT id_a, id_b, n_common, aa_micro
+      FROM p ANTI JOIN und ON p.id_a = und.a AND p.id_b = und.b
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
     groupingSetsStats, scd2History, knnTriangles, eventTransitions,
-    paretoFront, labelCommunities, spearmanRank, assocRules)
+    paretoFront, labelCommunities, spearmanRank, assocRules,
+    kcoreNodes, linkPrediction)
 }
