@@ -160,4 +160,33 @@ object EmbeddingStats {
         aggregate(zip_with(col("__v"), dir, (a, b) => a * b),
           lit(0.0), (acc, x) => acc + x).as("pc1"))
   }
+
+  /** Johnson–Lindenstrauss random projection `dim → outDim`: rows of
+    * the projection matrix are [[Similarity.md5Planes]] (group 0) —
+    * uniform-symmetric md5-derived entries, so the EXACT doubles
+    * restate in the oracle (the LSH-planes trick, here keeping the
+    * raw dot VALUES instead of sign buckets). Entry variance is 1/12,
+    * so squared distances scale by outDim/12 in expectation —
+    * distance RATIOS (all JL consumers care about) are preserved
+    * within the JL distortion bound; EmbeddingStatsSpec measures the
+    * concentration on seeded Gaussian data.
+    *
+    * Output `(vec_id, j, y)`, one row per projected coordinate
+    * (j ∈ 1..outDim). Scale design: a pure projection — the plane
+    * matrix is ONE nested literal (outDim·dim doubles, broadcast with
+    * the plan), the per-row cost is outDim fused dot folds, zero
+    * shuffles. At 100 TB this is the cheap pre-pass that lets the
+    * ANN / clustering family work in 4× fewer dimensions.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int): DataFrame = {
+    val planes = Similarity.md5Planes(dim, groups = 1, bitsPerGroup = outDim).head
+    val dotF = Similarity.dotAdaptive(df)(_, _)
+    df.select(col(idCol).cast("long").as("vec_id"),
+        Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .select(col("vec_id"), col("v"),
+        posexplode(typedlit(planes)).as(Seq("p", "plane")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("j"),
+        dotF(col("v"), col("plane")).as("y"))
+  }
 }

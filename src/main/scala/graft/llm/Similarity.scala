@@ -348,24 +348,22 @@ object Similarity {
     */
   def kmeansCells(df: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int): DataFrame = {
+    val cents = lloydCentroids(df, idCol, vecCol, k, iters)
+    assignCells(df, idCol, vecCol, cents)
+  }
+
+  /** The Lloyd loop of [[kmeansCells]], returning the centroids
+    * themselves — reused by the product-quantization codebooks
+    * ([[Pq]]), which need the centroid VALUES for asymmetric distance
+    * tables, not just assignments. Identical pinned computation
+    * (seed = k smallest ids, order-pinned element folds, empty cells
+    * keep their previous centroid).
+    */
+  def lloydCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
-    val spark = df.sparkSession
     val base = withNorm(df.select(col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("v")), "v").persist()
-
-    def centFrame(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      import spark.implicits._
-      cents.toDF("cell", "cv").withColumn("cn", dot(col("cv"), col("cv")))
-    }
-    def assign(cdf: DataFrame): DataFrame = {
-      val scored = base.crossJoin(broadcast(cdf))
-        .select(col("id").as("vec_id"), col("cell"),
-          (col("__norm") + col("cn") - lit(2.0) * dot(col("v"), col("cv")))
-            .as("dist"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-    }
 
     // seeds: the k smallest ids (TakeOrdered — distributed, no global sort)
     var cents: Seq[(Int, Seq[Double])] = base.orderBy("id").limit(k)
@@ -374,7 +372,7 @@ object Similarity {
     val dim = cents.head._2.length
 
     (0 until iters).foreach { _ =>
-      val upd = assign(centFrame(cents))
+      val upd = assignOn(base, centFrame(df, cents))
         .join(base, col("vec_id") === col("id"))
         .groupBy("cell")
         .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("lst"),
@@ -386,9 +384,34 @@ object Similarity {
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
       cents = cents.map { case (j, old) => (j, upd.getOrElse(j, old)) }
     }
-    val out = assign(centFrame(cents))
     base.unpersist()
-    out
+    cents
+  }
+
+  /** One nearest-centroid assignment pass: `(vec_id, cell, dist)` with
+    * dist = ‖v‖² + ‖c‖² − 2·v·c, ties to the smallest cell id.
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val base = withNorm(df.select(col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("v")), "v")
+    assignOn(base, centFrame(df, cents))
+  }
+
+  private def centFrame(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toDF("cell", "cv").withColumn("cn", dot(col("cv"), col("cv")))
+  }
+
+  private def assignOn(base: DataFrame, cdf: DataFrame): DataFrame = {
+    val scored = base.crossJoin(broadcast(cdf))
+      .select(col("id").as("vec_id"), col("cell"),
+        (col("__norm") + col("cn") - lit(2.0) * dot(col("v"), col("cv")))
+          .as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   /** Symmetric per-vector int8 scalar quantization (the FAISS `SQ8`

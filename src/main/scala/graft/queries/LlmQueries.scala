@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, EmbeddingStats, Multimodal, Redact, Retrieval, Similarity, Sparse, TextStats}
+import graft.llm.{Dedup, EmbeddingStats, Multimodal, Pq, Redact, Retrieval, Similarity, Sparse, TextStats}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup family, similarity search, text analysis, multimodal
@@ -1246,6 +1246,109 @@ object LlmQueries {
     """)
   )
 
+  /** Johnson–Lindenstrauss projection 64 → 16: md5-derived plane
+    * rows (the LSH trick keeping raw dot values), one row per
+    * projected coordinate. The dimensionality-reduction pre-pass of
+    * the ANN family; distance-ratio preservation is measured in
+    * EmbeddingStatsSpec on seeded data (not testdata geometry).
+    */
+  val rpProjectQ: Q = Q(
+    "rp_project",
+    (s, dir) => EmbeddingStats.randomProject(Tables.embeddings(s, dir),
+      "vec_id", "embedding", dim = 64, outDim = 16),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pl AS (SELECT p, list_transform(range(64), d ->
+               ('0x' || substr(md5('0:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 - 0.5) AS plane
+             FROM (SELECT unnest(range(16)) AS p))
+      SELECT vec_id, p + 1 AS j,
+             list_reduce(list_transform(range(1, 65),
+               i -> v[i::INT] * plane[i::INT]), (a, b) -> a + b) AS y
+      FROM e CROSS JOIN pl
+    """)
+  )
+
+  /** Per-subspace PQ oracle chain for subspace `s` (16 dims, 16
+    * codes, one Lloyd update) — the kmeans_cells replay specialized
+    * to the subvector slice, ending in `cd$s` = each vector's decoded
+    * centroid for that subspace.
+    */
+  private def pqSubCtes(s: Int): String = {
+    val lo = s * 16 + 1
+    val hi = s * 16 + 16
+    s"""
+      n$s AS (SELECT vec_id, v[$lo:$hi] AS vs,
+                     list_reduce(list_transform(v[$lo:$hi], x -> x * x), (a, b) -> a + b) AS nrm
+              FROM e),
+      c0$s AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS code, vs AS cv
+               FROM n$s QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+      a1$s AS (SELECT vec_id, code FROM (
+                 SELECT n.vec_id, c.code,
+                        n.nrm + list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)
+                          - 2 * list_reduce(list_transform(range(1, 17), i -> n.vs[i::INT] * c.cv[i::INT]), (a, b) -> a + b) AS dist
+                 FROM n$s n CROSS JOIN c0$s c) t
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1),
+      m1$s AS (SELECT a.code, list(n2.vs ORDER BY n2.vec_id) AS vss, count(*) AS cnt
+               FROM a1$s a JOIN n$s n2 USING (vec_id) GROUP BY 1),
+      c1$s AS (SELECT p.code,
+                      CASE WHEN mm.cnt IS NULL THEN p.cv
+                           ELSE list_transform(range(16), kk ->
+                             list_reduce(list_transform(mm.vss, vv -> vv[(kk + 1)::INT]), (a, b) -> a + b) / mm.cnt)
+                      END AS cv
+               FROM c0$s p LEFT JOIN m1$s mm USING (code)),
+      a2$s AS (SELECT vec_id, code FROM (
+                 SELECT n.vec_id, c.code,
+                        n.nrm + list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)
+                          - 2 * list_reduce(list_transform(range(1, 17), i -> n.vs[i::INT] * c.cv[i::INT]), (a, b) -> a + b) AS dist
+                 FROM n$s n CROSS JOIN c1$s c) t
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) = 1),
+      cd$s AS (SELECT a.vec_id, c.cv FROM a2$s a JOIN c1$s c USING (code))"""
+  }
+
+  /** Per-subspace ADC term: ‖q_s − decoded centroid‖² as the same
+    * sequential fold the engine runs.
+    */
+  private def pqAdcTerm(s: Int): String = {
+    val off = s * 16
+    s"""list_reduce(list_transform(range(1, 17),
+        i -> (q.v[(i + $off)::INT] - x$s.cv[i::INT]) * (q.v[(i + $off)::INT] - x$s.cv[i::INT])),
+        (a, b) -> a + b)"""
+  }
+
+  /** Product quantization top-5 (4 subspaces × 16 codes, one Lloyd
+    * update each, asymmetric distance): the oracle replays all four
+    * codebook trainings, the encoding, and the ADC scan end to end.
+    */
+  val pqTopkQ: Q = Q(
+    "pq_topk",
+    (s, dir) => Pq.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5),
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${pqSubCtes(0)},
+      ${pqSubCtes(1)},
+      ${pqSubCtes(2)},
+      ${pqSubCtes(3)},
+      q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 40 = 0),
+      pair AS (
+        SELECT q.query_id, x0.vec_id AS neighbor_id,
+               (((${pqAdcTerm(0)}
+                + ${pqAdcTerm(1)})
+                + ${pqAdcTerm(2)})
+                + ${pqAdcTerm(3)}) AS adist
+        FROM q CROSS JOIN cd0 x0
+             JOIN cd1 x1 ON x1.vec_id = x0.vec_id
+             JOIN cd2 x2 ON x2.vec_id = x0.vec_id
+             JOIN cd3 x3 ON x3.vec_id = x0.vec_id
+        WHERE x0.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM pair QUALIFY rank <= 5
+    """)
+  )
+
   /** Shared BM25 oracle CTE chain (inverted index + per-term
     * micro-quantized contributions + per-query ranking) — reused by
     * the plain top-k query and the RRF hybrid. Every double op is
@@ -1353,5 +1456,5 @@ object LlmQueries {
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
     semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
-    embeddingGram, pcaProjectQ, bm25Q, rrfHybridQ)
+    embeddingGram, pcaProjectQ, bm25Q, rrfHybridQ, rpProjectQ, pqTopkQ)
 }

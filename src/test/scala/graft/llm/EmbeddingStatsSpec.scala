@@ -79,4 +79,32 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(lambda > 0)
     assert(residual < 0.02, s"residual $residual exceeds the documented ~1.2% bound")
   }
+
+  test("randomProject: JL distance-ratio concentration on seeded Gaussian data") {
+    import spark.implicits._
+    val r = new scala.util.Random(42)
+    val n = 60
+    val vecs = Seq.tabulate(n)(i => (i.toLong, Seq.fill(64)(r.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = EmbeddingStats.randomProject(df, "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    // squared-distance ratios over a pair sample; JL with k=16 keeps
+    // them concentrated around the common scale factor (outDim/12)
+    val pairs = for (i <- 0 until n; j <- (i + 1) until n if (i + j) % 7 == 0)
+      yield (i.toLong, j.toLong)
+    val ratios = pairs.map { case (a, b) =>
+      sq(proj(a).toSeq, proj(b).toSeq) / sq(orig(a), orig(b)) }
+    val med = ratios.sorted.apply(ratios.length / 2)
+    assert(med > 0)
+    // k=16 => distortion sd ~ sqrt(2/16) = 0.35; 0.2..5x of median is
+    // >> 4 sigma for the fixed seed (deterministic, not flaky)
+    assert(ratios.forall(x => x > med * 0.2 && x < med * 5.0),
+      s"ratio spread too wide: min=${ratios.min}, med=$med, max=${ratios.max}")
+  }
 }
