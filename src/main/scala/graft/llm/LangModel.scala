@@ -85,4 +85,68 @@ object LangModel {
         col("sum_ll_micro").cast("double") /
           (col("n_bigrams").cast("double") * lit(1e6)))
   }
+
+  /** Per-document INTERPOLATED KNESER–NEY bigram log-likelihood (Kneser
+    * & Ney 1995; the smoothing every production n-gram LM ships —
+    * KenLM's default — where add-one is the classroom baseline):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    *            + (D·N1+(w1,·)/c(w1·)) · N1+(·,w2)/N1+(·,·)
+    *
+    * The second term is the CONTINUATION probability: how many
+    * distinct contexts w2 follows, not how often it occurs — the
+    * "Francisco problem" (frequent but only ever after "San" ⇒ tiny
+    * continuation weight). D = 0.75, the standard fixed discount.
+    *
+    * Same scale/determinism skeleton as [[bigramScore]]: all five
+    * model tables (c2, c1, N1+(w1,·), N1+(·,w2), N1+(·,·)) are
+    * vocabulary-bounded aggregates of the bigram-TYPE table; shuffles
+    * carry distinct (doc, bigram) pairs; the double probability
+    * assembles in ONE fixed-association expression and quantizes to
+    * integer micro-nats immediately. Every bigram in a document also
+    * occurs in the (self-trained) corpus counts, so c(w1,w2) ≥ 1 and
+    * max(c−D,0) ≥ 0.25 > 0 — P is strictly positive with no smoothing
+    * epsilon needed.
+    */
+  def kneserNeyScore(df: DataFrame, idCol: String, textCol: String,
+                     discount: Double = 0.75): DataFrame = {
+    val ws = words(lower(trim(col(textCol))))
+    val base = df.select(col(idCol).as("doc_id"), ws.as("__ws"))
+    val pairs = base.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+
+    val docBi = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val n1pW1 = c2.groupBy("w1").agg(count(lit(1)).as("n1p"))   // distinct continuations of w1
+    val nCtx = c2.groupBy("w2").agg(count(lit(1)).as("nctx"))   // distinct left contexts of w2
+    val nBig = c2.agg(count(lit(1)).as("nbig"))                 // total bigram types
+
+    val p = greatest(col("c2").cast("double") - lit(discount), lit(0.0)) /
+      col("c1").cast("double") +
+      lit(discount) * col("n1p").cast("double") / col("c1").cast("double") *
+        (col("nctx").cast("double") / col("nbig").cast("double"))
+    val llMicro = floor(log(p) * lit(1e6) + lit(0.5)).cast("long").as("ll_micro")
+
+    docBi
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(n1pW1, Seq("w1"))
+      .join(nCtx, Seq("w2"))
+      .crossJoin(broadcast(nBig))
+      .select(col("doc_id"), col("m"), llMicro)
+      .groupBy("doc_id")
+      .agg(
+        sum("m").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        sum(col("m") * col("ll_micro")).as("sum_ll_micro"))
+      .withColumn("avg_ll",
+        col("sum_ll_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6)))
+  }
 }

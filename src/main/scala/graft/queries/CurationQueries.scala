@@ -685,6 +685,45 @@ object CurationQueries {
     """)
   )
 
+  /** Interpolated Kneser–Ney bigram LM score — the production
+    * smoothing next to lm_bigram_score's add-one baseline: discounted
+    * bigram MLE interpolated with the CONTINUATION unigram (distinct
+    * left-contexts, not frequency — the "Francisco" fix). Same
+    * integer micro-nat policy; all five model tables are
+    * vocabulary-bounded.
+    */
+  val lmKneserNey: Q = Q(
+    "lm_kneser_ney",
+    (s, dir) => LangModel.kneserNeyScore(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+                 FROM documents),
+      be AS (SELECT doc_id, ws[i::INT] AS w1, ws[(i + 1)::INT] AS w2
+             FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+      db AS (SELECT doc_id, w1, w2, count(*) AS m FROM be GROUP BY 1, 2, 3),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM be GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM be GROUP BY 1),
+      np AS (SELECT w1, count(*) AS n1p FROM c2 GROUP BY 1),
+      nc AS (SELECT w2, count(*) AS nctx FROM c2 GROUP BY 1),
+      nb AS (SELECT count(*) AS nbig FROM c2),
+      t AS (SELECT doc_id, m,
+                   floor(ln(
+                     greatest(c2.c2::DOUBLE - CAST(0.75 AS DOUBLE), 0.0) / c1.c1::DOUBLE
+                       + CAST(0.75 AS DOUBLE) * np.n1p::DOUBLE / c1.c1::DOUBLE
+                         * (nc.nctx::DOUBLE / nb.nbig::DOUBLE)
+                   ) * 1e6 + 0.5)::BIGINT AS llm
+            FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                 JOIN np USING (w1) JOIN nc USING (w2) CROSS JOIN nb)
+      SELECT doc_id,
+             CAST(sum(m) AS BIGINT) AS n_bigrams,
+             count(*) AS distinct_bigrams,
+             CAST(sum(m * llm) AS BIGINT) AS sum_ll_micro,
+             CAST(sum(m * llm) AS BIGINT)::DOUBLE
+               / (CAST(sum(m) AS BIGINT)::DOUBLE * 1e6) AS avg_ll
+      FROM t GROUP BY 1
+    """)
+  )
+
   /** Cross-document span dedup with rewrite (CCNet/RefinedWeb
     * paragraph dedup): 20-word spans repeated anywhere in the corpus
     * survive only at their first (doc_id, chunk_idx) occurrence and
@@ -1264,5 +1303,5 @@ object CurationQueries {
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
     dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
     wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
-    winnowFingerprints, winnowPairs)
+    winnowFingerprints, winnowPairs, lmKneserNey)
 }

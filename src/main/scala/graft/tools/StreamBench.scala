@@ -158,6 +158,15 @@ object StreamBench {
         windowDur = "10 minutes", delay = "5 seconds")),
       "imbalance_bars" -> (() => StatefulFeatures.imbalanceBars(
         source(), threshold = 9L)),
+      // stream-stream inner band join: trades enriched with same-key
+      // quotes within [ts-5s, ts] — two independent file sources over
+      // the same input. State = both sides buffered inside
+      // watermark-band; the row measures that buffer staying bounded.
+      "band_join" -> (() => Streams.bandJoin(
+        source().select(col("key"), col("ts"), col("price")),
+        source().select(col("key"), col("ts"), col("level_price"),
+          col("level_size")),
+        "key", "ts", "ts", bandSec = 5)),
       "wordpiece_score" -> (() => {
         val (im, cm) = graft.llm.Wordpiece.vocabMaps(wpVocab)
         docSource()

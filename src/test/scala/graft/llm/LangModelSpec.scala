@@ -49,4 +49,58 @@ class LangModelSpec extends SparkSpec {
     assert(joined.count() === expected.count())
     assert(joined.where(col("n_bigrams") =!= col("nb")).count() === 0)
   }
+
+  /** Reference KN probability with the engine's exact association. */
+  private def knMicro(c2: Long, c1: Long, n1p: Long, nctx: Long,
+                      nbig: Long): Long = {
+    val p = math.max(c2.toDouble - 0.75, 0.0) / c1.toDouble +
+      0.75 * n1p.toDouble / c1.toDouble * (nctx.toDouble / nbig.toDouble)
+    math.floor(math.log(p) * 1e6 + 0.5).toLong
+  }
+
+  test("Kneser-Ney matches hand counts on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a b c"
+    // c2: (a,b)=3 (b,a)=1 (b,c)=1; c1: a=3 b=2
+    // N1+(a,.)=1, N1+(b,.)=2; N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1; nbig=3
+    val df = Seq(("1", "a b a b"), ("2", "a b c")).toDF("doc_id", "text")
+    val out = LangModel.kneserNeyScore(df, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    val llAB = knMicro(3, 3, 1, 1, 3)
+    val llBA = knMicro(1, 2, 2, 1, 3)
+    val llBC = knMicro(1, 2, 2, 1, 3)
+    assert(out("1").getAs[Long]("sum_ll_micro") === 2 * llAB + llBA)
+    assert(out("1").getAs[Long]("n_bigrams") === 3L)
+    assert(out("2").getAs[Long]("sum_ll_micro") === llAB + llBC)
+  }
+
+  test("continuation weighting: the Francisco effect orders equal-frequency bigrams") {
+    import spark.implicits._
+    // 'versatile' follows 4 distinct contexts once each; 'francisco'
+    // follows only 'san' 4 times. Equal unigram frequency (4), equal
+    // per-bigram c2=1 vs c2=4... instead compare two TEST bigrams with
+    // identical (c2, c1): (p1, versatile) vs (san2, francisco2) where
+    // francisco2 only ever follows san2 but versatile spreads.
+    val corpus = Seq(
+      ("1", "p1 versatile"), ("2", "p2 versatile"),
+      ("3", "p3 versatile"), ("4", "p4 versatile"), ("5", "p5 versatile"),
+      ("6", "san francisco"), ("7", "san francisco"),
+      ("8", "san francisco"), ("9", "san francisco")
+    ).toDF("doc_id", "text")
+    val out = LangModel.kneserNeyScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[String]("doc_id") ->
+        r.getAs[Long]("sum_ll_micro")).toMap
+    // doc 1: c2(p1,versatile)=1, c1(p1)=1, n1p=1, nctx(versatile)=5, nbig=6
+    // doc 6: c2(san,francisco)=4, c1(san)=4, n1p=1, nctx(francisco)=1, nbig=6
+    assert(out("1") === knMicro(1, 1, 1, 5, 6))
+    assert(out("6") === knMicro(4, 4, 1, 1, 6))
+    // the discounted-MLE parts are close (0.25/1=0.25+0.625 vs
+    // 3.25/4+0.031) but the continuation term rewards the
+    // many-context word decisively (0.875 vs 0.844). (At 4 contexts
+    // both sides land on exactly 0.85 — a fun quantization tie.)
+    val pVers = math.max(1.0 - 0.75, 0.0) / 1.0 + 0.75 * 1.0 / 1.0 * (5.0 / 6.0)
+    val pFran = math.max(4.0 - 0.75, 0.0) / 4.0 + 0.75 * 1.0 / 4.0 * (1.0 / 6.0)
+    assert(pVers > pFran, "continuation term must dominate here")
+    assert(out("1") > out("6"))
+  }
 }
