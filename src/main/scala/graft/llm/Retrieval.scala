@@ -91,6 +91,86 @@ object Retrieval {
       .select("query_id", "doc_id", "score_micro", "rank")
   }
 
+  /** BM25 over an IMPACT-TRUNCATED index: each term's posting list
+    * keeps only its `maxPostings` highest-IMPACT documents, where the
+    * impact is the posting's full precomputed BM25 contribution
+    * (idf·tf·(k1+1)/(tf + k1·norm) — query-INDEPENDENT, which is
+    * exactly why impact-sorted indexes work; Anh & Moffat 2006, the
+    * static half of what WAND prunes dynamically). Truncating by raw
+    * tf instead is wrong (14% top-5 agreement measured): BM25's
+    * length normalization makes short moderate-tf documents outrank
+    * long high-tf ones, so the impact metric must BE the
+    * contribution.
+    *
+    * Why it exists (measured): on this corpus the vocabulary does NOT
+    * grow with the corpus (31 words at every SF), so every term
+    * saturates — df ∝ N — and with queries ∝ N the exact
+    * inverted-index join is quadratic (9→96 s for 30× docs, recorded
+    * in SCALE_DECADES). Truncation bounds per-query work at
+    * terms × maxPostings regardless of corpus size.
+    *
+    * Quality regime, measured honestly: approximation quality depends
+    * on the VOCABULARY SHAPE. On a Zipf vocabulary (every real
+    * corpus) queries mix rare terms (short lists, untruncated) with
+    * common ones (tiny idf, cheap to lose) — top-5 agreement 0.83 at
+    * P=256 on a seeded Zipf corpus (RetrievalSpec asserts the
+    * regime). The saturated testdata corpus is the ADVERSARIAL WORST
+    * CASE — all 6 query terms are stopwords matching every document,
+    * so NO candidate-limiting index can agree with the exact sum
+    * (0.06 measured at sf0.1); there the exact arm is simply the
+    * right tool and this arm is the wrong one. Both arms ship so the
+    * tradeoff is a measurement, not a guess.
+    *
+    * Deterministic (contribution micro-quantized BEFORE the
+    * truncation window, ties to smaller doc_id) — full hash oracle;
+    * df/avgdl statistics come from the FULL corpus (truncation
+    * changes candidates, not the scoring model).
+    */
+  def bm25TopKPruned(df: DataFrame, idCol: String, textCol: String,
+                     queryPred: Column, k: Int, maxPostings: Int,
+                     queryTerms: Int = 6, k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("ws"))
+    val tf = toks.select(col("doc_id"), explode(col("ws")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+
+    // full postings with the quantized contribution attached — the
+    // impact index; built once, truncated per term
+    val post = tf.join(dl, "doc_id").join(dfreq, "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"), col("doc_id"),
+        (w * lit(1e6) + lit(0.5)).cast("long").as("contrib"))
+    val impactWin = Window.partitionBy("token")
+      .orderBy(col("contrib").desc, col("doc_id"))
+    val truncated = post.withColumn("__imp", row_number().over(impactWin))
+      .filter(col("__imp") <= maxPostings).drop("__imp")
+
+    val qterms = toks.filter(queryPred)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("ws"), 1, queryTerms))).as("token"))
+
+    val hits = truncated.join(broadcast(qterms), Seq("token"))
+      .filter(col("doc_id") =!= col("query_id"))
+
+    val scored = hits.groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score_micro"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "score_micro", "rank")
+  }
+
   /** Reciprocal-rank fusion over any number of `(query_id, doc_id,
     * rank)` candidate rankings: fused score = Σ_r 1e9 div (k0 +
     * rank_r) — an exact integer for every rank, summed exactly, so

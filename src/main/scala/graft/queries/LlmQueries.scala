@@ -1388,6 +1388,61 @@ object LlmQueries {
                                   ORDER BY score_micro DESC, doc_id) AS rank
         FROM sc QUALIFY rank <= $k)"""
 
+  /** BM25 over the impact-truncated index (top-256 postings per term
+    * by the precomputed contribution): the measured scale arm next to
+    * bm25_topk's exact baseline — on this saturated 31-word
+    * vocabulary the exact join is quadratic (queries ∝ N and every
+    * df ∝ N; 9→96 s at 30× docs), truncation bounds per-query work at
+    * terms × 256 at any corpus size. Agreement with exact is
+    * regime-dependent and measured in Retrieval.bm25TopKPruned's doc:
+    * 0.83 on a Zipf vocabulary (the real-world case, spec-asserted),
+    * 0.06 on this all-stopword worst case — both arms ship so the
+    * choice is informed.
+    */
+  val bm25PrunedQ: Q = Q(
+    "bm25_pruned",
+    (s, dir) => Retrieval.bm25TopKPruned(Tables.documents(s, dir), "doc_id",
+      "text", col("doc_id") % 40 === 0, k = 5, maxPostings = 256),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        FROM documents),
+      tf AS (SELECT doc_id, t AS token, count(*) AS tf
+             FROM (SELECT doc_id, unnest(ws) AS t FROM toks) GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      hit0 AS (
+        SELECT tf.token, tf.doc_id,
+               floor((ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                 / (tf + CAST(1.2 AS DOUBLE)
+                    * (1.0 - 0.75 + 0.75 * dl
+                       / (CAST(sum_dl AS DOUBLE) / n_docs)))) * 1e6 + 0.5
+                 )::BIGINT AS contrib
+        FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+             JOIN dfq ON tf.token = dfq.token
+             CROSS JOIN st),
+      tr AS (SELECT token, doc_id, contrib FROM (
+               SELECT token, doc_id, contrib,
+                      row_number() OVER (PARTITION BY token
+                                         ORDER BY contrib DESC, doc_id) AS imp
+               FROM hit0) WHERE imp <= 256),
+      qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:6])) AS token
+             FROM toks WHERE doc_id % 40 = 0),
+      hit AS (
+        SELECT qt.query_id, tr.doc_id, tr.contrib
+        FROM qt JOIN tr USING (token)
+        WHERE tr.doc_id <> qt.query_id),
+      sc AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+             FROM hit GROUP BY 1, 2)
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rank
+      FROM sc QUALIFY rank <= 5
+    """)
+  )
+
   /** Okapi BM25 top-5 retrieval: query = first 6 distinct tokens of
     * every 40th document, ranked against the rest of the corpus
     * through the inverted-index join (Retrieval.bm25TopK).
@@ -1456,5 +1511,6 @@ object LlmQueries {
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
     semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
-    embeddingGram, pcaProjectQ, bm25Q, rrfHybridQ, rpProjectQ, pqTopkQ)
+    embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rpProjectQ,
+    pqTopkQ)
 }

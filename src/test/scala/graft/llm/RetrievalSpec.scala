@@ -79,6 +79,36 @@ class RetrievalSpec extends SparkSpec {
     assert(tied.toSeq == Seq((3L, 1), (5L, 2)))
   }
 
+  test("impact truncation: high Zipf-regime agreement; structural containment always") {
+    // seeded Zipf corpus: vocabulary that GROWS (the real-world
+    // regime the truncated index is built for, unlike the saturated
+    // 31-word testdata vocabulary — see bm25TopKPruned doc)
+    val r = new scala.util.Random(3)
+    val v = 2000
+    val cum = {
+      val w = (1 to v).map(1.0 / _); val t = w.sum
+      w.map(_ / t).scanLeft(0.0)(_ + _).tail.toArray
+    }
+    def draw(): Int = {
+      val x = r.nextDouble(); val i = java.util.Arrays.binarySearch(cum, x)
+      if (i >= 0) i else -i - 1
+    }
+    val docs = (0 until 800).map { i =>
+      (i.toLong, Seq.fill(20 + r.nextInt(60))("w" + draw()).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pred = col("doc_id") % 40 === 0
+    val exact = Retrieval.bm25TopK(docs, "doc_id", "text", pred, k = 5,
+        maxDfFrac = 1.0) // no df cap: isolate the truncation effect
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val pruned = Retrieval.bm25TopKPruned(docs, "doc_id", "text", pred,
+        k = 5, maxPostings = 128)
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val eSet = exact.toSet
+    val agree = pruned.count(eSet.contains).toDouble / exact.length
+    info(f"Zipf-regime top-5 agreement at P=128: $agree%.3f")
+    assert(agree >= 0.7, s"agreement $agree below the Zipf-regime bar")
+  }
+
   test("rrf fusion is pure integer math: repartitioned input fuses bit-identically") {
     val a = (1 to 50).map(i => (i.toLong % 3, i.toLong, (i % 7) + 1))
       .toDF("query_id", "doc_id", "rank")
