@@ -37,19 +37,22 @@ object Pq {
   /** `(query_id, neighbor_id, adist, rank)` — top-k by asymmetric PQ
     * distance, ties broken by neighbor id, self excluded.
     */
-  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
-             queryPred: Column, k: Int,
-             dim: Int = 64, m: Int = 4, codes: Int = 16,
-             iters: Int = 1): DataFrame = {
+  /** Codebook training + corpus encoding, shared by the brute ADC
+    * scan and the IVF-PQ composition: returns the per-subspace
+    * codebooks (driver metadata, m × codes × dim/m doubles) and the
+    * `(vec_id, codes[m])` table.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             dim: Int, m: Int, codes: Int,
+             iters: Int): (Seq[Seq[(Int, Seq[Double])]], DataFrame) = {
     require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sub = dim / m
     val base = df.select(col(idCol).cast("long").as("id"),
-      Similarity.toDoubleVec(col(vecCol)).as("v")).persist()
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
 
     def subDf(s: Int): DataFrame =
       base.select(col("id"), slice(col("v"), s * sub + 1, sub).as("vs"))
 
-    // per-subspace codebooks (driver metadata: m × codes × sub doubles)
     val books: Seq[Seq[(Int, Seq[Double])]] =
       (0 until m).map(s => Similarity.lloydCentroids(subDf(s), "id", "vs", codes, iters))
 
@@ -61,6 +64,36 @@ object Pq {
     val encoded = codeRows.groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
+    (books, encoded)
+  }
+
+  /** The hoisted per-query ADC distance-table column (see pqTopK). */
+  private def dtColumn(qv: Column, books: Seq[Seq[(Int, Seq[Double])]],
+                       m: Int, codes: Int, sub: Int): Column = {
+    val cent = typedlit(books.map(_.sortBy(_._1).map(_._2)))
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(sequence(lit(0), lit(codes - 1)), c =>
+        sqd(slice(qv, s * lit(sub) + lit(1), lit(sub)),
+          element_at(element_at(cent, s + 1), c + 1))))
+  }
+
+  /** adist = Σ_s dt[s][codes[s]] — fixed fold order, init 0.0. */
+  private def adistColumn(dt: Column, codesCol: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(dt, s + 1),
+        element_at(codesCol, s + 1).cast("int") + 1))
+
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int,
+             dim: Int = 64, m: Int = 4, codes: Int = 16,
+             iters: Int = 1): DataFrame = {
+    val sub = dim / m
+    val base = df.select(col(idCol).cast("long").as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v")).persist()
+    val (books, encoded) = encode(base, "id", "v", dim, m, codes, iters)
 
     // ADC via hoisted per-query distance tables (the classic trick):
     // dt[s][code] = ‖q_s − c_{s,code}‖² computed ONCE per query row
@@ -72,24 +105,65 @@ object Pq {
     // IEEE ops on the same inputs in the same fold order, so adist is
     // bit-identical to the unhoisted form and the oracle's per-pair
     // restatement.
-    val cent = typedlit(books.map(_.sortBy(_._1).map(_._2)))
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val dtCol = transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(sequence(lit(0), lit(codes - 1)), c =>
-        sqd(slice(col("qv"), s * lit(sub) + lit(1), lit(sub)),
-          element_at(element_at(cent, s + 1), c + 1))))
     val q = base.filter(queryPred)
       .select(col("id").as("query_id"), col("v").as("qv"))
-      .withColumn("dt", dtCol)
+      .withColumn("dt", dtColumn(col("qv"), books, m, codes, sub))
       .select("query_id", "dt")
-    val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(col("dt"), s + 1),
-        element_at(col("codes"), s + 1).cast("int") + 1))
     val scored = q.join(encoded, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adist.as("adist"))
+        adistColumn(col("dt"), col("codes"), m).as("adist"))
+    base.unpersist()
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** IVF-PQ (the FAISS `IVFx,PQy` composition — the 100 TB shape):
+    * coarse k-means cells gate the CANDIDATE SET (each query scans
+    * only its `nprobe` nearest cells' code lists, an equi-join on the
+    * cell id — never the full corpus), PQ asymmetric distance scores
+    * it. Per-query work drops from O(corpus) to O(corpus ·
+    * nprobe/cells), and `cells` is the corpus-sized knob (k ∝ n /
+    * target-cell-occupancy, the [[ScalePolicy]] law — FAISS guidance
+    * is k ≈ √n-to-n/100 at billion scale).
+    *
+    * Every stage reuses an already-oracled pinned recipe: coarse
+    * cells = [[Similarity.lloydCentroids]] on the full vectors (the
+    * kmeans_cells replay), codebooks/encoding = [[encode]] (the
+    * pq_topk replay), probing = same ‖q‖²+‖c‖²−2q·c ranking with
+    * ties to the smaller cell. The oracle replays ALL of it — five
+    * Lloyd trainings, two assignments, the probe ranking, and the
+    * hoisted-ADC scan — end to end.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                dim: Int = 64, cells: Int = 8, cellIters: Int = 1,
+                nprobe: Int = 2, m: Int = 4, codes: Int = 16,
+                iters: Int = 1): DataFrame = {
+    val sub = dim / m
+    val base = df.select(col(idCol).cast("long").as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v")).persist()
+
+    val cellCents = Similarity.lloydCentroids(base, "id", "v", cells, cellIters)
+    val cellOf = Similarity.assignCells(base, "id", "v", cellCents)
+      .select(col("vec_id"), col("cell"))
+    val (books, encoded) = encode(base, "id", "v", dim, m, codes, iters)
+    val codesByCell = encoded.join(cellOf, "vec_id")
+
+    val queries = base.filter(queryPred)
+    val probes = Similarity.probeCells(queries, "id", "v", cellCents, nprobe)
+      .withColumnRenamed("vec_id", "query_id")
+    val qdt = queries
+      .select(col("id").as("query_id"), col("v").as("qv"))
+      .withColumn("dt", dtColumn(col("qv"), books, m, codes, sub))
+      .select("query_id", "dt")
+
+    val scored = probes.join(codesByCell, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qdt), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adistColumn(col("dt"), col("codes"), m).as("adist"))
     base.unpersist()
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -398,6 +398,24 @@ object Similarity {
     assignOn(base, centFrame(df, cents))
   }
 
+  /** Top-`nprobe` nearest centroids per row (ties to smaller cell id)
+    * — the IVF probe set; [[assignCells]] is the nprobe=1 case.
+    * `(vec_id, cell)`, nprobe rows per input row.
+    */
+  def probeCells(df: DataFrame, idCol: String, vecCol: String,
+                 cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    val base = withNorm(df.select(col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("v")), "v")
+    val scored = base.crossJoin(broadcast(centFrame(df, cents)))
+      .select(col("id").as("vec_id"), col("cell"),
+        (col("__norm") + col("cn") - lit(2.0) * dot(col("v"), col("cv")))
+          .as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select("vec_id", "cell")
+  }
+
   private def centFrame(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -784,17 +784,17 @@ object LlmQueries {
     * Fully unrolled in the oracle — every distance is the same
     * sequential fold on both engines.
     */
-  val kmeansCellsQ: Q = Q(
-    "kmeans_cells",
-    (s, dir) => Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id",
-      "embedding", k = 8, iters = 1),
-    Some(s"""
+  /** The kmeans_cells oracle chain (`k` cells, one Lloyd update),
+    * ending at `a2` = final corpus assignment under the updated
+    * centroids `c1` — shared with both IVF-PQ arms.
+    */
+  private def kmCellCtes(k: Int): String = s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       n AS (SELECT vec_id, v,
                    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
             FROM e),
       c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS cv
-             FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+             FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= $k),
       ${kmAssignCte("a1", "c0")},
       m1 AS (SELECT a.cell, list(n2.v ORDER BY n2.vec_id) AS vs, count(*) AS cnt
              FROM a1 a JOIN n n2 USING (vec_id) GROUP BY 1),
@@ -804,9 +804,82 @@ object LlmQueries {
                            list_reduce(list_transform(m.vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / m.cnt)
                     END AS cv
              FROM c0 p LEFT JOIN m1 m USING (cell)),
-      ${kmAssignCte("a2", "c1")}
+      ${kmAssignCte("a2", "c1")}"""
+
+  val kmeansCellsQ: Q = Q(
+    "kmeans_cells",
+    (s, dir) => Similarity.kmeansCells(Tables.embeddings(s, dir), "vec_id",
+      "embedding", k = 8, iters = 1),
+    Some(kmCellCtes(8) + """
       SELECT vec_id, cell, dist FROM a2
     """)
+  )
+
+  /** IVF-PQ composition (FAISS IVF8,PQ4x4 shape): coarse cells gate
+    * candidates via an equi-join on the probed cell ids (nprobe=2 of
+    * 8 — per-query work is corpus·nprobe/cells, and `cells` is the
+    * corpus-sized knob per ScalePolicy), PQ asymmetric distance
+    * scores them. The oracle replays all five Lloyd trainings, both
+    * assignments, the probe ranking, and the ADC scan.
+    */
+  /** Full IVF-PQ oracle for a (cells, nprobe) arm. */
+  private def ivfPqSql(cells: Int, nprobe: Int): String =
+    kmCellCtes(cells) + "," + s"""
+      ${pqSubCtes(0)},
+      ${pqSubCtes(1)},
+      ${pqSubCtes(2)},
+      ${pqSubCtes(3)},
+      qx AS (SELECT vec_id AS query_id, v, nrm FROM n WHERE vec_id % 40 = 0),
+      qp AS (SELECT query_id, cell FROM (
+               SELECT query_id, cell,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dist, cell) AS rn
+               FROM (
+                 SELECT qx.query_id, c.cell,
+                        qx.nrm + list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)
+                          - 2 * list_reduce(list_transform(range(1, 65), i -> qx.v[i::INT] * c.cv[i::INT]), (a, b) -> a + b) AS dist
+                 FROM qx CROSS JOIN c1 c) t0) t1
+             WHERE rn <= $nprobe),
+      cand AS (SELECT qp.query_id, a2.vec_id FROM qp JOIN a2 USING (cell)
+               WHERE a2.vec_id <> qp.query_id),
+      q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 40 = 0),
+      pair AS (
+        SELECT cand.query_id, cand.vec_id AS neighbor_id,
+               (((${pqAdcTerm(0)}
+                + ${pqAdcTerm(1)})
+                + ${pqAdcTerm(2)})
+                + ${pqAdcTerm(3)}) AS adist
+        FROM cand JOIN q ON q.query_id = cand.query_id
+             JOIN cd0 x0 ON x0.vec_id = cand.vec_id
+             JOIN cd1 x1 ON x1.vec_id = cand.vec_id
+             JOIN cd2 x2 ON x2.vec_id = cand.vec_id
+             JOIN cd3 x3 ON x3.vec_id = cand.vec_id)
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adist, neighbor_id) AS rank
+      FROM pair QUALIFY rank <= 5
+    """
+
+  val annIvfPqQ: Q = Q(
+    "ann_ivfpq_topk",
+    (s, dir) => Pq.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5),
+    Some(ivfPqSql(cells = 8, nprobe = 2))
+  )
+
+  /** The corpus-sized-cells arm (cells=64, nprobe=4): with a fixed
+    * cell count the candidate equi-join has only `cells` distinct
+    * keys — gating saved arithmetic at 20k vectors (9.5 vs 27 s brute)
+    * but 8-key SKEW made it LOSE at 60k (58 vs 27 s). Growing cells
+    * with the corpus (the ScalePolicy occupancy law, FAISS practice)
+    * restores parallelism AND shrinks candidates; measured in
+    * SCALE_DECADES session4_family.
+    */
+  val annIvfPqScaledQ: Q = Q(
+    "ann_ivfpq_scaled",
+    (s, dir) => Pq.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5, cells = 64, nprobe = 4),
+    Some(ivfPqSql(cells = 64, nprobe = 4))
   )
 
   /** Oracle text for the SemDeDup chain at cluster count `k` — the
@@ -1512,5 +1585,5 @@ object LlmQueries {
     semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rpProjectQ,
-    pqTopkQ)
+    pqTopkQ, annIvfPqQ, annIvfPqScaledQ)
 }

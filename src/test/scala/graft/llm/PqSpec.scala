@@ -66,6 +66,37 @@ class PqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF-PQ: same answers as the brute ADC scan when the probed cells cover the cluster") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val brute = Pq.pqTopK(df, "vec_id", "embedding", col("id") % 10 === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = Pq.ivfPqTopK(df, "vec_id", "embedding", col("id") % 10 === 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 8 well-separated clusters, 8 cells, nprobe=2: the query's own
+    // cell is always probed, and the whole true top-5 lives there —
+    // the gated scan must return the identical ranking (same adist
+    // doubles: the ADC arithmetic is shared)
+    assert(ivf == brute, s"IVF gating changed results:\n  only-brute=${brute -- ivf}\n  only-ivf=${ivf -- brute}")
+  }
+
+  test("IVF-PQ candidates are genuinely gated: neighbors come only from probed cells") {
+    val df = corpus.toDF("vec_id", "embedding")
+    val base = df.select(col("vec_id").cast("long").as("id"),
+      Similarity.toDoubleVec(col("embedding")).as("v"))
+    val cents = Similarity.lloydCentroids(base, "id", "v", k = 8, iters = 1)
+    val cellOf = Similarity.assignCells(base, "id", "v", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = Similarity.probeCells(base.filter(col("id") % 10 === 0),
+        "id", "v", cents, nprobe = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getInt(1)).toSet }
+    val out = Pq.ivfPqTopK(df, "vec_id", "embedding", col("id") % 10 === 0, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => probed(r.getLong(0)).contains(cellOf(r.getLong(1)))),
+      "a neighbor came from an unprobed cell")
+  }
+
   test("adist is a true squared-distance surrogate: non-negative everywhere") {
     val df = corpus.toDF("vec_id", "embedding")
     val out = Pq.pqTopK(df, "vec_id", "embedding", col("id") % 10 === 0, k = 5)

@@ -345,6 +345,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), s"no cross product in fusion:\n$plan")
   }
 
+  test("ann_ivfpq_topk: candidates ride the cell equi-join — never a corpus cross product") {
+    val df = Registry.byName("ann_ivfpq_topk").fn(spark, sf("sf0.01"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF-PQ candidate generation must equi-join on cell:\n$plan")
+  }
+
   test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
     Seq("asof_join_native", "asof_join_forward_native", "asof_join_nearest_native")
       .foreach { name =>
