@@ -688,7 +688,60 @@ object IndicatorQueries {
     """)
   )
 
+  /** Two-sided CUSUM monitor per user series (Page 1954): z
+    * standardized against DECIMAL-exact per-key moments, micro-σ
+    * integer recursions with Page restart, full trajectory emitted.
+    * The sequential complement to psi_drift's batch window screen;
+    * slack 0.5σ / threshold 3σ (standard tuning). The oracle restates
+    * the reset recursion as a per-key row-stepped RECURSIVE chain —
+    * depth = longest per-user series (~70 here), breadth = all users
+    * per step.
+    */
+  val cusumMonitor: Q = Q(
+    "cusum_monitor",
+    (s, dir) => graft.ops.Cusum.monitor(events(s, dir), "user_id",
+      Seq("ts", "event_id"), "value",
+      slackMicro = 500000L, thresholdMicro = 3000000L),
+    Some(s"""
+      WITH RECURSIVE $evCte,
+      p AS (SELECT user_id, ts, event_id, CAST(value AS DECIMAL(19,4)) AS p
+            FROM ev),
+      m AS (SELECT user_id, count(*) AS n,
+                   sum(p) AS s, sum(p * p) AS ss
+            FROM p GROUP BY 1),
+      st AS (SELECT user_id, n,
+                    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                    sqrt(CAST(n AS DOUBLE) * CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / CAST(n AS DOUBLE) AS sigma
+             FROM m),
+      stf AS (SELECT * FROM st WHERE n >= 2 AND sigma > 0.0),
+      zr AS (SELECT p.user_id, p.ts, p.event_id,
+                    floor((CAST(p.p AS DOUBLE) - stf.mu) / stf.sigma * 1e6 + 0.5)::BIGINT AS z_micro,
+                    row_number() OVER (PARTITION BY p.user_id
+                                       ORDER BY p.ts, p.event_id) AS rn
+             FROM p JOIN stf USING (user_id)),
+      rec AS (
+        SELECT user_id, rn, ts, event_id, z_micro,
+               greatest(z_micro - 500000, 0) AS s_plus,
+               greatest(-z_micro - 500000, 0) AS s_minus
+        FROM zr WHERE rn = 1
+        UNION ALL
+        SELECT z.user_id, z.rn, z.ts, z.event_id, z.z_micro,
+               greatest(CASE WHEN r.s_plus >= 3000000 OR r.s_minus >= 3000000
+                             THEN 0 ELSE r.s_plus END + z.z_micro - 500000, 0),
+               greatest(CASE WHEN r.s_plus >= 3000000 OR r.s_minus >= 3000000
+                             THEN 0 ELSE r.s_minus END - z.z_micro - 500000, 0)
+        FROM rec r JOIN zr z ON z.user_id = r.user_id AND z.rn = r.rn + 1)
+      SELECT user_id, ts, event_id, z_micro,
+             CAST(s_plus AS BIGINT) AS s_plus,
+             CAST(s_minus AS BIGINT) AS s_minus,
+             (s_plus >= 3000000 OR s_minus >= 3000000) AS alarm
+      FROM rec
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
     twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread, feedHealth,
-    rollSpread, kyleLambda, amihudIlliq, bipowerVar)
+    rollSpread, kyleLambda, amihudIlliq, bipowerVar, cusumMonitor)
 }
