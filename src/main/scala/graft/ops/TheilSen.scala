@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextHash
+
+/** Theil–Sen robust slope estimator (Theil 1950, Sen 1968): the
+  * median of all pairwise slopes — 29% breakdown point where OLS
+  * ([[graft.queries.IndicatorQueries]] kyle_lambda) breaks on one
+  * wild tick. The robust-regression member of the stats family next
+  * to Spearman (rank correlation) and MAD-style winsorization.
+  *
+  * Scale design (100 TB): all-pairs on a full series is quadratic,
+  * so slopes are computed on a per-key DETERMINISTIC BOTTOM-K SAMPLE
+  * (k smallest md5 deviates — the [[Quantiles]] mergeable-sketch
+  * trick, order-independent and engine-exact), bounding pair work at
+  * k²/2 per key regardless of series length; Theil–Sen on a random
+  * subsample is the standard estimator at scale (sampling keeps the
+  * median's consistency). One shuffle for the sample, one
+  * key-bounded self-join, one rank selection — no global sorts.
+  *
+  * Determinism: the sample is md5-pinned; each pairwise slope is one
+  * double division quantized to integer PICO-units immediately
+  * (slopes here are per-microsecond, hence the fine grain —
+  * LangModel policy); the median is rank selection (lower median) on
+  * integers. Equal-x pairs are excluded by the a.x < b.x join
+  * predicate (slope undefined; both engines drop identically).
+  */
+object TheilSen {
+
+  /** `(key, n_sample, n_pairs, slope_pico)` per key: the lower-median
+    * pairwise slope in pico-units per x-unit over the bottom-`k`
+    * md5 sample.
+    */
+  def slope(df: DataFrame, keyCol: String, xCol: String, yCol: String,
+            idCol: String, k: Int, salt: String): DataFrame = {
+    val hashed = df.select(col(keyCol).as("key"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("double").as("y"),
+        TextHash.h32(concat(lit(salt + ":"), col(idCol).cast("string")))
+          .as("h"), col(idCol).cast("long").as("id"))
+    val w = Window.partitionBy("key").orderBy(col("h"), col("id"))
+    val sample = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn", "h")
+      .persist()
+    val nS = sample.groupBy("key").agg(count(lit(1)).as("n_sample"))
+
+    val pairs = sample.as("a").join(sample.as("b"),
+        col("a.key") === col("b.key") && col("a.x") < col("b.x"))
+      .select(col("a.key").as("key"),
+        floor((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))
+          * lit(1e12) + lit(0.5)).cast("long").as("slope_pico"),
+        col("a.id").as("ia"), col("b.id").as("ib"))
+    val pw = Window.partitionBy("key")
+      .orderBy(col("slope_pico"), col("ia"), col("ib"))
+    val ranked = pairs
+      .withColumn("prn", row_number().over(pw))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("key")))
+    ranked.filter(col("prn") === expr("(cnt + 1) div 2"))
+      .join(nS, "key")
+      .select(col("key"), col("n_sample"), col("cnt").as("n_pairs"),
+        col("slope_pico"))
+  }
+}

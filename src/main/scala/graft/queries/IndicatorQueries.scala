@@ -741,7 +741,42 @@ object IndicatorQueries {
     """)
   )
 
+  /** Theil–Sen robust trend per user series: lower-median pairwise
+    * slope (pico-units/µs) over the bottom-64 md5 sample — the
+    * 29%-breakdown robust complement to kyle_lambda's OLS. Pair work
+    * bounded at k²/2 per key at any series length.
+    */
+  val theilSenSlope: Q = Q(
+    "theilsen_slope",
+    (s, dir) => graft.ops.TheilSen.slope(
+      events(s, dir).withColumn("x_us", unix_micros(col("ts"))),
+      "user_id", "x_us", "value", "event_id", k = 64, salt = "tsen"),
+    Some(s"""
+      WITH $evCte,
+      h AS (SELECT user_id AS key, epoch_us(ts) AS x, value AS y, event_id AS id,
+                   ('0x' || substr(md5('tsen:' || event_id::VARCHAR), 1, 8))::BIGINT AS hh
+            FROM ev),
+      smp AS (SELECT key, x, y, id FROM (
+                SELECT key, x, y, id,
+                       row_number() OVER (PARTITION BY key ORDER BY hh, id) AS rn
+                FROM h) WHERE rn <= 64),
+      ns AS (SELECT key, count(*) AS n_sample FROM smp GROUP BY 1),
+      pr AS (SELECT a.key,
+                    floor((b.y - a.y) / (b.x - a.x) * 1e12 + 0.5)::BIGINT AS slope_pico,
+                    a.id AS ia, b.id AS ib
+             FROM smp a JOIN smp b ON a.key = b.key AND a.x < b.x),
+      rk AS (SELECT key, slope_pico,
+                    row_number() OVER (PARTITION BY key
+                                       ORDER BY slope_pico, ia, ib) AS prn,
+                    count(*) OVER (PARTITION BY key) AS cnt
+             FROM pr)
+      SELECT key, n_sample, CAST(cnt AS BIGINT) AS n_pairs, slope_pico
+      FROM rk JOIN ns USING (key)
+      WHERE prn = (cnt + 1) // 2
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
     twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread, feedHealth,
-    rollSpread, kyleLambda, amihudIlliq, bipowerVar, cusumMonitor)
+    rollSpread, kyleLambda, amihudIlliq, bipowerVar, cusumMonitor, theilSenSlope)
 }

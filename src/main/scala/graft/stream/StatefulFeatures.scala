@@ -40,6 +40,45 @@ object StatefulFeatures {
                        prevAskPrice: Double, prevAskSize: Double, hasPrev: Boolean)
   case class BookOut(key: Long, tsUs: Long, ofi: Option[Double])
 
+  case class CusumTick(key: Long, tsUs: Long, zMicro: Long)
+  case class CusumState(sp: Long, sm: Long)
+  case class CusumOut(key: Long, tsUs: Long, zMicro: Long,
+                      sPlus: Long, sMinus: Long, alarm: Boolean)
+
+  /** Streaming two-sided CUSUM ([[graft.ops.Cusum]]'s recursion on a
+    * stream): input rows arrive ALREADY standardized to integer
+    * micro-σ `zMicro` — in production z is a map-side projection
+    * against a broadcast pre-trained reference (the PSI/CCNet
+    * train-once-apply-as-constants discipline), so the stateful
+    * operator carries exactly TWO longs per key. Page restart on
+    * alarm. Closed trajectories are bit-identical to the batch
+    * operator across any micro-batch split (CusumStreamSpec) because
+    * the recursion is pure integer arithmetic.
+    */
+  def cusum(ticks: DataFrame, slackMicro: Long,
+            thresholdMicro: Long): DataFrame = {
+    import ticks.sparkSession.implicits._
+    val typed = ticks.select(col("key").cast("long"),
+        col("tsUs").cast("long"), col("zMicro").cast("long"))
+      .as[CusumTick]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[CusumTick], state: GroupState[CusumState]) => {
+          val batch = it.toArray.sortBy(_.tsUs)
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val out = batch.map { t =>
+            val sp = math.max(0L, st.sp + t.zMicro - slackMicro)
+            val sm = math.max(0L, st.sm - t.zMicro - slackMicro)
+            val alarm = sp >= thresholdMicro || sm >= thresholdMicro
+            st = if (alarm) CusumState(0L, 0L) else CusumState(sp, sm)
+            CusumOut(key, t.tsUs, t.zMicro, sp, sm, alarm)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
   def apply(ticks: DataFrame, alpha: Double): DataFrame = {
     import ticks.sparkSession.implicits._
     val typed = ticks
