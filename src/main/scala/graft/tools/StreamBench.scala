@@ -158,6 +158,14 @@ object StreamBench {
         windowDur = "10 minutes", delay = "5 seconds")),
       "imbalance_bars" -> (() => StatefulFeatures.imbalanceBars(
         source(), threshold = 9L)),
+      // streaming drift monitor: z standardized map-side against a
+      // FIXED pre-trained reference (the production deployment — no
+      // stream-side statistics), recursion state = two longs per key
+      "cusum_monitor" -> (() => StatefulFeatures.cusum(
+        source().select(col("key"), col("tsUs"),
+          floor((col("price") - lit(250.0)) / lit(144.0) * lit(1e6) + lit(0.5))
+            .cast("long").as("zMicro")),
+        slackMicro = 500000L, thresholdMicro = 4000000L)),
       // stream-stream inner band join: trades enriched with same-key
       // quotes within [ts-5s, ts] — two independent file sources over
       // the same input. State = both sides buffered inside
