@@ -353,6 +353,32 @@ class PlanSpec extends SparkSpec {
       s"IVF-PQ candidate generation must equi-join on cell:\n$plan")
   }
 
+  test("theilsen_slope: bottom-k sample pushes as WindowGroupLimit; no cross product") {
+    val df = Registry.byName("theilsen_slope").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"sample rank limit must push below the sort:\n$plan")
+    assert(!plan.contains("Cartesian"),
+      s"pair generation must ride the key equi-join:\n$plan")
+  }
+
+  test("cusum_monitor: stats broadcast onto the scan; exactly the agg + repartition exchanges") {
+    val df = Registry.byName("cusum_monitor").fn(spark, sf("sf0.01"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-key moments must broadcast back, not shuffle-join:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"the recursion must be the sequential scan, not a window:\n$plan")
+    // shuffle exchanges only (broadcast exchanges are the point); the
+    // AQE toString prints Current + Initial plans, so cut at the marker
+    val current = plan.split("== Initial Plan ==")(0)
+    val shuffles = "(?<!Broadcast)Exchange (hashpartitioning|RoundRobin|rangepartitioning)".r
+      .findAllIn(current).size
+    assert(shuffles <= 2,
+      s"expected only the moment-agg and repartition shuffles, got $shuffles:\n$current")
+  }
+
   test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
     Seq("asof_join_native", "asof_join_forward_native", "asof_join_nearest_native")
       .foreach { name =>
