@@ -398,6 +398,54 @@ object Similarity {
     assignOn(base, centFrame(df, cents))
   }
 
+  /** JL-prefilter + exact re-rank ANN: shortlist each query's
+    * `shortlist` nearest corpus rows by squared L2 in the `outDim`
+    * Johnson–Lindenstrauss projection ([[EmbeddingStats.randomProject]]'s
+    * md5 planes — 4× less arithmetic per pair at outDim = dim/4),
+    * then score ONLY the shortlist with exact 64-d cosine. The
+    * prefilter+rerank composition is the pattern FAISS/ScaNN pipelines
+    * end with regardless of the coarse index (IVF, PQ, or — here —
+    * a dense projection): candidates from a cheap space, the final
+    * ranking from the exact one, so ranking quality degrades only
+    * through shortlist misses (recall measured in SimilaritySpec),
+    * never through score distortion.
+    *
+    * Deterministic end to end: projection dots are the rp_project
+    * doubles, shortlist ranks tie on neighbor id, rerank is the
+    * bruteTopK cosine — fully restated in the oracle.
+    */
+  def rpRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int, dim: Int = 64,
+                   outDim: Int = 16, shortlist: Int = 32): DataFrame = {
+    val planes = md5Planes(dim, groups = 1, bitsPerGroup = outDim).head
+    val dotF = dotAdaptive(df)(_, _)
+    val base = withNorm(df.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v")), "v")
+      .withColumn("y", transform(typedlit(planes), p => dotF(col("v"), p)))
+      .persist()
+    val q = base.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("__norm").as("qn"), col("y").as("qy"))
+    val l2p = aggregate(
+      zip_with(col("qy"), col("y"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val short = q.join(base, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("id").as("neighbor_id"), col("v"), col("__norm"),
+        l2p.as("d2"))
+    val sw = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val cand = short.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+        .as("cosine"))
+    base.unpersist()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Top-`nprobe` nearest centroids per row (ties to smaller cell id)
     * — the IVF probe set; [[assignCells]] is the nprobe=1 case.
     * `(vec_id, cell)`, nprobe rows per input row.

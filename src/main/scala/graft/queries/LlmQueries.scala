@@ -822,6 +822,56 @@ object LlmQueries {
     * scores them. The oracle replays all five Lloyd trainings, both
     * assignments, the probe ranking, and the ADC scan.
     */
+  /** JL-prefilter + exact re-rank (the FAISS/ScaNN closing pattern):
+    * shortlist 32 by 16-d projected L2, exact 64-d cosine on the
+    * shortlist only — ranking quality degrades only through shortlist
+    * misses, never score distortion. Makes rp_project load-bearing.
+    * Recall on THIS deliberately hard geometry (true neighbors at
+    * cos ~0.39 — the corpus that forced LSH to 13 bits): 0.38/0.54/
+    * 0.65 at shortlist 32/64/96 of 500; on clustered real-world
+    * geometry the spec measures ~1.0. Driver query uses 64 (12.8% of
+    * the corpus exactly re-scored).
+    */
+  val annRpRerankQ: Q = Q(
+    "ann_rp_rerank",
+    (s, dir) => Similarity.rpRerankTopK(Tables.embeddings(s, dir), "vec_id",
+      "embedding", col("id") % 40 === 0, k = 5, shortlist = 64),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT p, list_transform(range(64), d ->
+               ('0x' || substr(md5('0:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 - 0.5) AS plane
+             FROM (SELECT unnest(range(16)) AS p)),
+      yj AS (SELECT vec_id, p,
+                    list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]), (a, b) -> a + b) AS yv
+             FROM e CROSS JOIN pl),
+      ya AS (SELECT vec_id, list(yv ORDER BY p) AS y FROM yj GROUP BY 1),
+      na AS (SELECT n.vec_id, n.v, n.nrm, ya.y FROM n JOIN ya USING (vec_id)),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, y AS qy
+            FROM na WHERE vec_id % 40 = 0),
+      d AS (SELECT q.query_id, q.qv, q.qn, t.vec_id AS neighbor_id, t.v, t.nrm,
+                   list_reduce(list_transform(range(1, 17),
+                     i -> (q.qy[i::INT] - t.y[i::INT]) * (q.qy[i::INT] - t.y[i::INT])),
+                     (a, b) -> a + b) AS d2
+            FROM q JOIN na t ON t.vec_id <> q.query_id),
+      sh AS (SELECT * FROM (
+               SELECT d.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY d2, neighbor_id) AS srn
+               FROM d) WHERE srn <= 64),
+      sc AS (SELECT query_id, neighbor_id,
+                    list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * v[i::INT]), (a, b) -> a + b)
+                      / (sqrt(qn) * sqrt(nrm)) AS cosine
+             FROM sh)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sc QUALIFY rank <= 5
+    """)
+  )
+
   /** Full IVF-PQ oracle for a (cells, nprobe) arm. */
   private def ivfPqSql(cells: Int, nprobe: Int): String =
     kmCellCtes(cells) + "," + s"""
@@ -1585,5 +1635,5 @@ object LlmQueries {
     semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rpProjectQ,
-    pqTopkQ, annIvfPqQ, annIvfPqScaledQ)
+    pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ)
 }

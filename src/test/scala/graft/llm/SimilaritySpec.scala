@@ -197,4 +197,29 @@ class SimilaritySpec extends SparkSpec {
     assert(bySrc(4L).map(_._2).toSeq == Seq(5L) && bySrc(5L).map(_._2).toSeq == Seq(4L))
     assert(edges.forall { case (s, d, _) => s != d })
   }
+
+  test("rpRerankTopK: near-perfect recall on clustered geometry; exact score fidelity") {
+    import spark.implicits._
+    val r = new scala.util.Random(21)
+    val centers = Seq.fill(6)(Seq.fill(64)(r.nextGaussian() * 8.0))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 6).map(x => (x + r.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pred = org.apache.spark.sql.functions.col("id") % 20 === 0
+    val brute = Similarity.bruteTopK(vecs, "vec_id", "embedding", pred, k = 5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+    val rerank = Similarity.rpRerankTopK(vecs, "vec_id", "embedding", pred,
+        k = 5, shortlist = 24)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+    val bSet = brute.map(_._1).toSet
+    val recall = rerank.map(_._1).count(bSet.contains).toDouble / brute.length
+    info(f"clustered-geometry recall@5 at shortlist 24/120: $recall%.3f")
+    assert(recall >= 0.9, s"recall $recall — JL shortlist missed cluster structure")
+    // score fidelity: any returned pair's cosine is the EXACT brute
+    // cosine (rerank never distorts scores, unlike PQ/LSH)
+    val bMap = brute.toMap
+    rerank.foreach { case (pair, c) =>
+      if (bMap.contains(pair)) assert(bMap(pair) == c, s"cosine distorted for $pair")
+    }
+  }
 }
