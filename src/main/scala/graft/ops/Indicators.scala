@@ -256,7 +256,11 @@ object Indicators {
     // deltas re-tightened to (18,4) so every product stays inside
     // precision 38 EXACTLY — a (20,4)² product hits Spark's precision
     // cap and silently rounds the product to scale 6 (the vwap
-    // headroom rule). Input contract: |Δp| < 10¹⁴, |sv| < 10¹⁴.
+    // headroom rule). Input contract: |Δp| < 10¹⁴, |sv| < 10¹⁴ —
+    // every moment, including Σsv² below, runs in decimal with that
+    // full headroom (a long sv² would wrap silently at |sv| ≈ 3·10⁹
+    // while the decimal oracle errors — the engines must agree on the
+    // whole contracted range, not just where longs happen to fit).
     val d = (p - lag(p, 1).over(byTime)).cast(DecimalType(18, 4))
     val signed = df
       .withColumn("__d", d)
@@ -271,7 +275,7 @@ object Indicators {
       sum(col("__d")).as("sd"),
       sum(col("__d") * col("__d")).as("sd2"),
       sum(col("__sv")).as("ssv"),
-      sum(col("__sv") * col("__sv")).as("ssv2"),
+      sum(col("__svd") * col("__svd")).as("ssv2"),
       sum(col("__d") * col("__svd")).as("sdsv"))
     def dbl(c: String) = col(c).cast("double")
     val nD = col("n").cast("double")

@@ -574,7 +574,9 @@ object IndicatorQueries {
       m AS (
         SELECT user_id, count(*) AS n,
                sum(d) AS sd, sum(d * d) AS sd2,
-               sum(sv) AS ssv, sum(sv * sv) AS ssv2,
+               sum(sv) AS ssv,
+               sum(CAST(sv AS DECIMAL(14,0)) * CAST(sv AS DECIMAL(14,0)))
+                 AS ssv2,
                sum(d * CAST(sv AS DECIMAL(14,0))) AS sdsv
         FROM sv GROUP BY 1),
       dm AS (
