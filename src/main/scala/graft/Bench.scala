@@ -62,10 +62,19 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => subset.forall(_.contains(n)))
+    // Prune-proof action: `.count()` lets the optimizer drop every
+    // column no aggregate needs — rank windows (`window_ranks` sat
+    // flat at 30x data), final joins (`dsir_weights` benched 0.24 s
+    // vs its real ~4 s chain), projection-tail expression work. The
+    // noop sink is Spark's canonical bench action: every output
+    // column of the unmodified plan is computed and handed to a sink
+    // that discards rows, so the timed work is the query's real work.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmDir = sfDir.replaceAll("sf[0-9.]+/?$", "sf0.001")
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
       names.foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir).count()
+        try force(SparkEntry.queries(name)(spark, warmDir))
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
@@ -75,7 +84,7 @@ object Bench {
     for (_ <- 1 to nRuns; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist() self-join inputs; drop them so later
       // queries aren't squeezed by accumulated storage memory, and GC

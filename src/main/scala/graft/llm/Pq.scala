@@ -93,6 +93,13 @@ object Pq {
     val sub = dim / m
     val base = df.select(col(idCol).cast("long").as("id"),
       Similarity.toDoubleVec(col(vecCol)).as("v")).persist()
+    // The cache above serves ONLY the codebook-training collects
+    // inside encode() (m Lloyd loops, each an eager action over
+    // base); it is released right after the last of them, so the
+    // final lazy ADC scan the caller executes re-derives the skinny
+    // (id, v) projection from the column-pruned source scan — that
+    // re-read is the cheap part, and scoping the cache to training
+    // keeps repeated invocations from accumulating cached blocks.
     val (books, encoded) = encode(base, "id", "v", dim, m, codes, iters)
 
     // ADC via hoisted per-query distance tables (the classic trick):
@@ -145,6 +152,10 @@ object Pq {
     val base = df.select(col(idCol).cast("long").as("id"),
       Similarity.toDoubleVec(col(vecCol)).as("v")).persist()
 
+    // Cache scoped to the training collects only (the coarse Lloyd
+    // loop + encode()'s m codebook Lloyds) — released after the last
+    // eager action; the caller's lazy assignment/probe/ADC execution
+    // re-derives the skinny projection (see pqTopK's note).
     val cellCents = Similarity.lloydCentroids(base, "id", "v", cells, cellIters)
     val cellOf = Similarity.assignCells(base, "id", "v", cellCents)
       .select(col("vec_id"), col("cell"))

@@ -33,8 +33,9 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Okapi BM25 top-k: for each query document (rows matching
-    * `queryPred`, query = its first `queryTerms` distinct tokens),
-    * the top `k` OTHER documents by BM25 score.
+    * `queryPred`, query = the distinct tokens among its first
+    * `queryTerms` tokens — fewer than `queryTerms` when the prefix
+    * repeats), the top `k` OTHER documents by BM25 score.
     *
     * Emits `(query_id, doc_id, score_micro, rank)` — `score_micro` is
     * the exact integer sum of per-term micro-quantized contributions:

@@ -419,10 +419,15 @@ object Similarity {
                    outDim: Int = 16, shortlist: Int = 32): DataFrame = {
     val planes = md5Planes(dim, groups = 1, bitsPerGroup = outDim).head
     val dotF = dotAdaptive(df)(_, _)
+    // No persist: nothing here runs an eager action before the caller
+    // executes the returned plan, so a persist/unpersist pair inside
+    // this function would never be consulted (CacheManager lookup
+    // happens at execution, after the unpersist) — both self-join
+    // sides re-derive the skinny projection from the column-pruned
+    // scan, which is the cheap part; the y-projection is outDim dots.
     val base = withNorm(df.select(col(idCol).cast("long").as("id"),
         toDoubleVec(col(vecCol)).as("v")), "v")
       .withColumn("y", transform(typedlit(planes), p => dotF(col("v"), p)))
-      .persist()
     val q = base.filter(queryPred)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("__norm").as("qn"), col("y").as("qy"))
@@ -439,7 +444,6 @@ object Similarity {
     val scored = cand.select(col("query_id"), col("neighbor_id"),
       (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
         .as("cosine"))
-    base.unpersist()
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

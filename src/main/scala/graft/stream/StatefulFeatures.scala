@@ -40,7 +40,7 @@ object StatefulFeatures {
                        prevAskPrice: Double, prevAskSize: Double, hasPrev: Boolean)
   case class BookOut(key: Long, tsUs: Long, ofi: Option[Double])
 
-  case class CusumTick(key: Long, tsUs: Long, zMicro: Long)
+  case class CusumTick(key: Long, tsUs: Long, id: Long, zMicro: Long)
   case class CusumState(sp: Long, sm: Long)
   case class CusumOut(key: Long, tsUs: Long, zMicro: Long,
                       sPlus: Long, sMinus: Long, alarm: Boolean)
@@ -54,17 +54,23 @@ object StatefulFeatures {
     * alarm. Closed trajectories are bit-identical to the batch
     * operator across any micro-batch split (CusumStreamSpec) because
     * the recursion is pure integer arithmetic.
+    *
+    * `tieCol` pins the within-micro-batch total order on tied
+    * timestamps (the batch twin's (ts, event_id) order); when the
+    * input has no such column the caller asserts tsUs is unique per
+    * key — the default `lit(0)` tie then never discriminates.
     */
   def cusum(ticks: DataFrame, slackMicro: Long,
-            thresholdMicro: Long): DataFrame = {
+            thresholdMicro: Long, tieCol: Option[String] = None): DataFrame = {
     import ticks.sparkSession.implicits._
+    val tie = tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     val typed = ticks.select(col("key").cast("long"),
-        col("tsUs").cast("long"), col("zMicro").cast("long"))
+        col("tsUs").cast("long"), tie.as("id"), col("zMicro").cast("long"))
       .as[CusumTick]
     typed.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, it: Iterator[CusumTick], state: GroupState[CusumState]) => {
-          val batch = it.toArray.sortBy(_.tsUs)
+          val batch = it.toArray.sortBy(t => (t.tsUs, t.id))
           var st = state.getOption.getOrElse(CusumState(0L, 0L))
           val out = batch.map { t =>
             val sp = math.max(0L, st.sp + t.zMicro - slackMicro)
@@ -328,7 +334,7 @@ object StatefulFeatures {
       .toDF()
   }
 
-  case class ImbTick(key: Long, tsUs: Long, price: Double)
+  case class ImbTick(key: Long, tsUs: Long, id: Long, price: Double)
   case class ImbState(prevPrice: Double, sign: Int, hasPrev: Boolean,
                       theta: Long, barNum: Int,
                       open: Double, high: Double, low: Double, close: Double,
@@ -345,19 +351,25 @@ object StatefulFeatures {
     * state. On in-order input the emitted rows equal the batch
     * operator's closed bars row-for-row (ImbalanceStreamSpec, across
     * arbitrary micro-batch splits).
+    *
+    * `tieCol` pins the within-micro-batch total order on tied
+    * timestamps (the batch twin's (ts, event_id) order); absent it,
+    * the caller asserts tsUs is unique per key.
     */
-  def imbalanceBars(ticks: DataFrame, threshold: Long): DataFrame = {
+  def imbalanceBars(ticks: DataFrame, threshold: Long,
+                    tieCol: Option[String] = None): DataFrame = {
     import ticks.sparkSession.implicits._
     require(threshold >= 1, "imbalance threshold must be >= 1")
+    val tie = tieCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     val typed = ticks
       .select(col("key").cast("long"), col("tsUs").cast("long"),
-        col("price").cast("double"))
+        tie.as("id"), col("price").cast("double"))
       .as[ImbTick]
     typed
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, it: Iterator[ImbTick], state: GroupState[ImbState]) => {
-          val batch = it.toArray.sortBy(_.tsUs)
+          val batch = it.toArray.sortBy(t => (t.tsUs, t.id))
           var st = state.getOption.getOrElse(
             ImbState(0.0, 1, hasPrev = false, 0L, 0,
               0.0, Double.MinValue, Double.MaxValue, 0.0, 0L, 0L, 0L))

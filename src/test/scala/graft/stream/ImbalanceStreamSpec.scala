@@ -57,4 +57,45 @@ class ImbalanceStreamSpec extends SparkSpec {
       assert(streamed.forall(b => math.abs(b._7) === 3L))
     } finally q.stop()
   }
+
+  test("tied timestamps: tieCol pins the order to the batch (ts, id) total order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // every timestamp duplicated — without the tie column the
+    // within-micro-batch sort order (hence signs, bar cuts, OHLC)
+    // would be nondeterministic
+    val tied = Seq(
+      (1L, 1L, 10L, 100.0), (1L, 1L, 11L, 103.0),
+      (1L, 2L, 12L, 101.0), (1L, 2L, 13L, 104.0),
+      (1L, 3L, 14L, 105.0), (1L, 3L, 15L, 102.0),
+      (1L, 4L, 16L, 106.0), (1L, 4L, 17L, 107.0))
+    val bdf = tied.toDF("key", "tsUs", "id", "price")
+    val bars = ImbalanceBars.bars(bdf, "key", "tsUs", "price", 3L,
+      tieCols = Seq("id"))
+    val last = bars.agg(max("bar_num")).collect().head.getInt(0)
+    val expected = bars.collect().filter(_.getInt(1) < last)
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getAs[Long]("theta"),
+        r.getAs[Long]("n_trades")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val sdf = mem.toDF().toDF("key", "tsUs", "id", "price")
+    val q = StatefulFeatures.imbalanceBars(sdf, threshold = 3L,
+        tieCol = Some("id"))
+      .writeStream.format("memory").queryName("imb_stream_tied")
+      .outputMode("append").start()
+    try {
+      // split INSIDE a tied pair so the tie order must also hold
+      // across the state carry
+      mem.addData(tied.take(3)); q.processAllAvailable()
+      mem.addData(tied.drop(3)); q.processAllAvailable()
+      val streamed = spark.table("imb_stream_tied")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed === expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
