@@ -63,12 +63,14 @@ object Decontam {
     */
   def selfOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, maxDf: Int = 64): DataFrame = {
-    // persist: the df-window and both self-join sides would otherwise
-    // re-run the md5 gram hashing (the dominant map-side cost) 3×; at
-    // production scale write the gram table out instead of caching.
+    // No persist (function-scoped caches over lazily-returned plans
+    // leak — Winnow.pairs note): the df-window and both self-join
+    // sides all sit above the IDENTICAL scan→gram-hash→exchange(g)
+    // subplan, so ReuseExchange materializes the gram shuffle once
+    // and every consumer reads the same shuffle files — the md5 gram
+    // hashing (the dominant map-side cost) still runs exactly once.
     val grams = df.select(col(idCol).as("doc_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
-      .persist()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val capped = grams.withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") <= maxDf)
@@ -119,13 +121,25 @@ object Decontam {
       .otherwise(transform(sequence(lit(1), cnt), i =>
         struct(i.cast("long").as("pos"),
           h32(array_join(slice(w, i, lit(n)), " ")).as("g"))))
-    // persist: the occurrence table feeds both the gram aggregate and
-    // the join-back — without it the gram hashing (the dominant
-    // map-side cost) runs twice (selfOverlapPairs note; at production
-    // scale write it out instead)
+    // No persist (function-scoped caches over lazily-returned plans
+    // leak — Winnow.pairs note). The occurrence table feeds both the
+    // gram aggregate and the join-back, whose natural plans shuffle
+    // it through two DIFFERENT exchanges (partial-agg rows vs raw
+    // rows — no reuse, gram hashing twice). Pinning ONE explicit
+    // hash-exchange on g makes both consumers sit above the
+    // identical subplan: ReuseExchange materializes it once, the
+    // aggregate runs post-shuffle (map-side combine traded away —
+    // the hashing, not the combine, is the dominant cost), and the
+    // g-keyed join needs no further shuffle on this side.
+    // The explicit null filters are load-bearing for the reuse: the
+    // join-back side would otherwise infer isnotnull(pos)/(doc_id)
+    // that the aggregate side doesn't, and the asymmetry breaks the
+    // subplans' canonical equality (verified in PlanSpec).
     val occ = toks.select(col("doc_id"), explode(posGrams).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
-      .persist()
+      .filter(col("doc_id").isNotNull && col("pos").isNotNull &&
+        col("g").isNotNull)
+      .repartition(col("g"))
     val key = col("doc_id") * lit(4294967296L) + col("pos")
     val agg = occ.groupBy("g").agg(count(lit(1)).as("cnt"),
       min(key).as("firstk"))

@@ -73,7 +73,14 @@ object Winnow {
   def pairs(df: DataFrame, idCol: String, textCol: String,
             k: Int = 5, w: Int = 4, minShared: Int = 2,
             maxDf: Int = 64): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol, k, w).persist()
+    // No persist (a function-scoped cache over a lazily-returned
+    // plan either leaks for the session or is released before the
+    // caller's action ever consults it): both self-join sides are
+    // the IDENTICAL subplan scan→gram-hash→exchange(fp)→window→
+    // filter, so ReuseExchange materializes the fingerprint shuffle
+    // once and the second side reads the same shuffle files — the
+    // md5 gram hashing runs once without any cache to manage.
+    val fps = fingerprints(df, idCol, textCol, k, w)
     val dfw = Window.partitionBy("fp")
     val capped = fps.withColumn("__df", count(lit(1)).over(dfw))
       .filter(col("__df") <= maxDf).drop("__df")

@@ -41,14 +41,22 @@ object TheilSen {
         TextHash.h32(concat(lit(salt + ":"), col(idCol).cast("string")))
           .as("h"), col(idCol).cast("long").as("id"))
     val w = Window.partitionBy("key").orderBy(col("h"), col("id"))
+    // No persist (function-scoped caches over lazily-returned plans
+    // leak — Winnow.pairs note). The rn≤k filter plans as a PARTIAL
+    // WindowGroupLimit (map-side per-key top-k), so the sample
+    // exchange carries ≤k rows per key; n_sample rides the sample as
+    // a second window over the SAME sorted partition instead of a
+    // separate count branch — that kills the third scan of the input
+    // and the final join back, and leaves exactly two identical
+    // sample subplans (the self-join sides) for ReuseExchange to
+    // collapse into one materialized shuffle (PlanSpec contract).
     val sample = hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn", "h")
-      .persist()
-    val nS = sample.groupBy("key").agg(count(lit(1)).as("n_sample"))
+      .withColumn("n_sample", count(lit(1)).over(Window.partitionBy("key")))
 
     val pairs = sample.as("a").join(sample.as("b"),
         col("a.key") === col("b.key") && col("a.x") < col("b.x"))
-      .select(col("a.key").as("key"),
+      .select(col("a.key").as("key"), col("a.n_sample").as("n_sample"),
         floor((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))
           * lit(1e12) + lit(0.5)).cast("long").as("slope_pico"),
         col("a.id").as("ia"), col("b.id").as("ib"))
@@ -58,7 +66,6 @@ object TheilSen {
       .withColumn("prn", row_number().over(pw))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("key")))
     ranked.filter(col("prn") === expr("(cnt + 1) div 2"))
-      .join(nS, "key")
       .select(col("key"), col("n_sample"), col("cnt").as("n_pairs"),
         col("slope_pico"))
   }

@@ -379,6 +379,25 @@ class PlanSpec extends SparkSpec {
       s"expected only the moment-agg and repartition shuffles, got $shuffles:\n$current")
   }
 
+  test("self-join families reuse one exchange instead of a session-leaking persist") {
+    // winnow_pairs / dup_ngram_pairs / theilsen_slope: both self-join
+    // sides (and the df-window / count agg) sit above an identical
+    // scan→hash→exchange subplan; dup_spans pins the shared exchange
+    // explicitly with repartition(g). The contract: the expensive
+    // gram/sample shuffle materializes ONCE (ReusedExchange or a
+    // reused AQE shuffle stage) with zero persist() in the operator.
+    Seq("winnow_pairs", "dup_ngram_pairs", "dup_spans", "theilsen_slope")
+      .foreach { name =>
+        val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("InMemoryTableScan"),
+          s"$name must not rely on a leaked session cache:\n${plan.take(3000)}")
+        assert(plan.contains("ReusedExchange") || plan.contains("(reuses"),
+          s"$name lost exchange reuse — hashing now runs per consumer:\n${plan.take(3000)}")
+      }
+  }
+
   test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
     Seq("asof_join_native", "asof_join_forward_native", "asof_join_nearest_native")
       .foreach { name =>
