@@ -447,6 +447,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "plane_buckets takes exactly 2 arguments")
         PlaneBuckets(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("wordpiece_count"),
+      new ExpressionInfo(classOf[WordpieceTokenCount].getName, "wordpiece_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "wordpiece_count takes exactly 3 arguments")
+        WordpieceTokenCount(children.head, children(1), children(2))
+      }))
     // whole-operator extension: native as-of join (SURVEY §7.3 (c))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }

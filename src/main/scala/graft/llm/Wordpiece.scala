@@ -99,6 +99,24 @@ object Wordpiece {
     (literalSet(vs.collect { case (p, false) => p }),
       literalSet(vs.collect { case (p, true) => p }))
 
+  /** Native-kernel form of [[tokenCountCol]] — the fused greedy
+    * matcher ([[graft.functions.WordpieceTokenCount]], registered as
+    * `wordpiece_count` by GraftExtensions): one primitive loop per
+    * word against two hashed vocab sets instead of the interpreted
+    * 24-step × maxPiece-probe HOF fold. Bit-equal on split() input
+    * (WordpieceNativeSpec); requires the extension to be installed —
+    * callers that must run on a vanilla session keep the HOF form.
+    */
+  def tokenCountNative(text: Column, vs: Seq[(String, Boolean)],
+                       maxWordLen: Int = 24): Column = {
+    require(vs.nonEmpty, "empty wordpiece vocabulary")
+    val vocabLit = typedLit(Seq(
+      vs.collect { case (p, false) => p },
+      vs.collect { case (p, true) => p }))
+    call_function("wordpiece_count", words(lower(trim(text))),
+      vocabLit, lit(maxWordLen))
+  }
+
   /** (word, toks, unk) for every distinct corpus word under greedy
     * longest-match against `vs` (piece, isContinuation) — exposed
     * separately for specs.

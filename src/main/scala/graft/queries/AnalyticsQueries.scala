@@ -838,10 +838,98 @@ object AnalyticsQueries {
     """)
   )
 
+  /** Shared oracle chain for the LSH-refined kNN graph (identical to
+    * knn_graph_bucketed in LlmQueries), ending at edge set
+    * `g(src, dst)` — the scaled input the graph-analytics twins
+    * compose over.
+    */
+  private val bucketedKnnCtes = """
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(1) rg(g) CROSS JOIN range(3) rp(p)),
+      bkt AS (SELECT vec_id,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM n CROSS JOIN pl GROUP BY 1),
+      b2 AS (SELECT n.vec_id, n.label::VARCHAR || ':' || bkt.bucket::VARCHAR AS blk, n.v, n.nrm
+             FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+      sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                    list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]),
+                                (x, y) -> x + y)
+                      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+             FROM b2 a JOIN b2 b ON a.blk = b.blk AND a.vec_id <> b.vec_id),
+      g AS (SELECT src, dst FROM (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rank
+              FROM sc) WHERE rank <= 3)"""
+
+  /** The LSH-refined kNN graph the scaled graph-analytics twins ride —
+    * exactly knn_graph_bucketed's construction (label + 3-bit sign
+    * bucket block), so their pair space inherits its measured bound
+    * (1.4 s vs knn_graph's 6.4 s at sf1, flat-ratio at 10× data).
+    */
+  private def bucketedKnnGraph(s: org.apache.spark.sql.SparkSession,
+                               dir: String) = {
+    val emb = Tables.embeddings(s, dir)
+    val blk = Similarity.refineBlock(emb, col("label"), col("embedding"), bits = 3)
+    Similarity.knnGraph(emb.withColumn("blk", blk), "vec_id", "embedding", "blk", k = 3)
+  }
+
+  /** knn_triangles over the bucketed graph — the scale-arm sibling:
+    * same degree-ordered triangle enumeration, input pair space
+    * bounded by the LSH block instead of the fixed 10-label
+    * vocabulary (whose Σ cell² is quadratic in corpus size).
+    */
+  val knnTrianglesScaled: Q = Q(
+    "knn_triangles_scaled",
+    (s, dir) => Triangles.perVertex(bucketedKnnGraph(s, dir), "src", "dst"),
+    Some(bucketedKnnCtes + """,
+      ce AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM g WHERE src <> dst),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+                         JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT vertex, count(*) AS triangles
+      FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+      GROUP BY 1
+    """)
+  )
+
+  /** link_prediction over the bucketed graph — scale-arm sibling of
+    * the Adamic–Adar ranking (same hub bound, same integer
+    * micro-quantized contributions; only the edge generator changes).
+    */
+  val linkPredictionScaled: Q = Q(
+    "link_prediction_scaled",
+    (s, dir) => LinkPrediction.adamicAdar(bucketedKnnGraph(s, dir), "src", "dst"),
+    Some(bucketedKnnCtes + """,
+      und AS (SELECT src AS a, dst AS b FROM g UNION SELECT dst, src FROM g),
+      deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+      hub AS (SELECT und.a AS u, und.b AS w, deg.deg
+              FROM und JOIN deg ON und.b = deg.a
+              WHERE deg.deg <= 64),
+      p AS (SELECT x.u AS id_a, y.u AS id_b,
+                   count(*) AS n_common,
+                   CAST(sum(floor(1e6 / ln(x.deg) + 0.5)::BIGINT) AS BIGINT) AS aa_micro
+            FROM hub x JOIN hub y ON x.w = y.w AND x.u < y.u
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT id_a, id_b, n_common, aa_micro
+      FROM p ANTI JOIN und ON p.id_a = und.a AND p.id_b = und.b
+    """)
+  )
+
   val all: Seq[Q] = Seq(funnelSteps, cohortRetention, histogramValue,
     windowRanks, userSetOps, semiJoinHot, decontamExact, langBalanceSample,
     corrFeatures, cubeStats, supplierPagerank, userBagOps, meltMetrics,
-    groupingSetsStats, scd2History, knnTriangles, eventTransitions,
+    groupingSetsStats, scd2History, knnTriangles, knnTrianglesScaled,
+    eventTransitions,
     paretoFront, labelCommunities, spearmanRank, assocRules,
-    kcoreNodes, linkPrediction)
+    kcoreNodes, linkPrediction, linkPredictionScaled)
 }

@@ -1526,9 +1526,18 @@ object LlmQueries {
     "bm25_pruned",
     (s, dir) => Retrieval.bm25TopKPruned(Tables.documents(s, dir), "doc_id",
       "text", col("doc_id") % 40 === 0, k = 5, maxPostings = 256),
-    Some("""
+    Some(bm25PrunedCtes(5) + """
+      SELECT query_id, doc_id, score_micro, rank FROM bm
+    """)
+  )
+
+  /** Shared impact-truncated BM25 oracle chain, ending at
+    * `bm(query_id, doc_id, score_micro, rank ≤ k)` — reused by
+    * bm25_pruned and the scaled RRF hybrid.
+    */
+  private def bm25PrunedCtes(k: Int): String = s"""
       WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
         FROM documents),
       tf AS (SELECT doc_id, t AS token, count(*) AS tf
              FROM (SELECT doc_id, unnest(ws) AS t FROM toks) GROUP BY 1, 2),
@@ -1558,13 +1567,12 @@ object LlmQueries {
         FROM qt JOIN tr USING (token)
         WHERE tr.doc_id <> qt.query_id),
       sc AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
-             FROM hit GROUP BY 1, 2)
-      SELECT query_id, doc_id, score_micro,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score_micro DESC, doc_id) AS rank
-      FROM sc QUALIFY rank <= 5
-    """)
-  )
+             FROM hit GROUP BY 1, 2),
+      bm AS (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rank
+        FROM sc QUALIFY rank <= $k)"""
 
   /** Okapi BM25 top-5 retrieval: query = first 6 distinct tokens of
     * every 40th document, ranked against the rest of the corpus
@@ -1625,6 +1633,70 @@ object LlmQueries {
     """)
   )
 
+  /** Scaled RRF hybrid — the same fusion recipe with BOTH input arms
+    * swapped for their measured scale forms: lexical = the
+    * impact-truncated index (per-query work ≤ terms × 256 postings
+    * at any corpus size, vs the exact join's quadratic growth on
+    * this saturated vocabulary), dense = bucketed sign-LSH (16
+    * groups × 6 bits, candidate space = matching buckets only, vs
+    * brute's all-pairs). rrf_hybrid keeps the exact-baseline
+    * composition next to this arm so the quality delta of the
+    * approximate candidates is always measurable; the fusion stage
+    * itself is identical exact-integer arithmetic in both.
+    */
+  val rrfHybridScaledQ: Q = Q(
+    "rrf_hybrid_scaled",
+    (s, dir) => {
+      val lex = Retrieval.bm25TopKPruned(Tables.documents(s, dir), "doc_id",
+        "text", col("doc_id") % 40 === 0, k = 20, maxPostings = 256)
+        .select("query_id", "doc_id", "rank")
+      val dense = Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("id") % 40 === 0, k = 20,
+        Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+    },
+    Some(bm25PrunedCtes(20) + """,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(6) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM n CROSS JOIN pl GROUP BY 1, 2),
+      q AS (SELECT vec_id AS query_id, g, bucket FROM bkt WHERE vec_id % 40 = 0),
+      cand AS (SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+               FROM q JOIN bkt t ON q.g = t.g AND q.bucket = t.bucket
+                AND t.vec_id <> q.query_id),
+      cs0 AS (SELECT c.query_id, c.neighbor_id,
+                     list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, y) -> x + y)
+                       / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+              FROM cand c
+              JOIN n a ON a.vec_id = c.query_id
+              JOIN n b ON b.vec_id = c.neighbor_id),
+      cs AS (SELECT query_id, neighbor_id AS doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM cs0 QUALIFY rank <= 20),
+      u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS contrib FROM bm
+            UNION ALL
+            SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM cs),
+      f AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_nano
+            FROM u GROUP BY 1, 2)
+      SELECT query_id, doc_id, rrf_nano,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_nano DESC, doc_id) AS rank
+      FROM f QUALIFY rank <= 10
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupIncremental, dedupStreamIndex,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
@@ -1634,6 +1706,7 @@ object LlmQueries {
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
     semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
-    embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rpProjectQ,
+    embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rrfHybridScaledQ,
+    rpProjectQ,
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ)
 }

@@ -175,7 +175,15 @@ object StreamBench {
         source().select(col("key"), col("ts"), col("level_price"),
           col("level_size")),
         "key", "ts", "ts", bandSec = 5)),
-      "wordpiece_score" -> (() => {
+      // native fused greedy matcher (wordpiece_count Expression) vs
+      // the interpreted HOF fold — the dedup family's native-kernel
+      // lesson applied to tokenizer stream scoring; bit-equality is
+      // WordpieceNativeSpec's job, the A/B here is throughput only
+      "wordpiece_score" -> (() => docSource()
+        .select(col("id"),
+          graft.llm.Wordpiece.tokenCountNative(col("text"), wpVocab)
+            .as("wp_tokens"))),
+      "wordpiece_score_hof" -> (() => {
         val (im, cm) = graft.llm.Wordpiece.vocabMaps(wpVocab)
         docSource()
           .withColumn("__im", im).withColumn("__cm", cm)
