@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -95,7 +96,7 @@ private[sources] class OffsetFileTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"offset-file-${options.get("path")}"
   override def schema(): StructType = OffsetFileSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new OffsetFileScan(options)
 }
@@ -131,6 +132,85 @@ private[sources] class OffsetFileScan(options: CaseInsensitiveStringMap)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OffsetFileReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new OffsetFileMicroBatchStream(options)
+}
+
+/** Streaming (micro-batch) read over the same topic directory — the
+  * `readStream.format(...)` half of the seam
+  * (`kafka_to_gcs_by_spark_streaming.py:13-17`: subscribe + load, no
+  * end bound). Offsets are per-partition LINE COUNTS, serialized in
+  * the kafka connector's own JSON shape (`{"topic":{"0":n,…}}`) so
+  * checkpoint offset files are contract-identical; lines appended to
+  * `p<N>.jsonl` between triggers become the next micro-batch, and
+  * partitions appearing later are picked up from offset 0 (kafka's
+  * new-partition rule). `startingOffsets` honors the connector's
+  * streaming semantics: earliest (default), latest (= counts at first
+  * trigger), or explicit JSON; `endingOffsets` is a batch-only option
+  * and is ignored, as in the connector.
+  *
+  * Scale shape: the driver tracks one long per partition (the same
+  * state the kafka source keeps); each micro-batch plans one
+  * InputPartition per topic partition reading only `[start, end)`.
+  * Line-count discovery re-reads files because jsonl has no footer —
+  * the stand-in's cost, not the contract's.
+  */
+private[sources] class OffsetFileMicroBatchStream(options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+  import OffsetFileSource._
+
+  private val path = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("option 'path' is required"))
+  private val topic = Option(options.get("topic")).getOrElse(
+    throw new IllegalArgumentException("option 'topic' is required"))
+
+  private def counts(): Map[Int, Long] =
+    listPartitions(path).map { p =>
+      val f = new java.io.File(path, s"p$p.jsonl")
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try p -> src.getLines().size.toLong finally src.close()
+    }.toMap
+
+  override def initialOffset(): Offset = {
+    val now = counts()
+    val spec = Option(options.get("startingOffsets")).getOrElse("earliest")
+    val parsed = parseOffsets(spec, topic, now.keys.toSeq.sorted, Earliest)
+    OffsetFileStreamOffset(topic, parsed.map { case (p, o) =>
+      p -> (if (o == Earliest) 0L else if (o == Latest) now(p) else o)
+    })
+  }
+
+  override def latestOffset(): Offset = OffsetFileStreamOffset(topic, counts())
+
+  override def deserializeOffset(json: String): Offset =
+    OffsetFileStreamOffset(topic,
+      parseOffsets(json, topic, listPartitions(path), Earliest)
+        .map { case (p, o) => p -> (if (o < 0) 0L else o) })
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[OffsetFileStreamOffset].offsets
+    val e = end.asInstanceOf[OffsetFileStreamOffset].offsets
+    e.toSeq.sortBy(_._1).map { case (p, endOff) =>
+      OffsetFilePartition(s"$path/p$p.jsonl", topic, p,
+        s.getOrElse(p, 0L), endOff): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OffsetFileReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Kafka-JSON-shaped stream offset: `{"topic":{"0":n,…}}`. */
+private[sources] case class OffsetFileStreamOffset(topic: String,
+                                                   offsets: Map[Int, Long])
+    extends Offset {
+  override def json(): String =
+    offsets.toSeq.sorted.map { case (p, o) => s""""$p":$o""" }
+      .mkString(s"""{"$topic":{""", ",", "}}")
 }
 
 private[sources] case class OffsetFilePartition(file: String, topic: String,

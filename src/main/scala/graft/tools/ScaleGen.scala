@@ -68,7 +68,7 @@ object ScaleGen {
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
     val src      = args.lift(2).getOrElse("/root/testdata/sf0.1")
     val AllTables = Set("orders", "lineitem", "customer", "supplier", "part",
-      "region", "nation", "events", "embeddings", "documents")
+      "region", "nation", "events", "embeddings", "documents", "zipfdocs")
     val want: Set[String] = args.lift(3)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(AllTables)
@@ -207,6 +207,45 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"  documents: stride=$docS vocab=$v")
+    }
+
+    // Zipf-vocabulary documents (mutually exclusive with "documents" —
+    // both write documents.parquet): the retrieval family's REALISTIC
+    // regime. The driver testdata's 31-word vocabulary is saturated
+    // (df ∝ N for every term — adversarial for ANY candidate-limiting
+    // index, pruned agreement 0.06); real corpora have Zipf term
+    // frequencies over a vocabulary that GROWS with corpus size
+    // (Heaps' law), where impact-truncated postings agree 0.8+ with
+    // the exact ranking (RetrievalSpec). Word ranks are drawn by the
+    // closed-form s=1 inverse CDF — rank = floor(exp(u·ln V)) gives
+    // p(rank=k) = ln(1+1/k)/ln V ≈ 1/(k·ln V) — from xxhash64-derived
+    // uniforms, so generation is one codegen'd projection per row:
+    // distributed, seedless-deterministic, no driver-side rows.
+    if (want("zipfdocs")) {
+      require(!want("documents"),
+        "zipfdocs and documents both write documents.parquet — pick one per out dir")
+      val nDocs = docs.count() * replicas
+      val v = math.ceil(10.0 * math.pow(nDocs.toDouble, 0.5)).toLong // Heaps β=0.5
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .repartition(32)
+        .withColumn("len",
+          (pmod(xxhash64(col("doc_id"), lit("len")), lit(60)) + 20).cast("int"))
+        .withColumn("text", array_join(
+          transform(sequence(lit(1), col("len")), j =>
+            concat(lit("w"), floor(exp(
+              (pmod(xxhash64(col("doc_id"), j, lit("w")), lit(1L << 40))
+                .cast("double") + lit(0.5)) / lit((1L << 40).toDouble)
+                * log(lit(v.toDouble)))).cast("long").cast("string"))),
+          " "))
+        .withColumn("lang", element_at(
+          typedLit(Seq("en", "zh", "de", "fr", "es")),
+          (pmod(xxhash64(col("doc_id"), lit("lang")), lit(5)) + 1).cast("int")))
+        .withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(10)).cast("string")))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"  zipfdocs: n=$nDocs vocab=$v")
     }
 
     println(s"wrote $out: replicas=$replicas tables=${want.toSeq.sorted.mkString(",")}")
