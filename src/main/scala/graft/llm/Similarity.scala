@@ -450,6 +450,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** [[rpRerankTopK]]'s scale form — the full FAISS-style funnel:
+    * sign-LSH buckets GENERATE candidates (pair space = matching
+    * buckets, never all-pairs), the 16-d JL projection CHEAPENS the
+    * shortlist selection (outDim/dim of the arithmetic per candidate),
+    * and exact 64-d cosine scores ONLY the shortlist — so returned
+    * scores are exact (never distorted), recall degrades only through
+    * bucket/shortlist misses, and every stage's work is bounded by
+    * the previous stage's output.
+    *
+    * Shuffle discipline: candidate rows carry (id, y[outDim]) through
+    * the bucket join — never the 64-d vectors (the dedup family's
+    * measured 25–40× skinny-projection lesson); the shortlist is
+    * deduped on (query, neighbor, d2) — d2 is bit-identical across
+    * bucket groups (same operands, same fold) so the dedup is exact —
+    * and the full vectors re-enter by two id equi-joins sized by the
+    * SHORTLIST, not the candidate set.
+    */
+  def rpRerankBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
+                           queryPred: Column, k: Int,
+                           planes: Seq[Seq[Seq[Double]]],
+                           rpOutDim: Int = 16, shortlist: Int = 32): DataFrame = {
+    val dim = planes.head.head.length
+    val rp = md5Planes(dim, groups = 1, bitsPerGroup = rpOutDim).head
+    val dotF = dotAdaptive(df)(_, _)
+    val base = withNorm(df.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v")), "v")
+      .withColumn("y", transform(typedlit(rp), p => dotF(col("v"), p)))
+      .withColumn("__buckets", bucketsAll(df, col("v"), planes, dotF))
+    val exploded = base.select(col("id"), col("y"),
+      posexplode(col("__buckets")).as(Seq("grp", "bucket")))
+    val q = exploded.filter(queryPred).select(col("id").as("query_id"),
+      col("y").as("qy"), col("grp"), col("bucket"))
+    val l2p = aggregate(
+      zip_with(col("qy"), col("y"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val cand = q.join(exploded, Seq("grp", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), l2p.as("d2"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val sw = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    val short = cand.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val vecs = base.select(col("id"), col("v"), col("__norm"))
+    val scored = short
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("__norm").as("qn")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v"), col("__norm")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Top-`nprobe` nearest centroids per row (ties to smaller cell id)
     * — the IVF probe set; [[assignCells]] is the nprobe=1 case.
     * `(vec_id, cell)`, nprobe rows per input row.

@@ -1697,6 +1697,70 @@ object LlmQueries {
     """)
   )
 
+  /** ann_rp_rerank's scale form — the full FAISS-style funnel (LSH
+    * buckets generate candidates, 16-d JL projection picks the
+    * shortlist, exact cosine scores only the shortlist). The labeled
+    * baseline `ann_rp_rerank` keeps the all-pairs prefilter next to
+    * this arm (22.8× at sf1 — candidate space is queries×corpus even
+    * though each candidate is 4× cheaper); here candidate volume is
+    * bucket-bounded, so the whole funnel inherits the LSH occupancy
+    * law. Returned scores remain EXACT in both forms.
+    */
+  val annRpRerankScaledQ: Q = Q(
+    "ann_rp_rerank_scaled",
+    (s, dir) => Similarity.rpRerankBucketedTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", col("id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6),
+      rpOutDim = 16, shortlist = 64),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(6) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM e CROSS JOIN pl GROUP BY 1, 2),
+      rpl AS (SELECT p, list_transform(range(64), d ->
+                ('0x' || substr(md5('0:' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                  / 4294967296.0 - 0.5) AS plane
+              FROM (SELECT unnest(range(16)) AS p)),
+      yj AS (SELECT vec_id, p,
+                    list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]), (a, b) -> a + b) AS yv
+             FROM e CROSS JOIN rpl),
+      ya AS (SELECT vec_id, list(yv ORDER BY p) AS y FROM yj GROUP BY 1),
+      qb AS (SELECT vec_id AS query_id, g, bucket FROM bkt WHERE vec_id % 40 = 0),
+      cand AS (SELECT DISTINCT qb.query_id, t.vec_id AS neighbor_id
+               FROM qb JOIN bkt t ON qb.g = t.g AND qb.bucket = t.bucket
+                AND t.vec_id <> qb.query_id),
+      d AS (SELECT c.query_id, c.neighbor_id,
+                   list_reduce(list_transform(range(1, 17),
+                     i -> (a.y[i::INT] - b.y[i::INT]) * (a.y[i::INT] - b.y[i::INT])),
+                     (x, z) -> x + z) AS d2
+            FROM cand c JOIN ya a ON a.vec_id = c.query_id
+                        JOIN ya b ON b.vec_id = c.neighbor_id),
+      sh AS (SELECT query_id, neighbor_id FROM (
+               SELECT d.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY d2, neighbor_id) AS srn
+               FROM d) WHERE srn <= 64),
+      sc AS (SELECT sh.query_id, sh.neighbor_id,
+                    list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+                      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+             FROM sh JOIN n a ON a.vec_id = sh.query_id
+                     JOIN n b ON b.vec_id = sh.neighbor_id)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sc QUALIFY rank <= 5
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupIncremental, dedupStreamIndex,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
@@ -1708,5 +1772,5 @@ object LlmQueries {
     knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rrfHybridScaledQ,
     rpProjectQ,
-    pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ)
+    pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ)
 }

@@ -222,4 +222,34 @@ class SimilaritySpec extends SparkSpec {
       if (bMap.contains(pair)) assert(bMap(pair) == c, s"cosine distorted for $pair")
     }
   }
+
+  test("rpRerankBucketedTopK: bucket-funneled recall on clustered geometry; exact scores") {
+    import spark.implicits._
+    val r = new scala.util.Random(22)
+    val centers = Seq.fill(6)(Seq.fill(64)(r.nextGaussian() * 8.0))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 6).map(x => (x + r.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pred = org.apache.spark.sql.functions.col("id") % 20 === 0
+    val brute = Similarity.bruteTopK(vecs, "vec_id", "embedding", pred, k = 5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+    val funnel = Similarity.rpRerankBucketedTopK(vecs, "vec_id", "embedding",
+        pred, k = 5, Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 4),
+        rpOutDim = 16, shortlist = 24)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+    val bSet = brute.map(_._1).toSet
+    val recall = funnel.map(_._1).count(bSet.contains).toDouble / brute.length
+    info(f"bucket-funnel recall@5 (16x4 buckets, shortlist 24): $recall%.3f")
+    assert(recall >= 0.85, s"recall $recall — bucket funnel missed cluster structure")
+    // the funnel never distorts a returned score (exact final stage)
+    val bMap = brute.toMap
+    funnel.foreach { case (pair, c) =>
+      if (bMap.contains(pair)) assert(bMap(pair) == c, s"cosine distorted for $pair")
+    }
+    // and its results never exceed the shortlist/bucket contract: each
+    // query returns at most k rows, self excluded
+    val byQ = funnel.groupBy(_._1._1)
+    assert(byQ.values.forall(_.length <= 5))
+    assert(funnel.forall { case ((q, n), _) => q != n })
+  }
 }

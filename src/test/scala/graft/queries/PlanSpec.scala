@@ -408,4 +408,35 @@ class PlanSpec extends SparkSpec {
           s"$name regressed to the band-join + rank formulation:\n${plan.take(3000)}")
       }
   }
+
+  test("rrf_hybrid_scaled: union fusion; dense candidates bucket-equi-join, never cartesian") {
+    val df = Registry.byName("rrf_hybrid_scaled").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("Union"), s"scaled RRF must fuse via union:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH candidate generation must equi-join on (grp, bucket):\n${plan.take(3000)}")
+  }
+
+  test("scaled graph twins: no cartesian; their edge input keys pairs on the refined block") {
+    // the twins' own plans are truncated at Triangles/LinkPrediction's
+    // internal persist/localCheckpoint, so the edge-generation contract
+    // is asserted on knn_graph_bucketed — the IDENTICAL construction
+    // (label + 3-bit refineBlock into Similarity.knnGraph) both twins
+    // call; the twins' plans are checked cartesian-free end to end
+    Seq("knn_triangles_scaled", "link_prediction_scaled").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name pair space must ride the refined-block equi-join:\n${plan.take(3000)}")
+    }
+    val edges = Registry.byName("knn_graph_bucketed").fn(spark, sf("sf0.01"))
+    val eplan = edges.queryExecution.sparkPlan.toString
+    assert(!eplan.contains("CartesianProduct"), eplan.take(3000))
+    // any EQUI join keyed on blk qualifies (broadcast at gate scale,
+    // shuffle at corpus scale — the key is what bounds the pairs)
+    assert(eplan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("blk")),
+      s"knn_graph_bucketed lost the blk equi-join:\n${eplan.take(3000)}")
+  }
 }
