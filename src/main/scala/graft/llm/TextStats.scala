@@ -243,7 +243,13 @@ object TextStats {
     val grams = transform(
       sequence(lit(1), greatest(length(t) - 7, lit(1))),
       i => t.substr(i, lit(8)))
-    df.withColumn("fingerprint", array_min(transform(grams, g => h32(g))))
-      .withColumn("n_grams", size(array_distinct(grams)))
+    // bind the gram array ONCE: referencing the `grams` expression in
+    // both output columns would inline the O(len) substr extraction
+    // twice per row (the HOF lambda-inlining trap — dup_ngram_pairs
+    // measured 2-8x on exactly this pattern)
+    df.withColumn("__grams", grams)
+      .withColumn("fingerprint", array_min(transform(col("__grams"), g => h32(g))))
+      .withColumn("n_grams", size(array_distinct(col("__grams"))))
+      .drop("__grams")
   }
 }
