@@ -115,6 +115,35 @@ object StreamBench {
       docsTbl.select(col("doc_id").as("id"), col("text")), "id", "text",
       numPerm = 32, bands = 8, maxBucket = 64)
     println(s"doc input rows=$nDocs index rows=${index.count()}")
+
+    // ---- third input: query-vector stream + the persisted LSH index ----
+    // Stream vectors are id-offset replicas of the corpus (same probe
+    // distribution as production: arrivals mostly DO have near matches);
+    // the index pair is built once from the un-replicated corpus.
+    val vecInputDir = new java.io.File(work, "vecs").getPath
+    val embTbl = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val annPlanes = graft.llm.Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)
+    val vecChunked = embTbl
+      .crossJoin(spark.range(replicas * 4L).toDF("vr"))
+      .select((col("vec_id") + col("vr") * lit(1000000L)).as("id"), col("embedding"))
+      .withColumn("__chunk",
+        ntile(Chunks).over(org.apache.spark.sql.expressions.Window.orderBy("id")))
+      .localCheckpoint()
+    val nVecs = vecChunked.count()
+    for (c <- 1 to Chunks)
+      vecChunked.filter(col("__chunk") === c).drop("__chunk")
+        .coalesce(1).write.mode("append").parquet(vecInputDir)
+    val vecSchema = spark.read.parquet(vecInputDir).schema
+    def vecSource(): DataFrame = spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", FilesPerTrigger)
+      .parquet(vecInputDir)
+    val (annBuckets0, annVectors0) = graft.stream.StreamAnn.bucketIndex(
+      embTbl, "vec_id", "embedding", annPlanes)
+    val annBuckets = annBuckets0.localCheckpoint()
+    val annVectors = annVectors0.localCheckpoint()
+    println(s"vec input rows=$nVecs ann index buckets=${annBuckets.count()}")
     // DSIR model trained once on the batch corpus, served as a map
     // literal — the scorer is a pure projection (zero stream state)
     val dsirModel = graft.llm.Dsir.bucketModel(
@@ -150,6 +179,12 @@ object StreamBench {
         source(), "ts", "1 hour", Seq("key", "dup_key"))),
       "neardup_vs_index" -> (() => StreamDedup.nearDupMatches(
         docSource(), index, "id", "text", numPerm = 32, bands = 8, tau = 0.7)),
+      // streaming ANN probe: stream-static (grp,bucket) equi-join vs the
+      // persisted LSH index pair; STATELESS — the corpus lives in the
+      // index tables, never in stream state (StreamAnn scaladoc)
+      "ann_probe" -> (() => graft.stream.StreamAnn.matches(
+        vecSource(), annBuckets, annVectors, "id", "embedding",
+        annPlanes, minCosine = 0.6)),
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
         buckets = 1024)),
