@@ -152,6 +152,82 @@ object Similarity {
         (col("nlbl") === col("true_label")).as("correct"))
   }
 
+  /** Labeled LSH bucket candidates — the shared generator for the
+    * label-aware ANN scale arms ([[hardNegativesBucketed]],
+    * [[knnClassifyBucketed]]): (query, neighbor, labels, exact
+    * cosine) pairs from the (grp, bucket) equi-join. Cosine is
+    * computed BEFORE the cross-group dedup (bit-identical per group —
+    * the lshTopK skinny-projection discipline) so the dedup exchange
+    * carries ~40 bytes/row, not two 64-d vectors. `neighborPred`
+    * restricts the corpus side (e.g. exclude the query sample for
+    * classification).
+    */
+  private def labeledBucketCands(df: DataFrame, idCol: String, vecCol: String,
+                                 labelCol: String, queryPred: Column,
+                                 neighborPred: Column,
+                                 planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dotF = dotAdaptive(df)(_, _)
+    val base = withNorm(df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        toDoubleVec(col(vecCol)).as("v")), "v")
+      .withColumn("__buckets", bucketsAll(df, col("v"), planes, dotF))
+    val exploded = base.select(col("id"), col("lbl"), col("v"), col("__norm"),
+      posexplode(col("__buckets")).as(Seq("grp", "bucket")))
+    val q = exploded.filter(queryPred).select(col("id").as("query_id"),
+      col("lbl").as("qlbl"), col("v").as("qv"), col("__norm").as("qn"),
+      col("grp"), col("bucket"))
+    q.join(exploded.filter(neighborPred), Seq("grp", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qlbl"), col("id").as("neighbor_id"),
+        col("lbl").as("nlbl"),
+        (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** [[hardNegatives]]' scale arm: same-output hard-negative mining
+    * with candidates from LSH buckets instead of the all-pairs
+    * different-label join — per-query work is bucket occupancy, so a
+    * negative must share a bucket with the query to be considered
+    * (exactly the production recipe the hardNegatives scaladoc
+    * promises: generate from buckets, exact-verify).
+    */
+  def hardNegativesBucketed(df: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String, queryPred: Column, k: Int,
+                            planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cands = labeledBucketCands(df, idCol, vecCol, labelCol, queryPred,
+      lit(true), planes)
+      .filter(col("nlbl") =!= col("qlbl"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** [[knnClassify]]'s scale arm: majority vote over the top-k
+    * BUCKET-generated labeled neighbors (corpus side excludes the
+    * query sample, as in the exact form). Vote ties to the smallest
+    * label — identical finishing, only the candidate generator
+    * changes.
+    */
+  def knnClassifyBucketed(df: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String, queryPred: Column, k: Int,
+                          planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cands = labeledBucketCands(df, idCol, vecCol, labelCol, queryPred,
+      !queryPred, planes)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val nn = cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("nlbl"))
+    nn.groupBy("query_id", "qlbl", "nlbl")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("nlbl").as("predicted_label"),
+        col("votes"), col("qlbl").as("true_label"),
+        (col("nlbl") === col("qlbl")).as("correct"))
+  }
+
   /** Coarse sign-bucket refinement for a block key: the group-0
     * bucket of `planes` appended to an existing block column. This is
     * how block-bounded pair operators ([[knnGraph]],

@@ -1697,6 +1697,82 @@ object LlmQueries {
     """)
   )
 
+  /** Shared labeled-LSH-candidate oracle chain ending at
+    * `cand(query_id, qlbl, neighbor_id, nlbl, cosine)` —
+    * hard_negatives_scaled / knn_classify_scaled. `neighborFilter` is
+    * an extra predicate on the corpus side (e.g. exclude the query
+    * sample), "" for none.
+    */
+  private def labeledLshCtes(neighborFilter: String): String = s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(6) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM n CROSS JOIN pl GROUP BY 1, 2),
+      nb AS (SELECT n.vec_id, n.label, bkt.g, bkt.bucket
+             FROM n JOIN bkt ON n.vec_id = bkt.vec_id),
+      qs AS (SELECT vec_id AS query_id, label AS qlbl, g, bucket
+             FROM nb WHERE vec_id % 40 = 0),
+      c0 AS (SELECT DISTINCT qs.query_id, qs.qlbl, t.vec_id AS neighbor_id, t.label AS nlbl
+             FROM qs JOIN nb t ON qs.g = t.g AND qs.bucket = t.bucket
+              AND t.vec_id <> qs.query_id $neighborFilter),
+      cand AS (SELECT c0.query_id, c0.qlbl, c0.neighbor_id, c0.nlbl,
+                      list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+                        / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+               FROM c0 JOIN n a ON a.vec_id = c0.query_id
+                       JOIN n b ON b.vec_id = c0.neighbor_id)"""
+
+  /** hard_negatives' scale arm: negatives generated from LSH buckets
+    * (candidate must share a bucket with the query) instead of the
+    * all-pairs different-label join — 5.5× at sf1 flagged the exact
+    * form as the largest label-family grower.
+    */
+  val hardNegativesScaledQ: Q = Q(
+    "hard_negatives_scaled",
+    (s, dir) => Similarity.hardNegativesBucketed(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", col("id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)),
+    Some(labeledLshCtes("") + """
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cand WHERE nlbl <> qlbl
+      QUALIFY rank <= 5
+    """)
+  )
+
+  /** knn_classify's scale arm: the same majority vote over top-5
+    * labeled neighbors, candidates bucket-generated (corpus side
+    * excludes the query sample, as in the exact form).
+    */
+  val knnClassifyScaledQ: Q = Q(
+    "knn_classify_scaled",
+    (s, dir) => Similarity.knnClassifyBucketed(Tables.embeddings(s, dir),
+      "vec_id", "embedding", "label", col("id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)),
+    Some(labeledLshCtes("AND NOT (t.vec_id % 40 = 0)") + """,
+      rk AS (SELECT * FROM (
+               SELECT cand.*, row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM cand) WHERE rank <= 5),
+      v AS (SELECT query_id, qlbl AS true_label, nlbl, count(*) AS votes
+            FROM rk GROUP BY 1, 2, 3)
+      SELECT query_id, nlbl AS predicted_label, votes, true_label,
+             nlbl = true_label AS correct
+      FROM v
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlbl) = 1
+    """)
+  )
+
   /** ann_rp_rerank's scale form — the full FAISS-style funnel (LSH
     * buckets generate candidates, 16-d JL projection picks the
     * shortlist, exact cosine scores only the shortlist). The labeled
@@ -1769,7 +1845,8 @@ object LlmQueries {
     charEntropyQ,
     docFingerprint, multimodalFeatures, piiScrub, quantizedTopK, kmeansCellsQ,
     semanticDedupQ, semanticDedupScaledQ, decontamSemanticQ,
-    knnGraphQ, knnGraphBucketed, hardNegativesQ, knnClassifyQ, hashedTfQ, sparseCosineQ,
+    knnGraphQ, knnGraphBucketed, hardNegativesQ, hardNegativesScaledQ,
+    knnClassifyQ, knnClassifyScaledQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rrfHybridScaledQ,
     rpProjectQ,
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ)

@@ -177,6 +177,88 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(2) == 3L && r.getBoolean(4)) // 3 of 3 votes from cluster 0
   }
 
+  test("bucketed label arms: different-label invariant, k bound, agreement with exact") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val planes = Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)
+    val qp = col("id") % 40 === 0
+    val lbl = emb.select(col("vec_id"), col("label"))
+
+    val neg = Similarity.hardNegativesBucketed(emb, "vec_id", "embedding",
+      "label", qp, k = 5, planes).cache()
+    // every returned neighbor carries a DIFFERENT label than its query
+    val labeled = neg
+      .join(lbl.toDF("query_id", "qlbl"), "query_id")
+      .join(lbl.toDF("neighbor_id", "nlbl"), "neighbor_id")
+    assert(labeled.filter(col("qlbl") === col("nlbl")).count() === 0)
+    // at most k per query, ranks contiguous from 1
+    val perQ = neg.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQ.filter(col("n") > 5 || col("mx") =!= col("n") || col("mn") =!= 1)
+      .count() === 0)
+    // recall vs the exact all-pairs form — logged; hard negatives are
+    // different-label NEAR vectors, so on clustered geometry they are
+    // exactly the pairs LSH keeps co-bucketed (deterministic md5 planes)
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      qp, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = neg.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"hard-negative bucketed recall@5 = $recall")
+    assert(recall > 0.3)
+    neg.unpersist()
+
+    val exactCls = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
+      qp, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cls = Similarity.knnClassifyBucketed(emb, "vec_id", "embedding",
+      "label", qp, k = 5, planes).collect()
+    // at most one verdict per query, every query also answered exactly,
+    // and the correct flag is internally consistent
+    assert(cls.map(_.getLong(0)).distinct.length === cls.length)
+    assert(cls.forall(r => exactCls.contains(r.getLong(0))))
+    assert(cls.forall(r => r.getBoolean(4) == (r.getInt(1) == r.getInt(3))))
+    // agreement with the exact vote is LOGGED, not asserted, on the real
+    // testdata: its labels are weak geometric proxies (the ivf test above
+    // measures label-cell recall at 0.12–0.29), so a candidate set with
+    // recall ~0.5 legitimately flips near-tied majority votes
+    val agree = cls.count(r => exactCls(r.getLong(0)) == r.getInt(1))
+    info(s"knn-classify bucketed vs exact agreement = $agree/${cls.length}")
+  }
+
+  test("bucketed label arms match exact forms on clustered geometry") {
+    import spark.implicits._
+    // 6 tight clusters, label = cluster id — here bucket candidates
+    // contain every informative neighbor, so both arms must agree
+    val r = new scala.util.Random(33)
+    val centers = Seq.fill(6)(Seq.fill(64)(r.nextGaussian() * 8.0))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 6).map(x => (x + r.nextGaussian() * 0.4).toFloat),
+        i % 6)
+    }.toDF("vec_id", "embedding", "label")
+    val planes = Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 4)
+    val qp = col("id") < 6
+
+    val exactNeg = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+      "label", qp, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buckNeg = Similarity.hardNegativesBucketed(vecs, "vec_id", "embedding",
+      "label", qp, k = 3, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val negRecall = (exactNeg & buckNeg).size.toDouble / exactNeg.size
+    info(s"clustered hard-negative recall@3 = $negRecall")
+    assert(negRecall >= 0.8)
+
+    val exactCls = Similarity.knnClassify(vecs, "vec_id", "embedding", "label",
+      qp, k = 5).collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    val buckCls = Similarity.knnClassifyBucketed(vecs, "vec_id", "embedding",
+      "label", qp, k = 5, planes)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    assert(exactCls.forall(_._3) && buckCls.forall(_._3)) // all classified right
+    assert(buckCls.toSet === exactCls.toSet)
+  }
+
   test("knnGraph: known answers within blocks, k bound, no self/cross-block edges") {
     import spark.implicits._
     val vecs = Seq(
