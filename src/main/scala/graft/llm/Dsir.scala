@@ -18,12 +18,16 @@ import TextHash.{h32, words}
   * FIXED bucket space (default 1024, DSIR itself uses 10k) — both
   * models are bucket-count tables bounded by `buckets` regardless of
   * corpus size, built by one map-side-combined aggregation each, and
-  * re-enter as a BROADCAST join (the per-doc scoring join never
-  * shuffles the model). Per-document feature extraction is explode +
-  * hash at scan speed; the only full shuffle carries distinct
-  * (doc, bucket) pairs with multiplicity — bounded by min(tokens,
-  * docs x buckets), the same skinny-pair discipline as LangModel /
-  * tfidf. Gumbel noise is a pure per-row md5 deviate (Sampling.u01
+  * re-enter as a MAP LITERAL in the scoring projection (collected at
+  * ≤buckets rows — bounded driver metadata). Per-document feature
+  * extraction is explode + hash at scan speed; model-fit shuffles
+  * carry ≤ partitions x buckets bucket-count cells (map-side combine
+  * collapses each partition to the bucket space before the exchange),
+  * and scoring itself is a pure per-row expression — ZERO
+  * doc-proportional shuffles end to end. The (doc, bucket) pair-table
+  * form survives as [[importanceWeightsShuffled]], the independent
+  * replay the oracle CTEs mirror and the spec compares against.
+  * Gumbel noise is a pure per-row md5 deviate (Sampling.u01
   * family) so resampling is reproducible under retries and engines.
   *
   * Numeric determinism: each bucket's two log probabilities are
@@ -67,19 +71,38 @@ object Dsir {
     * material at any corpus size.
     */
   def bucketModel(df: DataFrame, idCol: String, textCol: String,
-                  targetPred: Column, buckets: Int): DataFrame =
-    modelFromFeats(hashedFeatures(df, idCol, textCol, buckets),
-      df.filter(targetPred).select(col(idCol).as("doc_id")), buckets)
+                  targetPred: Column, buckets: Int): DataFrame = {
+    // Counts straight off the explode, NO per-doc pair table: map-side
+    // combine collapses every partition to ≤buckets cells before the
+    // exchange, so the shuffle carries partitions x buckets rows no
+    // matter how large the corpus — vs the (doc, bucket) pair table
+    // whose exchange grows with the corpus. Totals are identical
+    // (sum over docs of per-doc multiplicities = plain occurrence
+    // count), so the model is bit-equal to the pair-table form.
+    val (uni, bi) = featureArrays(textCol, buckets)
+    val rc = df.select(explode(concat(uni, bi)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tc = df.filter(targetPred)
+      .select(explode(concat(uni, bi)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    modelTail(rc, tc, buckets)
+  }
 
-  /** [[bucketModel]] body over an already-built feature table — lets
-    * the weights path share ONE feature pass between model fit and
-    * scoring (the feature explode is the dominant cost).
+  /** [[bucketModel]] body over an already-built feature table — the
+    * shuffled reference form ([[importanceWeightsShuffled]]).
     */
   private def modelFromFeats(feats: DataFrame, targetIds: DataFrame,
-                             buckets: Int): DataFrame = {
-    val rc = feats.groupBy("bucket").agg(sum("m").as("cr"))
-    val tc = feats.join(targetIds, "doc_id")
-      .groupBy("bucket").agg(sum("m").as("ct"))
+                             buckets: Int): DataFrame =
+    modelTail(
+      feats.groupBy("bucket").agg(sum("m").as("cr")),
+      feats.join(targetIds, "doc_id").groupBy("bucket").agg(sum("m").as("ct")),
+      buckets)
+
+  /** Smoothing + integer-quantization tail shared by both model
+    * builders: raw/target bucket counts → `(bucket, lr_micro)`.
+    */
+  private def modelTail(rc: DataFrame, tc: DataFrame,
+                        buckets: Int): DataFrame = {
     val totals0 = rc.join(tc, Seq("bucket"), "left")
       .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
     val totals = totals0.crossJoin(broadcast(
@@ -134,6 +157,31 @@ object Dsir {
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         targetPred: Column, buckets: Int): DataFrame = {
+    // Fit the buckets-bounded model (two bucket-count aggregations,
+    // shuffles carry ≤ partitions x buckets rows), collect it
+    // (≤buckets rows — bounded driver metadata, the kmeans-centroid
+    // budget), and score MAP-SIDE via the literal-model projection:
+    // zero doc-proportional shuffles end to end. defaultMicro is never
+    // consulted scoring the training corpus itself — every bucket a
+    // scored document hashes into was, by construction, counted into
+    // the raw model (DsirSpec pins bit-equality to the shuffled form
+    // with a poisoned sentinel default).
+    val model = bucketModel(df, idCol, textCol, targetPred, buckets)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
+      .toMap
+    scoreWith(df, idCol, textCol, model, defaultMicro = 0L, buckets)
+  }
+
+  /** The shuffled reference form of [[importanceWeights]]: the
+    * (doc, bucket, m) pair table feeds the model fit AND re-enters a
+    * broadcast scoring join — the shape the DuckDB oracle CTEs replay
+    * and the spec compares the map-side production path against.
+    * Kept as the independent-recompute arm; production uses the
+    * map-side form (A/B at sf0.1: the pair-table exchange is the
+    * dominant cost the literal-model projection deletes).
+    */
+  def importanceWeightsShuffled(df: DataFrame, idCol: String, textCol: String,
+                                targetPred: Column, buckets: Int): DataFrame = {
     // ONE feature pass feeds both the model fit and the scoring join
     // (persist: three consumers — raw counts, target counts, scoring;
     // the explode is the dominant cost and would otherwise run 3x)

@@ -83,11 +83,23 @@ class DsirSpec extends SparkSpec {
         defaultMicro = Long.MinValue / 4, buckets = 1024).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"))).toMap
-    val joined = Dsir.importanceWeights(docs, "doc_id", "text", tgt,
+    val joined = Dsir.importanceWeightsShuffled(docs, "doc_id", "text", tgt,
         buckets = 1024).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"))).toMap
     assert(mapSide === joined)
+  }
+
+  test("production map-side weights are bit-equal to the shuffled reference form") {
+    val docs = Tables.documents(spark, sf())
+    val tgt = col("source").isin("src0", "src1")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"),
+          r.getAs[Double]("avg_w"))).toMap
+    val prod = key(Dsir.importanceWeights(docs, "doc_id", "text", tgt, 1024))
+    val ref = key(Dsir.importanceWeightsShuffled(docs, "doc_id", "text", tgt, 1024))
+    assert(prod === ref)
   }
 
   test("streaming arrivals score identically to batch — stateless, model as literal") {
