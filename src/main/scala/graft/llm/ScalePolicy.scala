@@ -120,4 +120,43 @@ object ScalePolicy {
                         targetRows: Int = 640): DataFrame =
     SemDedup.semanticDedup(df, idCol, vecCol,
       semanticCellsFor(corpus, targetRows), iters, tau)
+
+  /** Planes for the LABEL-family bucketed arms
+    * ([[Similarity.hardNegativesBucketed]] /
+    * [[Similarity.knnClassifyBucketed]]) derived from corpus size:
+    * occupancy-constant bits + OR-amplified groups, the lshTopKAuto
+    * pairing (the Auto entry points additionally probe Hamming-1
+    * buckets query-side, probes = bits — recall restoration at
+    * (1+bits)x query cost, index unchanged). The driver queries pin 16×6 (their oracles restate the
+    * exact planes); at 200k vectors the pinned planes were measured
+    * quadratic (93.6 s vs the policy arm — LabelScaleExp), the same
+    * law as every other fixed-bits member.
+    */
+  def labelPlanesFor(corpus: Long, dim: Int = 64,
+                     targetOccupancy: Int = 20): Seq[Seq[Seq[Double]]] = {
+    val bits = lshBitsFor(corpus, targetOccupancy)
+    Similarity.md5Planes(dim, lshGroupsFor(bits), bits)
+  }
+
+  /** [[Similarity.hardNegativesBucketed]] with [[labelPlanesFor]]
+    * planes.
+    */
+  def hardNegativesAuto(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, queryPred: Column, k: Int,
+                        corpus: Long, dim: Int = 64,
+                        targetOccupancy: Int = 20): DataFrame =
+    Similarity.hardNegativesBucketed(df, idCol, vecCol, labelCol, queryPred,
+      k, labelPlanesFor(corpus, dim, targetOccupancy),
+      probes = lshBitsFor(corpus, targetOccupancy))
+
+  /** [[Similarity.knnClassifyBucketed]] with [[labelPlanesFor]]
+    * planes.
+    */
+  def knnClassifyAuto(df: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, queryPred: Column, k: Int,
+                      corpus: Long, dim: Int = 64,
+                      targetOccupancy: Int = 20): DataFrame =
+    Similarity.knnClassifyBucketed(df, idCol, vecCol, labelCol, queryPred,
+      k, labelPlanesFor(corpus, dim, targetOccupancy),
+      probes = lshBitsFor(corpus, targetOccupancy))
 }

@@ -160,21 +160,30 @@ object Similarity {
     * the lshTopK skinny-projection discipline) so the dedup exchange
     * carries ~40 bytes/row, not two 64-d vectors. `neighborPred`
     * restricts the corpus side (e.g. exclude the query sample for
-    * classification).
+    * classification). `probes` > 0 adds query-side Hamming-1 probing
+    * (the [[lshTopK]] flip masks) — the recall-restoration half of
+    * the occupancy-constant scale recipe; the indexed corpus never
+    * grows.
     */
   private def labeledBucketCands(df: DataFrame, idCol: String, vecCol: String,
                                  labelCol: String, queryPred: Column,
                                  neighborPred: Column,
-                                 planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+                                 planes: Seq[Seq[Seq[Double]]],
+                                 probes: Int): DataFrame = {
     val dotF = dotAdaptive(df)(_, _)
     val base = withNorm(df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
         toDoubleVec(col(vecCol)).as("v")), "v")
       .withColumn("__buckets", bucketsAll(df, col("v"), planes, dotF))
     val exploded = base.select(col("id"), col("lbl"), col("v"), col("__norm"),
       posexplode(col("__buckets")).as(Seq("grp", "bucket")))
-    val q = exploded.filter(queryPred).select(col("id").as("query_id"),
+    val q0 = exploded.filter(queryPred).select(col("id").as("query_id"),
       col("lbl").as("qlbl"), col("v").as("qv"), col("__norm").as("qn"),
       col("grp"), col("bucket"))
+    val q = if (probes <= 0) q0 else q0
+      .withColumn("__flip",
+        explode(typedLit(0L +: Seq.tabulate(probes)(1L << _))))
+      .withColumn("bucket", expr("bucket ^ __flip"))
+      .drop("__flip")
     q.join(exploded.filter(neighborPred), Seq("grp", "bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qlbl"), col("id").as("neighbor_id"),
@@ -193,9 +202,10 @@ object Similarity {
     */
   def hardNegativesBucketed(df: DataFrame, idCol: String, vecCol: String,
                             labelCol: String, queryPred: Column, k: Int,
-                            planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+                            planes: Seq[Seq[Seq[Double]]],
+                            probes: Int = 0): DataFrame = {
     val cands = labeledBucketCands(df, idCol, vecCol, labelCol, queryPred,
-      lit(true), planes)
+      lit(true), planes, probes)
       .filter(col("nlbl") =!= col("qlbl"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(w))
@@ -211,9 +221,10 @@ object Similarity {
     */
   def knnClassifyBucketed(df: DataFrame, idCol: String, vecCol: String,
                           labelCol: String, queryPred: Column, k: Int,
-                          planes: Seq[Seq[Seq[Double]]]): DataFrame = {
+                          planes: Seq[Seq[Seq[Double]]],
+                          probes: Int = 0): DataFrame = {
     val cands = labeledBucketCands(df, idCol, vecCol, labelCol, queryPred,
-      !queryPred, planes)
+      !queryPred, planes, probes)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     val nn = cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

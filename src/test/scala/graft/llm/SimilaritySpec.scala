@@ -208,6 +208,15 @@ class SimilaritySpec extends SparkSpec {
     info(s"hard-negative bucketed recall@5 = $recall")
     assert(recall > 0.3)
     neg.unpersist()
+    // Hamming-1 probing only ADDS candidate buckets → recall can't drop
+    // (the lshTopK dominance invariant, label-arm edition)
+    val probed = Similarity.hardNegativesBucketed(emb, "vec_id", "embedding",
+        "label", qp, k = 5, planes, probes = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rProbed = (exact & probed).size.toDouble / exact.size
+    info(s"hard-negative bucketed recall@5 with probes=6: $rProbed")
+    assert(rProbed >= recall)
 
     val exactCls = Similarity.knnClassify(emb, "vec_id", "embedding", "label",
       qp, k = 5)
