@@ -86,6 +86,29 @@ class ScalePolicySpec extends SparkSpec {
     }
   }
 
+  test("label-family Autos equal the bucketed forms at the derived parameters") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val qp = col("id") % 40 === 0
+    val bits = ScalePolicy.lshBitsFor(n)
+    val planes = Similarity.md5Planes(64, ScalePolicy.lshGroupsFor(bits), bits)
+    // collected-set equality (exceptAll trips a Catalyst
+    // ATTRIBUTE_NOT_FOUND rebind on this window+dedup plan shape)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val autoNeg = ScalePolicy.hardNegativesAuto(emb, "vec_id", "embedding",
+      "label", qp, k = 5, corpus = n)
+    val manualNeg = Similarity.hardNegativesBucketed(emb, "vec_id", "embedding",
+      "label", qp, k = 5, planes, probes = bits)
+    assert(rows(autoNeg) === rows(manualNeg))
+    val autoCls = ScalePolicy.knnClassifyAuto(emb, "vec_id", "embedding",
+      "label", qp, k = 5, corpus = n)
+    val manualCls = Similarity.knnClassifyBucketed(emb, "vec_id", "embedding",
+      "label", qp, k = 5, planes, probes = bits)
+    assert(rows(autoCls) === rows(manualCls))
+    assert(rows(autoNeg).nonEmpty && rows(autoCls).nonEmpty)
+  }
+
   test("semanticDedupAuto verdicts match semanticDedup at the derived k") {
     val emb = graft.Tables.embeddings(spark, sf())
     val n = emb.count()
