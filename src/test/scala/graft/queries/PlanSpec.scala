@@ -259,15 +259,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"rule bundle must not explode:\n$plan")
   }
 
-  test("dsir: bucket model joins as broadcast; resample top-k is TakeOrdered, not a global sort") {
+  test("dsir: scoring is a pure projection (model as literal — no join, no exchange); resample top-k is TakeOrdered") {
+    // the model fit runs eagerly at construction (two buckets-bounded
+    // aggregations + a ≤1024-row collect); the RETURNED plan is the
+    // map-side scoring projection over the scan — nothing else
     val w = Registry.byName("dsir_weights").fn(spark, sf("sf0.01"))
     val wplan = w.queryExecution.sparkPlan.toString
-    assert(wplan.contains("BroadcastHashJoin"),
-      s"model must broadcast into the scoring join:\n${wplan.take(3000)}")
+    assert(!wplan.contains("Join") && !wplan.contains("Exchange"),
+      s"map-side scoring must not join or shuffle the corpus:\n${wplan.take(3000)}")
     val r = Registry.byName("dsir_resample").fn(spark, sf("sf0.01"))
     val rplan = r.queryExecution.sparkPlan.toString
     assert(rplan.contains("TakeOrderedAndProject"),
       s"resample must plan as TakeOrdered (no global sort):\n${rplan.take(3000)}")
+    assert(!rplan.contains("Join"),
+      s"resample inherits the joinless scoring projection:\n${rplan.take(3000)}")
   }
 
   test("semantic_dedup: candidates ride the cell equi-join — never a pairwise cartesian") {
@@ -415,6 +420,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Union"), s"scaled RRF must fuse via union:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"),
       s"LSH candidate generation must equi-join on (grp, bucket):\n${plan.take(3000)}")
+  }
+
+  test("label-family bucketed arms: candidates equi-join on (grp, bucket), never cartesian") {
+    Seq("hard_negatives_scaled", "knn_classify_scaled").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name candidate space must ride the bucket equi-join:\n${plan.take(3000)}")
+      assert(plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) &&
+          l.contains("grp") && l.contains("bucket")),
+        s"$name lost the (grp, bucket) join key:\n${plan.take(3000)}")
+    }
   }
 
   test("scaled graph twins: no cartesian; their edge input keys pairs on the refined block") {
