@@ -595,6 +595,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Binary-quantization ANN — the 1-bit point of the compression
+    * family (int8 → PQ → JL → THIS): each vector compresses to 64
+    * sign bits against md5-derived hyperplanes (8 bytes — a 32×
+    * smaller index than the float vectors), the prefilter is a brute
+    * Hamming scan over the packed sketches (XOR + popcount, ~64×
+    * cheaper per candidate than a float cosine and 60× skinnier
+    * rows), and exact cosine scores only the top-`shortlist` — so
+    * returned scores are exact, the binary code only selects. The
+    * sketch is 2×32 bits (two BIGINTs), not 1×64: the engines must
+    * agree on every packed value, and a 63-bit shift overflows
+    * DuckDB's BIGINT while Spark wraps — 32-bit groups keep the whole
+    * lattice inside both engines' exact range. Sign-sketch Hamming
+    * approximates angle (Charikar 2002: P[bit differs] = θ/π), so
+    * Hamming rank ≈ cosine rank on clustered geometry.
+    *
+    * Scale: the scan is linear-per-query like [[Pq.pqTopK]]'s ADC —
+    * the deliberate compression-baseline shape; at corpus scale the
+    * sketch slots into the bucket funnel as the SELECT stage exactly
+    * as the JL projection does in [[rpRerankBucketedTopK]]. Shuffle
+    * discipline: the all-pairs prefilter carries (id, s1, s2) only —
+    * 24 bytes/row; full vectors re-enter by two shortlist-sized id
+    * equi-joins.
+    */
+  def hammingRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int, dim: Int = 64,
+                        shortlist: Int = 32): DataFrame = {
+    val planes = md5Planes(dim, groups = 2, bitsPerGroup = 32)
+    val dotF = dotAdaptive(df)(_, _)
+    val base = withNorm(df.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v")), "v")
+      .withColumn("__sk", bucketsAll(df, col("v"), planes, dotF))
+      .select(col("id"), col("v"), col("__norm"),
+        element_at(col("__sk"), 1).as("s1"), element_at(col("__sk"), 2).as("s2"))
+    val sk = base.select("id", "s1", "s2")
+    val qsk = base.filter(queryPred).select(col("id").as("query_id"),
+      col("s1").as("q1"), col("s2").as("q2"))
+    val ham = qsk.join(sk, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (expr("bit_count(q1 ^ s1)") + expr("bit_count(q2 ^ s2)"))
+          .cast("long").as("hamming"))
+    val hw = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val short = ham.withColumn("hrn", row_number().over(hw))
+      .filter(col("hrn") <= shortlist)
+      .select("query_id", "neighbor_id", "hamming")
+    val scored = short
+      .join(base.select(col("id").as("query_id"), col("v").as("qv"),
+        col("__norm").as("qn")), "query_id")
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("nv"),
+        col("__norm").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        (dotF(col("qv"), col("nv")) / (sqrt(col("qn")) * sqrt(col("nn"))))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+  }
+
   /** Top-`nprobe` nearest centroids per row (ties to smaller cell id)
     * — the IVF probe set; [[assignCells]] is the nprobe=1 case.
     * `(vec_id, cell)`, nprobe rows per input row.

@@ -1782,6 +1782,55 @@ object LlmQueries {
     * bucket-bounded, so the whole funnel inherits the LSH occupancy
     * law. Returned scores remain EXACT in both forms.
     */
+  /** Binary-quantization ANN (Similarity.hammingRerankTopK scaladoc):
+    * 2×32 sign bits per vector (8-byte index, 32× smaller than the
+    * floats), brute XOR+popcount Hamming prefilter to a shortlist of
+    * 64, exact cosine rerank — the 1-bit point of the compression
+    * family next to int8/PQ/JL. The 63-bit shift a 1×64 packing would
+    * need overflows DuckDB's BIGINT, so both engines pack 2×32.
+    */
+  val annHammingRerankQ: Q = Q(
+    "ann_hamming_rerank",
+    (s, dir) => Similarity.hammingRerankTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", col("id") % 40 === 0, k = 5, shortlist = 64),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(2) rg(g) CROSS JOIN range(32) rp(p)),
+      bk AS (SELECT vec_id, g,
+                    sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                              (a, b) -> a + b) > 0
+                             THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS b
+             FROM e CROSS JOIN pl GROUP BY 1, 2),
+      sk AS (SELECT vec_id, max(CASE WHEN g = 0 THEN b END) AS s1,
+                    max(CASE WHEN g = 1 THEN b END) AS s2
+             FROM bk GROUP BY 1),
+      q AS (SELECT vec_id AS query_id, s1 AS q1, s2 AS q2 FROM sk WHERE vec_id % 40 = 0),
+      h AS (SELECT q.query_id, t.vec_id AS neighbor_id,
+                   (bit_count(xor(q.q1, t.s1)) + bit_count(xor(q.q2, t.s2)))::BIGINT AS hamming
+            FROM q JOIN sk t ON t.vec_id <> q.query_id),
+      sh AS (SELECT * FROM (
+               SELECT h.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY hamming, neighbor_id) AS hrn
+               FROM h) WHERE hrn <= 64),
+      sc AS (SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+                    list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+                      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+             FROM sh JOIN n a ON a.vec_id = sh.query_id
+                     JOIN n b ON b.vec_id = sh.neighbor_id)
+      SELECT query_id, neighbor_id, hamming, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sc QUALIFY rank <= 5
+    """)
+  )
+
   val annRpRerankScaledQ: Q = Q(
     "ann_rp_rerank_scaled",
     (s, dir) => Similarity.rpRerankBucketedTopK(Tables.embeddings(s, dir),
@@ -1849,5 +1898,6 @@ object LlmQueries {
     knnClassifyQ, knnClassifyScaledQ, hashedTfQ, sparseCosineQ,
     embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rrfHybridScaledQ,
     rpProjectQ,
-    pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ)
+    pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ,
+    annHammingRerankQ)
 }

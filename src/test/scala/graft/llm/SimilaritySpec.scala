@@ -314,6 +314,56 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hammingRerankTopK: sign-sketch shortlist recovers clustered structure; exact scores; zero distance for twins") {
+    import spark.implicits._
+    val r = new scala.util.Random(27)
+    val centers = Seq.fill(6)(Seq.fill(64)(r.nextGaussian() * 8.0))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 6).map(x => (x + r.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pred = org.apache.spark.sql.functions.col("id") % 20 === 0
+    val brute = Similarity.bruteTopK(vecs, "vec_id", "embedding", pred, k = 5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+    val ham = Similarity.hammingRerankTopK(vecs, "vec_id", "embedding", pred,
+        k = 5, shortlist = 24)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)),
+        (x.getLong(2), x.getDouble(3))))
+    val bSet = brute.map(_._1).toSet
+    val recall = ham.map(_._1).count(bSet.contains).toDouble / brute.length
+    info(f"clustered-geometry hamming recall@5 at shortlist 24/120: $recall%.3f")
+    assert(recall >= 0.9, s"recall $recall — sign sketch missed cluster structure")
+    // score fidelity: rerank cosines are the exact brute cosines
+    val bMap = brute.toMap
+    ham.foreach { case (pair, (_, c)) =>
+      if (bMap.contains(pair)) assert(bMap(pair) == c, s"cosine distorted for $pair")
+    }
+    // hamming bounded by the sketch width; same-cluster pairs differ in
+    // few bits (Charikar: P[bit] = theta/pi)
+    assert(ham.forall { case (_, (h, _)) => h >= 0 && h <= 64 })
+    // an exact duplicate vector has Hamming 0 to its twin and surfaces rank 1
+    val withDup = vecs.union(Seq((999L,
+      vecs.filter($"vec_id" === 0L).head.getSeq[Float](1))).toDF("vec_id", "embedding"))
+    val dup = Similarity.hammingRerankTopK(withDup, "vec_id", "embedding",
+        org.apache.spark.sql.functions.col("id") === 999L, k = 1, shortlist = 8)
+      .collect()
+    assert(dup.length == 1 && dup(0).getLong(1) == 0L && dup(0).getLong(2) == 0L
+      && math.abs(dup(0).getDouble(3) - 1.0) < 1e-12)
+
+    // real-data recall: logged + loose deterministic bound (md5 planes)
+    val emb = graft.Tables.embeddings(spark, sf("sf0.01"))
+    val qp = org.apache.spark.sql.functions.col("id") % 40 === 0
+    val bReal = Similarity.bruteTopK(emb, "vec_id", "embedding", qp, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val hReal = Similarity.hammingRerankTopK(emb, "vec_id", "embedding", qp,
+        k = 5, shortlist = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val rReal = (bReal & hReal).size.toDouble / bReal.size
+    info(f"real-data hamming recall@5 at shortlist 64: $rReal%.3f")
+    assert(rReal > 0.5)
+  }
+
   test("rpRerankBucketedTopK: bucket-funneled recall on clustered geometry; exact scores") {
     import spark.implicits._
     val r = new scala.util.Random(22)
