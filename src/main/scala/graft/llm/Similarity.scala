@@ -653,6 +653,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
   }
 
+  /** [[hammingRerankTopK]]'s funnel form — the binary code in its
+    * scale slot: sign-LSH buckets GENERATE candidates (pair space =
+    * matching buckets, never all-pairs), the 2×32-bit sketch SELECTS
+    * the shortlist (XOR + popcount over 24-byte candidate rows —
+    * cheaper per candidate AND per shuffled byte than even the JL
+    * funnel's 16-double projection), and exact cosine scores only the
+    * shortlist. Same contract as [[rpRerankBucketedTopK]]: returned
+    * scores exact, recall degrades only through bucket/shortlist
+    * misses, every stage's work bounded by the previous stage's
+    * output. Hamming is bit-identical across bucket groups (same
+    * sketches, same popcount), so the cross-group dedup is exact.
+    */
+  def hammingRerankBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
+                                queryPred: Column, k: Int,
+                                planes: Seq[Seq[Seq[Double]]],
+                                shortlist: Int = 32): DataFrame = {
+    val dim = planes.head.head.length
+    val skPlanes = md5Planes(dim, groups = 2, bitsPerGroup = 32)
+    val dotF = dotAdaptive(df)(_, _)
+    val base = withNorm(df.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).as("v")), "v")
+      .withColumn("__sk", bucketsAll(df, col("v"), skPlanes, dotF))
+      .withColumn("s1", element_at(col("__sk"), 1))
+      .withColumn("s2", element_at(col("__sk"), 2))
+      .withColumn("__buckets", bucketsAll(df, col("v"), planes, dotF))
+    val exploded = base.select(col("id"), col("s1"), col("s2"),
+      posexplode(col("__buckets")).as(Seq("grp", "bucket")))
+    val q = exploded.filter(queryPred).select(col("id").as("query_id"),
+      col("s1").as("q1"), col("s2").as("q2"), col("grp"), col("bucket"))
+    val cand = q.join(exploded, Seq("grp", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (expr("bit_count(q1 ^ s1)") + expr("bit_count(q2 ^ s2)"))
+          .cast("long").as("hamming"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val sw = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    val short = cand.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select("query_id", "neighbor_id", "hamming")
+    val vecs = base.select(col("id"), col("v"), col("__norm"))
+    val scored = short
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv"),
+        col("__norm").as("qn")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("v"), col("__norm")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("__norm"))))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "cosine", "rank")
+  }
+
   /** Top-`nprobe` nearest centroids per row (ties to smaller cell id)
     * — the IVF probe set; [[assignCells]] is the nprobe=1 case.
     * `(vec_id, cell)`, nprobe rows per input row.

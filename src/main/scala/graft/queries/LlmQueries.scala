@@ -1831,6 +1831,69 @@ object LlmQueries {
     """)
   )
 
+  /** The binary code in its funnel slot
+    * (Similarity.hammingRerankBucketedTopK): buckets generate,
+    * 2×32-bit sketches select (24-byte candidate rows), exact cosine
+    * scores the shortlist.
+    */
+  val annHammingScaledQ: Q = Q(
+    "ann_hamming_scaled",
+    (s, dir) => Similarity.hammingRerankBucketedTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", col("id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6),
+      shortlist = 64),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(6) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM e CROSS JOIN pl GROUP BY 1, 2),
+      spl AS (SELECT g, p,
+                     list_transform(range(64), d ->
+                       ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0 - 0.5) AS plane
+              FROM range(2) rg(g) CROSS JOIN range(32) rp(p)),
+      sbk AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS b
+              FROM e CROSS JOIN spl GROUP BY 1, 2),
+      sk AS (SELECT vec_id, max(CASE WHEN g = 0 THEN b END) AS s1,
+                    max(CASE WHEN g = 1 THEN b END) AS s2
+             FROM sbk GROUP BY 1),
+      qb AS (SELECT vec_id AS query_id, g, bucket FROM bkt WHERE vec_id % 40 = 0),
+      cand AS (SELECT DISTINCT qb.query_id, t.vec_id AS neighbor_id
+               FROM qb JOIN bkt t ON qb.g = t.g AND qb.bucket = t.bucket
+                AND t.vec_id <> qb.query_id),
+      h AS (SELECT c.query_id, c.neighbor_id,
+                   (bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)))::BIGINT AS hamming
+            FROM cand c JOIN sk a ON a.vec_id = c.query_id
+                        JOIN sk b ON b.vec_id = c.neighbor_id),
+      sh AS (SELECT query_id, neighbor_id, hamming FROM (
+               SELECT h.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY hamming, neighbor_id) AS srn
+               FROM h) WHERE srn <= 64),
+      sc AS (SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+                    list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+                      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+             FROM sh JOIN n a ON a.vec_id = sh.query_id
+                     JOIN n b ON b.vec_id = sh.neighbor_id)
+      SELECT query_id, neighbor_id, hamming, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sc QUALIFY rank <= 5
+    """)
+  )
+
   val annRpRerankScaledQ: Q = Q(
     "ann_rp_rerank_scaled",
     (s, dir) => Similarity.rpRerankBucketedTopK(Tables.embeddings(s, dir),
@@ -1899,5 +1962,5 @@ object LlmQueries {
     embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rrfHybridScaledQ,
     rpProjectQ,
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ,
-    annHammingRerankQ)
+    annHammingRerankQ, annHammingScaledQ)
 }

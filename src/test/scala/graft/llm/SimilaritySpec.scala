@@ -364,6 +364,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rReal > 0.5)
   }
 
+  test("hammingRerankBucketedTopK: bucket+sketch funnel recall on clustered geometry; exact scores") {
+    import spark.implicits._
+    val r = new scala.util.Random(29)
+    val centers = Seq.fill(6)(Seq.fill(64)(r.nextGaussian() * 8.0))
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, centers(i % 6).map(x => (x + r.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pred = org.apache.spark.sql.functions.col("id") % 20 === 0
+    val brute = Similarity.bruteTopK(vecs, "vec_id", "embedding", pred, k = 5)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2)))
+    val funnel = Similarity.hammingRerankBucketedTopK(vecs, "vec_id", "embedding",
+        pred, k = 5, Similarity.md5Planes(64, 16, 4), shortlist = 24)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(3)))
+    val bSet = brute.map(_._1).toSet
+    val recall = funnel.map(_._1).count(bSet.contains).toDouble / brute.length
+    info(f"hamming-funnel recall@5 (16x4 buckets, shortlist 24): $recall%.3f")
+    assert(recall >= 0.9)
+    val bMap = brute.toMap
+    funnel.foreach { case (pair, c) =>
+      if (bMap.contains(pair)) assert(bMap(pair) == c, s"cosine distorted for $pair")
+    }
+    // funnel output is a subset-refinement of the flat hamming arm's
+    // candidate space: both end in exact cosine, so any pair both
+    // return carries the identical score
+    val flat = Similarity.hammingRerankTopK(vecs, "vec_id", "embedding", pred,
+        k = 5, shortlist = 24)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(3))).toMap
+    funnel.foreach { case (pair, c) =>
+      if (flat.contains(pair)) assert(flat(pair) == c)
+    }
+  }
+
   test("rpRerankBucketedTopK: bucket-funneled recall on clustered geometry; exact scores") {
     import spark.implicits._
     val r = new scala.util.Random(22)
