@@ -170,6 +170,10 @@ object Bpe {
     require(every >= 1, s"every must be >= 1, got $every")
     val log = new java.io.File(dir, "merges.tsv")
     new java.io.File(dir).mkdirs()
+    // take(numMerges): a log holding MORE merges than this invocation's
+    // budget (resume with a smaller numMerges) replays only the prefix,
+    // honoring the "up to numMerges TOTAL" contract — replay order is
+    // the training order, so the prefix is exactly the smaller run.
     val prior: Seq[(Int, String, String, Long)] =
       if (!log.isFile) Seq.empty
       else {
@@ -177,7 +181,7 @@ object Bpe {
         try src.getLines().map { ln =>
           val Array(r, a, b, n) = ln.split("\t", 4)
           (r.toInt, a, b, n.toLong)
-        }.toVector finally src.close()
+        }.toVector.take(numMerges) finally src.close()
       }
     def persist(ms: Seq[(Int, String, String, Long)]): Unit = {
       val tmp = new java.io.File(dir, "merges.tsv.tmp")

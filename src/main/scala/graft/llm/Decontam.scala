@@ -104,6 +104,13 @@ object Decontam {
     * length. First-occurrence keys pack (doc_id, pos) into one
     * BIGINT — documented bounds doc_id < 2³¹, pos < 2³², far above
     * any real corpus document.
+    *
+    * CONTRACT: `idCol` must be non-null. Null-id rows are dropped at
+    * the occurrence table (the null filters are load-bearing for the
+    * exchange reuse below), so a null-id document neither reports
+    * spans nor contributes its gram occurrences to other documents'
+    * duplicate counts. Assign surrogate ids upstream if null-id text
+    * must count.
     */
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {

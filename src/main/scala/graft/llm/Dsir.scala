@@ -155,22 +155,39 @@ object Dsir {
     * `df` itself (production: a separate curated corpus — identical
     * join shape).
     */
+  /** Bucket-count ceiling for the literal-model scoring path: a
+    * typedlit map is a ~2·buckets-child CreateMap expression per
+    * scoring projection, and past a few thousand children janino can
+    * fall back to interpreted eval (64 KB method limit) — exactly the
+    * regime where the broadcast-join form scales cleanly. 2048 keeps
+    * the literal comfortably inside one compiled method.
+    */
+  val LiteralModelMaxBuckets = 2048
+
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-                        targetPred: Column, buckets: Int): DataFrame = {
-    // Fit the buckets-bounded model (two bucket-count aggregations,
-    // shuffles carry ≤ partitions x buckets rows), collect it
-    // (≤buckets rows — bounded driver metadata, the kmeans-centroid
-    // budget), and score MAP-SIDE via the literal-model projection:
-    // zero doc-proportional shuffles end to end. defaultMicro is never
-    // consulted scoring the training corpus itself — every bucket a
-    // scored document hashes into was, by construction, counted into
-    // the raw model (DsirSpec pins bit-equality to the shuffled form
-    // with a poisoned sentinel default).
-    val model = bucketModel(df, idCol, textCol, targetPred, buckets)
-      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
-      .toMap
-    scoreWith(df, idCol, textCol, model, defaultMicro = 0L, buckets)
-  }
+                        targetPred: Column, buckets: Int): DataFrame =
+    if (buckets > LiteralModelMaxBuckets)
+      // Production bucket counts (e.g. 10k hash buckets) would inline a
+      // ~20k-child CreateMap per projection — janino method-size
+      // fallback territory. Above the ceiling, route to the broadcast
+      // scoring join, which carries the same model as a ≤buckets-row
+      // broadcast relation instead of an expression tree.
+      importanceWeightsShuffled(df, idCol, textCol, targetPred, buckets)
+    else {
+      // Fit the buckets-bounded model (two bucket-count aggregations,
+      // shuffles carry ≤ partitions x buckets rows), collect it
+      // (≤buckets rows — bounded driver metadata, the kmeans-centroid
+      // budget), and score MAP-SIDE via the literal-model projection:
+      // zero doc-proportional shuffles end to end. defaultMicro is never
+      // consulted scoring the training corpus itself — every bucket a
+      // scored document hashes into was, by construction, counted into
+      // the raw model (DsirSpec pins bit-equality to the shuffled form
+      // with a poisoned sentinel default).
+      val model = bucketModel(df, idCol, textCol, targetPred, buckets)
+        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
+        .toMap
+      scoreWith(df, idCol, textCol, model, defaultMicro = 0L, buckets)
+    }
 
   /** The shuffled reference form of [[importanceWeights]]: the
     * (doc, bucket, m) pair table feeds the model fit AND re-enters a

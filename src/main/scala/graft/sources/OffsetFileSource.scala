@@ -83,11 +83,21 @@ object OffsetFileSource {
     case "earliest" => partitions.map(_ -> Earliest).toMap
     case "latest" => partitions.map(_ -> Latest).toMap
     case json =>
-      require(json.contains("\"" + topic + "\""),
-        s"offsets JSON $json does not mention topic '$topic'")
-      val given = OffsetEntry.findAllMatchIn(json)
-        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+      val given = parseOffsetsJson(json, topic)
       partitions.map(p => p -> given.getOrElse(p, sentinel)).toMap
+  }
+
+  /** Parse ONLY the partitions an offsets JSON names — no directory
+    * listing involved. Used for checkpoint restore, where the JSON is
+    * authoritative (kafka semantics): a checkpointed partition whose
+    * file is momentarily absent must keep its offset, not be rebuilt
+    * from disk state.
+    */
+  def parseOffsetsJson(json: String, topic: String): Map[Int, Long] = {
+    require(json.contains("\"" + topic + "\""),
+      s"offsets JSON $json does not mention topic '$topic'")
+    OffsetEntry.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
   }
 }
 
@@ -183,9 +193,16 @@ private[sources] class OffsetFileMicroBatchStream(options: CaseInsensitiveString
 
   override def latestOffset(): Offset = OffsetFileStreamOffset(topic, counts())
 
+  // Checkpoint JSON is authoritative (kafka semantics): restore exactly
+  // the partitions it names. Rebuilding from the CURRENT directory
+  // listing would drop the offset of a checkpointed partition whose
+  // p<N>.jsonl is absent at restart, and planInputPartitions' 0-default
+  // would then re-emit already-processed records once the file
+  // reappears. Disk-only NEW partitions still default to 0 at plan
+  // time (the connector's new-partition rule) — they need no entry here.
   override def deserializeOffset(json: String): Offset =
     OffsetFileStreamOffset(topic,
-      parseOffsets(json, topic, listPartitions(path), Earliest)
+      parseOffsetsJson(json, topic)
         .map { case (p, o) => p -> (if (o < 0) 0L else o) })
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -48,6 +48,18 @@ class BpeResumeSpec extends SparkSpec {
     assert(resumed.merges.take(6) === straight.merges.take(6))
   }
 
+  test("resume with a SMALLER budget replays only the prefix (up to numMerges TOTAL)") {
+    // r7 ADVICE low: a log holding more merges than the invocation's
+    // budget used to replay ALL of them and return an over-budget model
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val dir = Files.createTempDirectory("bpe_ckpt_d").toFile.getAbsolutePath
+    Bpe.trainResumable(docs, "text", numMerges = 8, dir = dir)
+    val smaller = Bpe.trainResumable(docs, "text", numMerges = 5, dir = dir)
+    assert(smaller.merges.size === 5, "model must hold exactly numMerges merges")
+    assert(Bpe.lastTrainRounds === 0, "prefix replay needs no pair-count rounds")
+    assert(modelSig(smaller) === modelSig(Bpe.train(docs, "text", numMerges = 5)))
+  }
+
   test("a completed log makes re-run pure replay (no further training)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val dir = Files.createTempDirectory("bpe_ckpt_c").toFile.getAbsolutePath

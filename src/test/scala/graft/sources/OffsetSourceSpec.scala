@@ -115,4 +115,36 @@ class OffsetSourceSpec extends SparkSpec {
     assert(ex2.getMessage.contains("does not mention topic") ||
       Option(ex2.getCause).exists(_.getMessage.contains("does not mention topic")))
   }
+
+  test("checkpoint restore is JSON-authoritative: an absent partition file keeps its offset (no replay)") {
+    // r7 ADVICE medium: deserializeOffset used to rebuild the restored
+    // offset from the CURRENT directory listing, so a checkpointed
+    // partition whose p<N>.jsonl was absent at restart fell back to
+    // start=0 and re-emitted processed records when the file came back.
+    val path = writeTopic() // p0 (4 recs), p1 (2 recs) on disk
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", path, "topic", "t"))
+    val stream = new OffsetFileMicroBatchStream(opts)
+    // checkpoint names p0, p1 AND p2 — p2's file does not exist on disk
+    val restored = stream.deserializeOffset("""{"t":{"0":4,"1":2,"2":7}}""")
+      .asInstanceOf[OffsetFileStreamOffset]
+    assert(restored.offsets === Map(0 -> 4L, 1 -> 2L, 2 -> 7L),
+      "restore must carry exactly the checkpoint's partitions and offsets")
+    // p2's file reappears with 9 records; the next micro-batch plans
+    // [7, 9) for it — NOT [0, 9)
+    val w = new java.io.PrintWriter(new java.io.File(path, "p2.jsonl"), "UTF-8")
+    try (0 until 9).foreach(i => w.println(s"""{"part":2,"rec":$i}""")) finally w.close()
+    val parts = stream.planInputPartitions(restored, stream.latestOffset())
+      .map(_.asInstanceOf[OffsetFilePartition])
+    val p2 = parts.find(_.partition == 2).get
+    assert(p2.start === 7L && p2.end === 9L,
+      s"reappeared partition must resume at its checkpointed offset, got [${p2.start}, ${p2.end})")
+    // a genuinely NEW partition (in no checkpoint) still starts at 0
+    val w3 = new java.io.PrintWriter(new java.io.File(path, "p3.jsonl"), "UTF-8")
+    try w3.println("""{"part":3,"rec":0}""") finally w3.close()
+    val parts2 = stream.planInputPartitions(restored, stream.latestOffset())
+      .map(_.asInstanceOf[OffsetFilePartition])
+    val p3 = parts2.find(_.partition == 3).get
+    assert(p3.start === 0L && p3.end === 1L)
+  }
 }
