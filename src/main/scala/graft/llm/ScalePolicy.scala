@@ -159,4 +159,92 @@ object ScalePolicy {
     Similarity.knnClassifyBucketed(df, idCol, vecCol, labelCol, queryPred,
       k, labelPlanesFor(corpus, dim, targetOccupancy),
       probes = lshBitsFor(corpus, targetOccupancy))
+
+  /** IVF coarse-cell count holding per-cell occupancy near
+    * `targetRows`, rounded to a power of two:
+    * 2^round(log₂(corpus/targetRows)), clamped to [2, 2²⁰] — the
+    * [[semanticCellsFor]] law applied to IVF probing (per-query
+    * candidate work is corpus·nprobe/cells, so fixed cells make the
+    * probe linear in corpus; the r6 IVF-PQ decade additionally
+    * measured fixed-8-cell SKEW losing at 60k — 8 join keys cannot
+    * occupy 32 cores). Anchors: 500→2⁰·… ≈ 2, 2 000→8 (the pinned
+    * kmeans_cells arm), 20 000→64 (the measured ann_ivfpq_scaled
+    * arm), 200 000→512.
+    */
+  def ivfCellsFor(corpus: Long, targetRows: Int = 320): Int = {
+    require(corpus > 0 && targetRows > 0,
+      s"corpus/targetRows must be positive, got $corpus/$targetRows")
+    val raw = math.log(corpus.toDouble / targetRows) / math.log(2)
+    1 << math.max(1, math.min(20, math.round(raw).toInt))
+  }
+
+  /** IVF-exact ANN with the cell count derived from the corpus size:
+    * deterministic Lloyd cells ([[Similarity.kmeansCells]],
+    * `ivfCellsFor` seeds), then [[Similarity.ivfTopK]] probing
+    * `nprobe` cells with exact cosine — the policy entry point whose
+    * pinned-parameter driver twin is `ann_ivf_scaled`.
+    */
+  def ivfTopKAuto(df: DataFrame, idCol: String, vecCol: String,
+                  queryPred: Column, k: Int, corpus: Long, dim: Int = 64,
+                  nprobe: Int = 4, iters: Int = 1,
+                  targetRows: Int = 320): DataFrame = {
+    val cells = Similarity.kmeansCells(df, idCol, vecCol,
+        ivfCellsFor(corpus, targetRows), iters)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("__kid"),
+        org.apache.spark.sql.functions.col("cell"))
+    val withCell = df.join(cells,
+      org.apache.spark.sql.functions.col(idCol) ===
+        org.apache.spark.sql.functions.col("__kid")).drop("__kid")
+    Similarity.ivfTopK(withCell, idCol, vecCol, "cell", queryPred, k, dim, nprobe)
+  }
+
+  /** Probe count for the binary-sketch funnel: min(4, bits). The
+    * funnel has a second gate the LSH family lacks — the 64-bit
+    * sketch shortlist — so probes mostly feed candidates into the cut
+    * that discards them: measured at 200k (NOTES_r8 sweep),
+    * probes 0→4 buys recall 0.247→0.335 at +6 s while 4→13 buys
+    * +0.023 at +6.7 s. Four is where the probe curve flattens at
+    * every shortlist measured.
+    */
+  def hammingProbesFor(bits: Int): Int = math.min(4, bits)
+
+  /** Sketch-shortlist width for the funnel: 256. Measured (NOTES_r8):
+    * the rerank is shortlist-bounded so widening 64→256 is ~free at
+    * fixed corpus (12.1→13.6 s at 200k; FASTER within noise at
+    * 20k/60k), while recall at (policy planes, p4, sl256) is roughly
+    * corpus-invariant across three decades (0.375/0.335/0.335 at
+    * 20k/60k/200k) — the constant-recall scale point, equal to the
+    * flat scan's own sketch-ceiling recall (0.332 at sl256) at 3.7×
+    * less time. The 2×32-bit sketch's resolving power is fixed, so
+    * holding recall while the corpus grows is the shortlist's job,
+    * not the probes'.
+    */
+  val HammingShortlist = 256
+
+  /** [[Similarity.hammingRerankBucketedTopK]] with every knob derived
+    * from the corpus size — the policy entry point of the binary-
+    * sketch funnel (r7 finding: at 200k vectors the PINNED 16×6
+    * funnel LOSES even to the flat popcount scan, 54.6 vs 38.3 s,
+    * while policy planes win 4.1× —
+    * `SCALE_DECADES_r7.json.hamming_arm_decades`). GENERATE stage:
+    * the occupancy law [[lshTopKAuto]] packages (bits ≈
+    * log₂(corpus/occupancy), groups OR-amplified ~2× per +3 bits).
+    * SELECT stage: [[hammingProbesFor]] probes and the
+    * [[HammingShortlist]] cut — NOT probes = bits: the r8 sweep
+    * measured the funnel's recall living in the shortlist, with
+    * probes flattening at 4 (the sketch gate discards what extra
+    * probes admit). At the derived knobs the funnel matches the flat
+    * popcount scan's recall (0.335 vs 0.332 at 200k) at 3.7× less
+    * time, growing 5.4× per 10× corpus in the queries-∝-corpus
+    * regime.
+    */
+  def hammingRerankAuto(df: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int, corpus: Long,
+                        dim: Int = 64,
+                        targetOccupancy: Int = 20): DataFrame = {
+    val bits = lshBitsFor(corpus, targetOccupancy)
+    Similarity.hammingRerankBucketedTopK(df, idCol, vecCol, queryPred, k,
+      Similarity.md5Planes(dim, lshGroupsFor(bits), bits),
+      shortlist = HammingShortlist, probes = hammingProbesFor(bits))
+  }
 }

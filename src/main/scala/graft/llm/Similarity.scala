@@ -664,11 +664,20 @@ object Similarity {
     * misses, every stage's work bounded by the previous stage's
     * output. Hamming is bit-identical across bucket groups (same
     * sketches, same popcount), so the cross-group dedup is exact.
+    *
+    * `probes` > 0 probes the Hamming-1 buckets of the first `probes`
+    * bit positions QUERY-side (the [[lshTopK]] multi-probe shape,
+    * Lv et al. VLDB'07): the recall the occupancy-constant bits lose
+    * at scale comes back at (1+probes)× candidate cost with the index
+    * unchanged — the other half of the measured scale recipe, wired
+    * here so [[ScalePolicy.hammingRerankAuto]] can derive the full
+    * parameter set from the corpus size.
     */
   def hammingRerankBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
                                 queryPred: Column, k: Int,
                                 planes: Seq[Seq[Seq[Double]]],
-                                shortlist: Int = 32): DataFrame = {
+                                shortlist: Int = 32,
+                                probes: Int = 0): DataFrame = {
     val dim = planes.head.head.length
     val skPlanes = md5Planes(dim, groups = 2, bitsPerGroup = 32)
     val dotF = dotAdaptive(df)(_, _)
@@ -680,8 +689,15 @@ object Similarity {
       .withColumn("__buckets", bucketsAll(df, col("v"), planes, dotF))
     val exploded = base.select(col("id"), col("s1"), col("s2"),
       posexplode(col("__buckets")).as(Seq("grp", "bucket")))
-    val q = exploded.filter(queryPred).select(col("id").as("query_id"),
+    val q0 = exploded.filter(queryPred).select(col("id").as("query_id"),
       col("s1").as("q1"), col("s2").as("q2"), col("grp"), col("bucket"))
+    // flip masks 0 (exact bucket), 1, 2, 4, … exploded query-side only
+    // — the corpus-side index never grows (lshTopK's probe shape)
+    val q = if (probes <= 0) q0 else q0
+      .withColumn("__flip",
+        explode(typedLit(0L +: Seq.tabulate(probes)(1L << _))))
+      .withColumn("bucket", expr("bucket ^ __flip"))
+      .drop("__flip")
     val cand = q.join(exploded, Seq("grp", "bucket"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

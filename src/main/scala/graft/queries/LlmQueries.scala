@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.llm.{Dedup, EmbeddingStats, Multimodal, Pq, Redact, Retrieval, Similarity, Sparse, TextStats}
+import graft.llm.{AnnIndex, Dedup, EmbeddingStats, Multimodal, Pq, Redact, Retrieval, Similarity, Sparse, TextStats}
 
 /** Training-data pipeline operators over `documents`/`embeddings`:
   * dedup family, similarity search, text analysis, multimodal
@@ -546,6 +546,58 @@ object LlmQueries {
                    list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]), (a, b) -> a + b)
                      / (sqrt(qn) * sqrt(t.nrm)) AS cosine
             FROM probe JOIN n t ON t.label = probe.c_cell AND t.vec_id <> probe.qid)
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
+  /** The corpus-sized-cells IVF-EXACT arm (ScalePolicy.ivfTopKAuto's
+    * pinned-parameter twin — cells=64 via deterministic Lloyd,
+    * nprobe=4): ann_ivf_topk/_multiprobe keep the label cells (10
+    * FIXED cells, occupancy ∝ corpus — the labeled fixed-cell
+    * baseline, 3.9× at sf1), while this arm derives cells from the
+    * corpus per the ivfCellsFor occupancy law, the same knob the
+    * IVF-PQ family measured (fixed 8 cells: 8-key skew LOSES at 60k;
+    * 64 cells restore parallelism AND shrink candidates). Oracle
+    * replays the full Lloyd training, both assignments, member-mean
+    * probe centroids, the nprobe-4 ranking, and the exact cosine.
+    */
+  val annIvfScaledQ: Q = Q(
+    "ann_ivf_scaled",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+          k = 64, iters = 1)
+        .select(col("vec_id").as("__kid"), col("cell"))
+      Similarity.ivfTopK(emb.join(cells, col("vec_id") === col("__kid"))
+          .drop("__kid"),
+        "vec_id", "embedding", "cell", col("id") % 40 === 0,
+        k = 5, dim = 64, nprobe = 4)
+    },
+    Some(kmCellCtes(64) + """,
+      n2 AS (SELECT n.vec_id, a2.cell, n.v, n.nrm FROM n JOIN a2 USING (vec_id)),
+      g2 AS (SELECT cell, list(v ORDER BY vec_id) AS vs, count(*) AS cnt
+             FROM n2 GROUP BY 1),
+      cc AS (SELECT cell AS c_cell,
+                    list_transform(range(64), kk ->
+                      list_reduce(list_transform(vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / cnt) AS cv
+             FROM g2),
+      cc2 AS (SELECT c_cell, cv,
+                     list_reduce(list_transform(cv, x -> x * x), (a, b) -> a + b) AS cn
+              FROM cc),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 40 = 0),
+      probe AS (
+        SELECT qid, qv, qn, c_cell
+        FROM q CROSS JOIN cc2
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+          list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * cv[i::INT]), (a, b) -> a + b)
+            / (sqrt(qn) * sqrt(cn)) DESC, c_cell) <= 4),
+      s AS (SELECT qid AS query_id, t.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]), (a, b) -> a + b)
+                     / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+            FROM probe JOIN n2 t ON t.cell = probe.c_cell AND t.vec_id <> probe.qid)
       SELECT query_id, neighbor_id, cosine,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1949,6 +2001,159 @@ object LlmQueries {
     """)
   )
 
+  /** Shared oracle CTEs for the persisted-index ANN family: vectors
+    * with norms and the 90/10 md5-deviate split (u < 0.9 = "old" =
+    * indexed corpus, u ≥ 0.9 = "new" = probe batch — the
+    * dedup_stream_index convention), 16×6 sign buckets over ALL
+    * vectors, then the candidate equi-join of new-side probes against
+    * old-side index rows.
+    */
+  private def annIndexCtes: String = """
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   ('0x' || substr(md5('split:' || vec_id::VARCHAR), 1, 8))::BIGINT
+                     / 4294967296.0 AS u
+            FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      pl AS (SELECT g, p,
+                    list_transform(range(64), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(6) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM e CROSS JOIN pl GROUP BY 1, 2),
+      qb AS (SELECT b.vec_id AS query_id, b.g, b.bucket
+             FROM bkt b JOIN e ON e.vec_id = b.vec_id WHERE e.u >= 0.9),
+      ib AS (SELECT b.vec_id AS corpus_id, b.g, b.bucket
+             FROM bkt b JOIN e ON e.vec_id = b.vec_id WHERE e.u < 0.9),
+      cand AS (SELECT DISTINCT query_id, corpus_id
+               FROM qb JOIN ib ON qb.g = ib.g AND qb.bucket = ib.bucket
+                AND ib.corpus_id <> qb.query_id)"""
+
+  /** The streaming ANN shape as a batch-anchored query (the
+    * dedup_stream_index treatment for [[graft.stream.StreamAnn]]):
+    * the newest ~10% of vectors (the "stream") probe a sign-LSH
+    * bucket index built ONLY from the old 90% (the persisted index —
+    * StreamAnn.bucketIndex = AnnIndex.build), via the SAME operator
+    * the stream runs (StreamAnn.matches; StreamAnnSpec pins stream ==
+    * this batch path). Threshold emission (cosine ≥ 0.3, inside this
+    * corpus's cross-split cosine range — a rank window is illegal on
+    * an unaggregated stream), cross-group multiplicity collapsed by
+    * distinct over bit-identical rows.
+    */
+  val annStreamIndexQ: Q = Q(
+    "ann_stream_index",
+    (s, dir) => {
+      val emb = graft.llm.Sampling.withSplit(Tables.embeddings(s, dir),
+        "vec_id", Seq("old" -> 0.9, "new" -> 0.1))
+      val planes = Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)
+      val (buckets, vectors) = graft.stream.StreamAnn.bucketIndex(
+        emb.filter(col("split") === "old"), "vec_id", "embedding", planes)
+      graft.stream.StreamAnn.matches(emb.filter(col("split") === "new"),
+          buckets, vectors, "vec_id", "embedding", planes, minCosine = 0.3)
+        .select(col("id").as("delta_id"), col("corpus_id"), col("cosine"))
+        .distinct()
+    },
+    Some(s"""
+      WITH $annIndexCtes
+      SELECT c.query_id AS delta_id, c.corpus_id,
+             list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+               / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+      FROM cand c JOIN n a ON a.vec_id = c.query_id
+                  JOIN n b ON b.vec_id = c.corpus_id
+      WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+              / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.3
+    """)
+  )
+
+  /** Build-once/probe-many ANN (AnnIndex.topK): the same 90/10 split,
+    * but top-5 exact-cosine rank against the persisted index — the
+    * batch probe surface whose bit-equality to the monolithic lshTopK
+    * AnnIndexSpec pins (the index amortizes corpus bucketing across
+    * query batches; AnnIndexExp measures the curve).
+    */
+  val annIndexTopkQ: Q = Q(
+    "ann_index_topk",
+    (s, dir) => {
+      val emb = graft.llm.Sampling.withSplit(Tables.embeddings(s, dir),
+        "vec_id", Seq("old" -> 0.9, "new" -> 0.1))
+      val planes = Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)
+      val (buckets, vectors) = AnnIndex.build(
+        emb.filter(col("split") === "old"), "vec_id", "embedding", planes)
+      AnnIndex.topK(buckets, vectors, emb.filter(col("split") === "new"),
+        "vec_id", "embedding", planes, k = 5)
+    },
+    Some(s"""
+      WITH $annIndexCtes
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT c.query_id, c.corpus_id AS neighbor_id,
+               list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+                 / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+                                             / (sqrt(a.nrm) * sqrt(b.nrm)) DESC,
+                                           c.corpus_id) AS rank
+        FROM cand c JOIN n a ON a.vec_id = c.query_id
+                    JOIN n b ON b.vec_id = c.corpus_id)
+      WHERE rank <= 5
+    """)
+  )
+
+  /** The binary-sketch funnel against the persisted hamming index
+    * (AnnIndex.buildHamming / hammingTopK): persisted buckets carry
+    * the 2×32-bit sketch so the SELECT stage reads it off the
+    * candidate row; exact cosine reranks the shortlist.
+    */
+  val annIndexHammingQ: Q = Q(
+    "ann_index_hamming",
+    (s, dir) => {
+      val emb = graft.llm.Sampling.withSplit(Tables.embeddings(s, dir),
+        "vec_id", Seq("old" -> 0.9, "new" -> 0.1))
+      val planes = Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6)
+      val (buckets, vectors) = AnnIndex.buildHamming(
+        emb.filter(col("split") === "old"), "vec_id", "embedding", planes)
+      AnnIndex.hammingTopK(buckets, vectors, emb.filter(col("split") === "new"),
+        "vec_id", "embedding", planes, k = 5, shortlist = 64)
+    },
+    Some(s"""
+      WITH $annIndexCtes,
+      spl AS (SELECT g, p,
+                     list_transform(range(64), d ->
+                       ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                         / 4294967296.0 - 0.5) AS plane
+              FROM range(2) rg(g) CROSS JOIN range(32) rp(p)),
+      sbk AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i::INT] * plane[i::INT]),
+                                               (a, b) -> a + b) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS b
+              FROM e CROSS JOIN spl GROUP BY 1, 2),
+      sk AS (SELECT vec_id, max(CASE WHEN g = 0 THEN b END) AS s1,
+                    max(CASE WHEN g = 1 THEN b END) AS s2
+             FROM sbk GROUP BY 1),
+      h AS (SELECT c.query_id, c.corpus_id AS neighbor_id,
+                   (bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)))::BIGINT AS hamming
+            FROM cand c JOIN sk a ON a.vec_id = c.query_id
+                        JOIN sk b ON b.vec_id = c.corpus_id),
+      sh AS (SELECT query_id, neighbor_id, hamming FROM (
+               SELECT h.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY hamming, neighbor_id) AS srn
+               FROM h) WHERE srn <= 64),
+      sc AS (SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+                    list_reduce(list_transform(range(1, 65), i -> a.v[i::INT] * b.v[i::INT]), (x, z) -> x + z)
+                      / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+             FROM sh JOIN n a ON a.vec_id = sh.query_id
+                     JOIN n b ON b.vec_id = sh.neighbor_id)
+      SELECT query_id, neighbor_id, hamming, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sc QUALIFY rank <= 5
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupIncremental, dedupStreamIndex,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
@@ -1962,5 +2167,6 @@ object LlmQueries {
     embeddingGram, pcaProjectQ, bm25Q, bm25PrunedQ, rrfHybridQ, rrfHybridScaledQ,
     rpProjectQ,
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ,
-    annHammingRerankQ, annHammingScaledQ)
+    annHammingRerankQ, annHammingScaledQ,
+    annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ)
 }

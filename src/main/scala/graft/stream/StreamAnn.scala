@@ -41,17 +41,11 @@ object StreamAnn {
     * materializes (parquet/table) and refreshes on its own schedule.
     */
   def bucketIndex(df: DataFrame, idCol: String, vecCol: String,
-                  planes: Seq[Seq[Seq[Double]]]): (DataFrame, DataFrame) = {
-    val base = Similarity.withNorm(
-      df.select(col(idCol).cast("long").as("corpus_id"),
-        Similarity.toDoubleVec(col(vecCol)).as("v")), "v")
-    val buckets = base
-      .withColumn("__buckets",
-        Similarity.bucketsAll(df, col("v"), planes, Similarity.dotAdaptive(df)(_, _)))
-      .select(col("corpus_id"), posexplode(col("__buckets")).as(Seq("grp", "bucket")))
-    val vectors = base.select(col("corpus_id"), col("v"), col("__norm").as("nrm"))
-    (buckets, vectors)
-  }
+                  planes: Seq[Seq[Seq[Double]]]): (DataFrame, DataFrame) =
+    // one build, two probe surfaces: the same index tables serve this
+    // stream probe and the batch build-once/probe-many entry points
+    // (AnnIndex.topK / hammingTopK)
+    graft.llm.AnnIndex.build(df, idCol, vecCol, planes)
 
   /** Stream-static probe: one output row per (vector, corpus vector,
     * group) bucket hit with exact cosine ≥ `minCosine`. STATELESS

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.Tables
+import graft.llm.{AnnIndex, ScalePolicy, Similarity}
+
+/** Amortization curve for the build-once/probe-many split (r7 VERDICT
+  * #2): the fixed-500-query label decades identified INDEX-SIDE
+  * hashing as the shared linear floor of every monolithic arm — each
+  * [[Similarity.lshTopK]] call re-buckets the whole corpus. This
+  * experiment measures, per decade slice:
+  *
+  *  - `build`: one [[AnnIndex.build]] pass persisted to parquet
+  *  - `probe`: [[AnnIndex.topK]] per query batch against the
+  *    persisted tables (median over `batches` runs)
+  *  - `mono`: the monolithic [[Similarity.lshTopK]] per batch
+  *
+  * Break-even = build / (mono − probe): the number of query batches
+  * after which the persisted index is pure profit. Policy planes
+  * (occupancy-constant, [[ScalePolicy]]) in every arm, noop sink.
+  *
+  * Usage: tools/run.sh graft.tools.AnnIndexExp <sfDir> [queryMod] [batches]
+  */
+object AnnIndexExp {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/target/scale/sf1")
+    val queryMod = args.lift(1).map(_.toInt).getOrElse(40)
+    val batches = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val bits = ScalePolicy.lshBitsFor(n)
+    val planes = Similarity.md5Planes(64, ScalePolicy.lshGroupsFor(bits), bits)
+    val pred = col("id") % queryMod === 0
+    val queries = emb.filter(col("vec_id") % queryMod === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx_exp")
+      .toFile.getAbsolutePath
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm the JIT/scan caches once with the monolithic arm
+    Similarity.lshTopK(emb, "vec_id", "embedding", pred, 5, planes)
+      .write.format("noop").mode("overwrite").save()
+
+    val buildS = time {
+      val (b, v) = AnnIndex.build(emb, "vec_id", "embedding", planes)
+      b.write.mode("overwrite").parquet(s"$dir/buckets")
+      v.write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    val bkts = spark.read.parquet(s"$dir/buckets")
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val probeS = med((1 to batches).map { _ =>
+      time(AnnIndex.topK(bkts, vecs, queries, "vec_id", "embedding", planes, 5)
+        .write.format("noop").mode("overwrite").save())
+    })
+    val monoS = med((1 to batches).map { _ =>
+      time(Similarity.lshTopK(emb, "vec_id", "embedding", pred, 5, planes)
+        .write.format("noop").mode("overwrite").save())
+    })
+    val breakeven = if (monoS > probeS) buildS / (monoS - probeS) else Double.NaN
+    println(f"corpus=$n planes=${ScalePolicy.lshGroupsFor(bits)}x$bits " +
+      f"queryMod=$queryMod batches=$batches")
+    println(f"build=$buildS%.2f s  probe_med=$probeS%.2f s  mono_med=$monoS%.2f s  " +
+      f"breakeven=$breakeven%.1f batches")
+    spark.stop()
+  }
+}

@@ -109,6 +109,61 @@ class ScalePolicySpec extends SparkSpec {
     assert(rows(autoNeg).nonEmpty && rows(autoCls).nonEmpty)
   }
 
+  test("ivfCellsFor anchors; ivfTopKAuto equals the pinned Lloyd+ivfTopK composition") {
+    assert(ScalePolicy.ivfCellsFor(500) === 2)
+    assert(ScalePolicy.ivfCellsFor(2000) === 8)    // the kmeans_cells pin
+    assert(ScalePolicy.ivfCellsFor(20000) === 64)  // the ann_ivfpq_scaled pin
+    assert(ScalePolicy.ivfCellsFor(200000) === 512)
+    // occupancy stays within 2x of target either side (power-of-two rounding)
+    for (n <- Seq(1000L, 50000L, 5000000L)) {
+      val c = ScalePolicy.ivfCellsFor(n)
+      assert(n.toDouble / c >= 320.0 / 2 || c == 2)
+      assert(n.toDouble / c <= 320.0 * 2)
+    }
+    val emb = graft.Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val qp = col("id") % 40 === 0
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val auto = ScalePolicy.ivfTopKAuto(emb, "vec_id", "embedding", qp,
+      k = 5, corpus = n)
+    val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+        ScalePolicy.ivfCellsFor(n), iters = 1)
+      .select(col("vec_id").as("__kid"), col("cell"))
+    val manual = Similarity.ivfTopK(
+      emb.join(cells, col("vec_id") === col("__kid")).drop("__kid"),
+      "vec_id", "embedding", "cell", qp, k = 5, dim = 64, nprobe = 4)
+    assert(rows(auto) === rows(manual))
+    assert(rows(auto).nonEmpty)
+  }
+
+  test("hammingRerankAuto equals the bucketed funnel at the derived parameters") {
+    // r7 finding (SCALE_DECADES_r7 hamming_arm_decades): the pinned
+    // 16×6 funnel LOSES to a flat popcount scan at 200k while policy
+    // planes win 4.1× — so the Auto must hand the funnel exactly the
+    // occupancy-constant planes + Hamming-1 probes the law derives.
+    val emb = graft.Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val qp = col("id") % 40 === 0
+    val bits = ScalePolicy.lshBitsFor(n)
+    val planes = Similarity.md5Planes(64, ScalePolicy.lshGroupsFor(bits), bits)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val auto = ScalePolicy.hammingRerankAuto(emb, "vec_id", "embedding",
+      qp, k = 5, corpus = n)
+    val manual = Similarity.hammingRerankBucketedTopK(emb, "vec_id", "embedding",
+      qp, k = 5, planes, shortlist = ScalePolicy.HammingShortlist,
+      probes = ScalePolicy.hammingProbesFor(bits))
+    assert(rows(auto) === rows(manual))
+    // the measured knob laws themselves (NOTES_r8 sweep anchors)
+    assert(ScalePolicy.hammingProbesFor(13) === 4)
+    assert(ScalePolicy.hammingProbesFor(3) === 3)
+    assert(ScalePolicy.HammingShortlist === 256)
+    assert(rows(auto).nonEmpty)
+    assert(auto.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "hamming", "cosine", "rank"))
+  }
+
   test("semanticDedupAuto verdicts match semanticDedup at the derived k") {
     val emb = graft.Tables.embeddings(spark, sf())
     val n = emb.count()

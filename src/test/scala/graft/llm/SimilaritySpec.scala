@@ -394,6 +394,24 @@ class SimilaritySpec extends SparkSpec {
     funnel.foreach { case (pair, c) =>
       if (flat.contains(pair)) assert(flat(pair) == c)
     }
+
+    // Hamming-1 probing recovers recall that fine exact-match buckets
+    // lose: with deliberately over-fine planes (4 groups × 7 bits on a
+    // 120-row corpus — expected occupancy < 1) query-side probing can
+    // only ADD candidates (flip masks include 0), and on this pinned
+    // fixture it strictly recovers brute pairs the exact buckets miss.
+    val finePlanes = Similarity.md5Planes(64, 4, 7)
+    def recallAt(probes: Int): Double = {
+      val got = Similarity.hammingRerankBucketedTopK(vecs, "vec_id",
+          "embedding", pred, k = 5, finePlanes, shortlist = 24, probes = probes)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      got.count(bSet.contains).toDouble / brute.length
+    }
+    val r0 = recallAt(0)
+    val r7p = recallAt(7)
+    info(f"fine-bucket recall@5: probes=0 $r0%.3f, probes=7 $r7p%.3f")
+    assert(r7p >= r0)
+    assert(r7p > 0.5, s"probed recall $r7p — probing failed to recover structure")
   }
 
   test("rpRerankBucketedTopK: bucket-funneled recall on clustered geometry; exact scores") {

@@ -458,4 +458,29 @@ class PlanSpec extends SparkSpec {
         l.contains("BroadcastHashJoin")) && l.contains("blk")),
       s"knn_graph_bucketed lost the blk equi-join:\n${eplan.take(3000)}")
   }
+
+  test("persisted-index probes: candidates ride the (grp, bucket) equi-join, never cartesian") {
+    Seq("ann_stream_index", "ann_index_topk", "ann_index_hamming").foreach { name =>
+      val df = Registry.byName(name).fn(spark, sf("sf0.01"))
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name probe must ride the bucket equi-join:\n${plan.take(3000)}")
+      assert(plan.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) &&
+          l.contains("grp") && l.contains("bucket")),
+        s"$name lost the (grp, bucket) join key:\n${plan.take(3000)}")
+    }
+  }
+
+  test("ann_ivf_scaled: candidates gated by the probed-cell equi-join; centroid scans broadcast") {
+    val df = Registry.byName("ann_ivf_scaled").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate space must ride the cell equi-join:\n${plan.take(3000)}")
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cell")),
+      s"lost the cell equi-join:\n${plan.take(3000)}")
+  }
 }
