@@ -142,6 +142,105 @@ object AnnIndex {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF index triple `(vectors, centroids, quantizer)`: vectors =
+    * (corpus_id, cell, v, nrm) under deterministic Lloyd cells
+    * ([[Similarity.lloydCentroids]] + assignment); centroids =
+    * (c_cell, cv, cn) MEMBER-means in the EXACT fold order
+    * [[Similarity.ivfTopK]] computes internally (bit-equal probes);
+    * quantizer = (c_cell, cv, cn) the Lloyd TRAINING centroids the
+    * assignment argmin actually used. The two centroid tables are
+    * different objects (FAISS keeps the same split: the coarse
+    * quantizer assigns, the index serves search): probe ranking must
+    * match ivfTopK's member-means for bit-equality, while
+    * [[ivfAssign]] must reuse the training centroids or delta
+    * assignments drift from the build's own cells (measured: 34/450
+    * borderline flips when assigning against member-means).
+    *
+    * THIS is where build-once/probe-many pays hardest (AnnIndexExp,
+    * 200k/512 cells: build 126 s ONCE vs 104 s of Lloyd retraining
+    * per monolithic batch; probe 1.8 s — breakeven at 1.2 batches,
+    * ~58× per batch after).
+    */
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String, cells: Int,
+               iters: Int = 1, dim: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val trained = Similarity.lloydCentroids(df, idCol, vecCol, cells, iters)
+    val assign = Similarity.assignCells(df, idCol, vecCol, trained)
+      .select(col("vec_id").as("__kid"), col("cell"))
+    val base = Similarity.withNorm(
+      df.join(assign, col(idCol) === col("__kid")).drop("__kid")
+        .select(col(idCol).cast("long").as("id"), col("cell"),
+          Similarity.toDoubleVec(col(vecCol)).as("v")), "v")
+    val dotF = Similarity.dotAdaptive(df)(_, _)
+    val vectors = base.select(col("id").as("corpus_id"), col("cell"),
+      col("v"), col("__norm").as("nrm"))
+    val quantizer = trained.toDF("c_cell", "cv")
+      .withColumn("cn", Similarity.dot(col("cv"), col("cv")))
+    (vectors, Similarity.cellCentroids(base, dim, dotF), quantizer)
+  }
+
+  /** Assign NEW vectors against the persisted QUANTIZER without
+    * retraining (the FAISS `add()` path — IVF delta ingest): argmin
+    * of ‖v‖² + ‖c‖² − 2·v·c over the broadcast training centroids
+    * with ties to the smallest cell — the exact assignment rule of
+    * the build, so a delta ingested this way and appended to the
+    * vectors table is indistinguishable from having been present at
+    * build time (AnnIndexSpec pins reassignment of the build corpus
+    * to zero flips). Pass the `quantizer` table from [[buildIvf]] —
+    * NOT the probe centroids (member-means move with membership;
+    * assigning against them drifts borderline vectors). Centroid
+    * drift itself is the scheduled re-train's job, as in FAISS
+    * practice.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val base = Similarity.withNorm(
+      df.select(col(idCol).cast("long").as("corpus_id"),
+        Similarity.toDoubleVec(col(vecCol)).as("v")), "v")
+    val scored = base.join(broadcast(
+        centroids.select(col("c_cell"), col("cv"), col("cn"))))
+      .select(col("corpus_id"), col("c_cell"), col("v"), col("__norm"),
+        (col("__norm") + col("cn") -
+          lit(2.0) * Similarity.dot(col("v"), col("cv"))).as("dist"))
+    val w = Window.partitionBy("corpus_id").orderBy(col("dist"), col("c_cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("corpus_id"), col("c_cell").as("cell"), col("v"),
+        col("__norm").as("nrm"))
+  }
+
+  /** Exact-cosine top-k against the persisted IVF index: each query
+    * ranks the broadcast centroids, probes its `nprobe` nearest
+    * cells through the cell equi-join, exact cosine scores the
+    * candidates — [[Similarity.ivfTopK]] semantics with the Lloyd
+    * training and centroid folds read from the index instead of
+    * recomputed.
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nprobe: Int = 1): DataFrame = {
+    val dotF = Similarity.dotAdaptive(queries)(_, _)
+    val q = queryVecs(queries, idCol, vecCol)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("probe_cos").desc, col("c_cell"))
+    val probe = q.join(broadcast(centroids))
+      .withColumn("probe_cos",
+        dotF(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("c_cell").as("probe_cell"))
+    val scored = probe.join(vectors,
+        col("cell") === col("probe_cell") && col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id").as("neighbor_id"),
+        (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("nrm"))))
+          .as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Binary-sketch funnel top-k against the persisted hamming index —
     * [[Similarity.hammingRerankBucketedTopK]] semantics: persisted
     * buckets GENERATE, the persisted 2×32-bit sketch SELECTS the

@@ -326,13 +326,14 @@ object Similarity {
     * O(nprobe · |C| / #cells) — nprobe is the recall/cost knob (cells
     * are disjoint, so multi-probe candidates need no dedup).
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-              queryPred: Column, k: Int, dim: Int, nprobe: Int = 1): DataFrame = {
-    val dotF: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = dotAdaptive(df)(_, _)
-    val base = withNorm(df.select(col(idCol).as("id"), col(cellCol).as("cell"),
-      toDoubleVec(col(vecCol)).as("v")), "v")
-    val cents = base
-      .groupBy("cell")
+  /** Order-pinned member-mean centroids of a celled base table
+    * ((id, cell, v) → (c_cell, cv, cn)) — the probe centroids of
+    * [[ivfTopK]], factored out so [[AnnIndex.buildIvf]] persists the
+    * IDENTICAL table (bit-equal folds: members summed in id order).
+    */
+  private[llm] def cellCentroids(base: DataFrame, dim: Int,
+                                 dotF: (Column, Column) => Column): DataFrame =
+    base.groupBy("cell")
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("lst"),
         count(lit(1)).as("n"))
       .select(col("cell").as("c_cell"),
@@ -341,6 +342,13 @@ object Similarity {
             (acc, sv) => acc + element_at(sv.getField("v"), (i + 1).cast("int")))
             / col("n")).as("cv"))
       .withColumn("cn", dotF(col("cv"), col("cv")))
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              queryPred: Column, k: Int, dim: Int, nprobe: Int = 1): DataFrame = {
+    val dotF: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = dotAdaptive(df)(_, _)
+    val base = withNorm(df.select(col(idCol).as("id"), col(cellCol).as("cell"),
+      toDoubleVec(col(vecCol)).as("v")), "v")
+    val cents = cellCentroids(base, dim, dotF)
     val q = base.filter(queryPred)
       .select(col("id").as("query_id"), col("v").as("qv"), col("__norm").as("qn"))
     val probeW = Window.partitionBy("query_id")

@@ -564,19 +564,11 @@ object LlmQueries {
     * replays the full Lloyd training, both assignments, member-mean
     * probe centroids, the nprobe-4 ranking, and the exact cosine.
     */
-  val annIvfScaledQ: Q = Q(
-    "ann_ivf_scaled",
-    (s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
-          k = 64, iters = 1)
-        .select(col("vec_id").as("__kid"), col("cell"))
-      Similarity.ivfTopK(emb.join(cells, col("vec_id") === col("__kid"))
-          .drop("__kid"),
-        "vec_id", "embedding", "cell", col("id") % 40 === 0,
-        k = 5, dim = 64, nprobe = 4)
-    },
-    Some(kmCellCtes(64) + """,
+  /** Oracle for BOTH ann_ivf_scaled and ann_index_ivf — the indexed
+    * probe is bit-equal to the monolithic composition by construction
+    * (AnnIndexSpec), so one SQL text anchors both paths.
+    */
+  private def annIvfScaledSql: String = kmCellCtes(64) + """,
       n2 AS (SELECT n.vec_id, a2.cell, n.v, n.nrm FROM n JOIN a2 USING (vec_id)),
       g2 AS (SELECT cell, list(v ORDER BY vec_id) AS vs, count(*) AS cnt
              FROM n2 GROUP BY 1),
@@ -602,7 +594,43 @@ object LlmQueries {
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, neighbor_id) AS rank
       FROM s QUALIFY rank <= 5
-    """)
+    """
+
+  val annIvfScaledQ: Q = Q(
+    "ann_ivf_scaled",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+          k = 64, iters = 1)
+        .select(col("vec_id").as("__kid"), col("cell"))
+      Similarity.ivfTopK(emb.join(cells, col("vec_id") === col("__kid"))
+          .drop("__kid"),
+        "vec_id", "embedding", "cell", col("id") % 40 === 0,
+        k = 5, dim = 64, nprobe = 4)
+    },
+    Some(annIvfScaledSql)
+  )
+
+  /** The same IVF search through the PERSISTED index path
+    * (AnnIndex.buildIvf / ivfTopK): Lloyd cells and member-mean
+    * centroids built once as index tables, queries probe them —
+    * bit-equal to ann_ivf_scaled by construction (AnnIndexSpec pins
+    * it, including through a parquet round-trip), so the identical
+    * oracle SQL anchors this path independently. The split matters
+    * MOST here: the monolithic composition repeats the Lloyd
+    * training every query batch (AnnIndexExp measures the curve).
+    */
+  val annIndexIvfQ: Q = Q(
+    "ann_index_ivf",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (vectors, cents, _) = AnnIndex.buildIvf(emb, "vec_id", "embedding",
+        cells = 64, iters = 1)
+      AnnIndex.ivfTopK(vectors, cents,
+        emb.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+        k = 5, nprobe = 4)
+    },
+    Some(annIvfScaledSql)
   )
 
   /** PII redaction. The synthetic corpus carries no PII, so the query
@@ -2168,5 +2196,6 @@ object LlmQueries {
     rpProjectQ,
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ,
     annHammingRerankQ, annHammingScaledQ,
-    annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ)
+    annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ,
+    annIndexIvfQ)
 }

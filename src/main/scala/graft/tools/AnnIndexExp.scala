@@ -73,8 +73,31 @@ object AnnIndexExp {
     val breakeven = if (monoS > probeS) buildS / (monoS - probeS) else Double.NaN
     println(f"corpus=$n planes=${ScalePolicy.lshGroupsFor(bits)}x$bits " +
       f"queryMod=$queryMod batches=$batches")
-    println(f"build=$buildS%.2f s  probe_med=$probeS%.2f s  mono_med=$monoS%.2f s  " +
+    println(f"lsh  build=$buildS%.2f s  probe_med=$probeS%.2f s  mono_med=$monoS%.2f s  " +
       f"breakeven=$breakeven%.1f batches")
+
+    // IVF pair: the Lloyd training is the expensive build the
+    // monolithic path repeats per query batch
+    val cells = ScalePolicy.ivfCellsFor(n)
+    val ivfBuildS = time {
+      val (v, c, _) = AnnIndex.buildIvf(emb, "vec_id", "embedding", cells)
+      v.write.mode("overwrite").parquet(s"$dir/ivf_vectors")
+      c.write.mode("overwrite").parquet(s"$dir/ivf_cents")
+    }
+    val iv = spark.read.parquet(s"$dir/ivf_vectors")
+    val ic = spark.read.parquet(s"$dir/ivf_cents")
+    val ivfProbeS = med((1 to batches).map { _ =>
+      time(AnnIndex.ivfTopK(iv, ic, queries, "vec_id", "embedding", 5, nprobe = 4)
+        .write.format("noop").mode("overwrite").save())
+    })
+    val ivfMonoS = med((1 to batches).map { _ =>
+      time(ScalePolicy.ivfTopKAuto(emb, "vec_id", "embedding", pred, 5, corpus = n)
+        .write.format("noop").mode("overwrite").save())
+    })
+    val ivfBe = if (ivfMonoS > ivfProbeS) ivfBuildS / (ivfMonoS - ivfProbeS)
+      else Double.NaN
+    println(f"ivf  cells=$cells build=$ivfBuildS%.2f s  probe_med=$ivfProbeS%.2f s  " +
+      f"mono_med=$ivfMonoS%.2f s  breakeven=$ivfBe%.1f batches")
     spark.stop()
   }
 }

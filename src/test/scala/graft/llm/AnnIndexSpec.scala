@@ -70,6 +70,109 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(persisted) === rows(live))
   }
 
+  test("ivfTopK probe equals the monolithic Lloyd+ivfTopK composition, incl. parquet round-trip") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val qp = col("id") % 40 === 0
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val (vectors, cents, _) = AnnIndex.buildIvf(emb, "vec_id", "embedding",
+      cells = 8, iters = 1)
+    val probe = AnnIndex.ivfTopK(vectors, cents, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val cellsDf = Similarity.kmeansCells(emb, "vec_id", "embedding", 8, 1)
+      .select(col("vec_id").as("__kid"), col("cell"))
+    val mono = Similarity.ivfTopK(
+      emb.join(cellsDf, col("vec_id") === col("__kid")).drop("__kid"),
+      "vec_id", "embedding", "cell", qp, k = 5, dim = 64, nprobe = 2)
+    assert(rows(probe) === rows(mono))
+    assert(rows(probe).nonEmpty)
+    val dir = Files.createTempDirectory("ivf_idx").toFile.getAbsolutePath
+    vectors.write.parquet(s"$dir/vectors")
+    cents.write.parquet(s"$dir/cents")
+    val persisted = AnnIndex.ivfTopK(
+      spark.read.parquet(s"$dir/vectors"), spark.read.parquet(s"$dir/cents"),
+      queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(rows(persisted) === rows(probe))
+  }
+
+  test("ivfAssign delta ingest == full rebuild at the same centroids; probes see the delta") {
+    // build on the old 90%, assign the new 10% without retraining:
+    // assignment must equal kmeansCells' own rule under the SAME
+    // centroids, and a probe against (old ∪ delta) must surface an
+    // exact-duplicate delta vector at cosine 1
+    val emb = graft.Tables.embeddings(spark, sf())
+    val split = Sampling.withSplit(emb, "vec_id", Seq("old" -> 0.9, "new" -> 0.1))
+    val old = split.filter(col("split") === "old")
+    val fresh = split.filter(col("split") === "new")
+    val (vectors, cents, quant) = AnnIndex.buildIvf(old, "vec_id", "embedding",
+      cells = 8, iters = 1)
+    val delta = AnnIndex.ivfAssign(fresh, "vec_id", "embedding", quant)
+    assert(delta.columns.toSeq === vectors.columns.toSeq)
+    // rule equality: assigning the OLD corpus against the QUANTIZER
+    // reproduces the index's own cell column exactly (against the
+    // member-mean probe centroids it would NOT — that mismatch is the
+    // reason buildIvf persists both tables)
+    val reassigned = AnnIndex.ivfAssign(old, "vec_id", "embedding", quant)
+      .select(col("corpus_id"), col("cell").as("re_cell"))
+    val diff = vectors.join(reassigned, "corpus_id")
+      .filter(col("cell") =!= col("re_cell")).count()
+    assert(diff === 0, s"$diff old vectors assigned differently than the build")
+    // probe the unioned index with an exact copy of a delta vector
+    import spark.implicits._
+    val copy = fresh.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("embedding")).collect()(0)
+    val probeQ = Seq((900000L + copy.getLong(0), copy.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    // nprobe = all 8 cells: probe ranking (cosine to member-means) and
+    // delta assignment (L2 to the quantizer) may legitimately disagree
+    // about a boundary cell, so only the all-cells probe guarantees the
+    // twin is searched — the k=1 result must then be the twin at cos 1
+    val hit = AnnIndex.ivfTopK(vectors.union(delta), cents, probeQ,
+      "vec_id", "embedding", k = 1, nprobe = 8).collect()
+    assert(hit.length === 1 && hit(0).getLong(1) === copy.getLong(0))
+    assert(math.abs(hit(0).getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("a (grp, bucket)-bucketed index table probes with NO index-side exchange") {
+    // the scaladoc's 1000-executor claim, verified: writing the bucket
+    // table bucketBy(grp, bucket) lets every probe's equi-join read the
+    // index pre-partitioned — only the (small) query side shuffles
+    val emb = graft.Tables.embeddings(spark, sf())
+    val planes = Similarity.md5Planes(64, 16, 6)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val (buckets, vectors) = AnnIndex.build(emb, "vec_id", "embedding", planes)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so bucket co-location (not a
+      // broadcast) is what eliminates the index-side exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Bucketing.writeBucketed(buckets, "aidx_buckets", 8,
+        Seq("grp", "bucket"), Seq("grp", "bucket"))
+      val probe = AnnIndex.topK(spark.table("aidx_buckets"), vectors,
+        queries, "vec_id", "embedding", planes, k = 5)
+      probe.collect()
+      // AQE prints Final + Initial plans — assert on the FINAL only
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"index scan must be bucketed:\n${plan.take(3000)}")
+      // the index side must NOT re-shuffle on (grp, bucket): every
+      // hash-exchange on those keys in the plan belongs to the probe
+      // side only, so there is at most one
+      val gbExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("grp") &&
+          l.contains("bucket"))
+      assert(gbExchanges <= 1,
+        s"index side re-shuffled on (grp, bucket) — $gbExchanges exchanges:\n${plan.take(3000)}")
+      // and the rows are identical to the unbucketed probe
+      val plain = AnnIndex.topK(buckets, vectors, queries, "vec_id",
+        "embedding", planes, k = 5)
+      assert(rows(probe) === rows(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.sources.Bucketing.drop(spark, "aidx_buckets")
+    }
+  }
+
   test("disjoint external queries probe the index (no self-exclusion interference)") {
     // external ids far outside the corpus id space: every corpus
     // vector is a legal neighbor, and an exact copy surfaces at
