@@ -24,6 +24,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    recipe was itself quadratic one decade later (1.62 → 4.15 →
   *    44.5 s) while `3 + log₂(n/20k)` stayed flat (1.62 / 1.34 /
   *    2.62 s) at 91 % of in-block-optimal mean edge cosine.
+  *  - The binary-sketch FUNNEL is not the LSH family (r8 sweep,
+  *    NOTES_r8): its recall lives in the 64-bit-sketch shortlist,
+  *    not the probe set — probes flatten at 4 and shortlist 256 is
+  *    the ~corpus-invariant recall plateau, so [[hammingRerankAuto]]
+  *    pins (min(4, bits) probes, 256 shortlist) rather than
+  *    probes = bits.
+  *  - IVF cells are the same occupancy knob ([[ivfCellsFor]]): fixed
+  *    cells make probes linear in corpus AND skew the cell equi-join
+  *    (8 keys cannot occupy 32 cores — the r6 IVF-PQ decade).
   *
   * The driver queries keep their pinned parameters (their DuckDB
   * oracles restate the exact planes); these policies are the
