@@ -157,9 +157,11 @@ object AnnIndex {
     * borderline flips when assigning against member-means).
     *
     * THIS is where build-once/probe-many pays hardest (AnnIndexExp,
-    * 200k/512 cells: build 126 s ONCE vs 104 s of Lloyd retraining
-    * per monolithic batch; probe 1.8 s — breakeven at 1.2 batches,
-    * ~58× per batch after).
+    * 200k/512 cells, after the native-dot assignment landed: build
+    * 26 s ONCE vs 16 s of Lloyd retraining per monolithic batch;
+    * probe 1.3 s — breakeven at ~2 batches, ~12× per batch after;
+    * before the assignment optimization the same row read 126 s /
+    * 104 s / 1.8 s).
     */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, cells: Int,
                iters: Int = 1, dim: Int = 64): (DataFrame, DataFrame, DataFrame) = {
@@ -202,7 +204,7 @@ object AnnIndex {
         centroids.select(col("c_cell"), col("cv"), col("cn"))))
       .select(col("corpus_id"), col("c_cell"), col("v"), col("__norm"),
         (col("__norm") + col("cn") -
-          lit(2.0) * Similarity.dot(col("v"), col("cv"))).as("dist"))
+          lit(2.0) * Similarity.dotAdaptive(df)(col("v"), col("cv"))).as("dist"))
     val w = Window.partitionBy("corpus_id").orderBy(col("dist"), col("c_cell"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -756,9 +756,14 @@ object Similarity {
   }
 
   private def assignOn(base: DataFrame, cdf: DataFrame): DataFrame = {
+    // dotAdaptive, not the HOF fold: assignment is the n×k hot loop of
+    // every Lloyd call (kmeans cells, IVF builds, PQ codebooks) and the
+    // native kernel is ~75× per dot at the SAME IEEE accumulation
+    // order (VectorExpressionsSpec bit-equality) — measured on
+    // ann_ivf_scaled below (NOTES_r8)
     val scored = base.crossJoin(broadcast(cdf))
       .select(col("id").as("vec_id"), col("cell"),
-        (col("__norm") + col("cn") - lit(2.0) * dot(col("v"), col("cv")))
+        (col("__norm") + col("cn") - lit(2.0) * dotAdaptive(base)(col("v"), col("cv")))
           .as("dist"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     scored.withColumn("rn", row_number().over(w))
