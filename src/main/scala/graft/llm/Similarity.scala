@@ -739,9 +739,11 @@ object Similarity {
                  cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
     val base = withNorm(df.select(col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("v")), "v")
+    // dotAdaptive for the same reason as assignOn: per-row × per-cell
+    // distance dots are the hot loop, same IEEE order either way
     val scored = base.crossJoin(broadcast(centFrame(df, cents)))
       .select(col("id").as("vec_id"), col("cell"),
-        (col("__norm") + col("cn") - lit(2.0) * dot(col("v"), col("cv")))
+        (col("__norm") + col("cn") - lit(2.0) * dotAdaptive(base)(col("v"), col("cv")))
           .as("dist"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cell"))
     scored.withColumn("rn", row_number().over(w))
