@@ -47,10 +47,35 @@ object SemDedup {
     val base = Similarity.withNorm(
       df.select(col(idCol).as("vec_id"),
         Similarity.toDoubleVec(col(vecCol)).as("v")), "v")
-    val dotF = Similarity.dotAdaptive(base)(_, _)
     val j = cells.join(base, "vec_id")
       .select(col("vec_id"), col("cell"), col("dist"), col("v"), col("__norm"))
+    dedupOnCells(j, tau)
+  }
 
+  /** [[semanticDedup]] over the PERSISTED IVF index
+    * ([[AnnIndex.buildIvf]]'s `(vectors, _, quantizer)` tables) — the
+    * nightly-dedup shape: the Lloyd training the monolithic form
+    * repeats per run (the measured ~6× dominant cost of the 20k/64-cell
+    * build, AnnIndexExp) is read from the index instead. The centroid
+    * distance the dominance rule needs is recomputed MAP-SIDE from the
+    * quantizer (`nrm + cn − 2·v·cv` — the assignment's own expression,
+    * so bit-equal to kmeansCells' `dist` column; SemDedupSpec pins
+    * indexed == monolithic through a parquet round-trip).
+    */
+  def semanticDedupIndexed(vectors: DataFrame, quantizer: DataFrame,
+                           tau: Double): DataFrame = {
+    val dotF = Similarity.dotAdaptive(vectors)(_, _)
+    val j = vectors.join(broadcast(quantizer), col("cell") === col("c_cell"))
+      .select(col("corpus_id").as("vec_id"), col("cell"),
+        (col("nrm") + col("cn") - lit(2.0) * dotF(col("v"), col("cv")))
+          .as("dist"),
+        col("v"), col("nrm").as("__norm"))
+    dedupOnCells(j, tau)
+  }
+
+  /** Shared core over `(vec_id, cell, dist, v, __norm)` rows. */
+  private def dedupOnCells(j: DataFrame, tau: Double): DataFrame = {
+    val dotF = Similarity.dotAdaptive(j)(_, _)
     // Dominance pairs within a cell: y (farther from centroid) may
     // absorb x. Skinny projection — ids + cosine only cross the
     // exchange, vectors never ride the candidate shuffle (the
@@ -72,7 +97,7 @@ object SemDedup {
       .select(col("vec_id"), col("cand_id").as("dup_of"),
         col("cand_cos").as("dup_cosine"))
 
-    cells.join(dups, Seq("vec_id"), "left")
+    j.select("vec_id", "cell").join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         when(col("dup_of").isNull, 1).otherwise(0).cast("int").as("keep"),
         col("dup_of"), col("dup_cosine"))

@@ -620,6 +620,23 @@ object LlmQueries {
     * MOST here: the monolithic composition repeats the Lloyd
     * training every query batch (AnnIndexExp measures the curve).
     */
+  /** SemDeDup over the PERSISTED IVF index (SemDedup
+    * .semanticDedupIndexed): Lloyd cells + quantizer read from the
+    * index tables instead of retrained per run — the nightly-dedup
+    * shape, bit-equal to semantic_dedup_scaled by construction
+    * (SemDedupSpec pins it through a parquet round-trip), so the
+    * identical k=32 oracle SQL anchors the path.
+    */
+  val semanticDedupIndexedQ: Q = Q(
+    "semantic_dedup_indexed",
+    (s, dir) => {
+      val (vectors, _, quant) = AnnIndex.buildIvf(Tables.embeddings(s, dir),
+        "vec_id", "embedding", cells = 32, iters = 1)
+      graft.llm.SemDedup.semanticDedupIndexed(vectors, quant, tau = 0.35)
+    },
+    Some(semanticDedupSql(32))
+  )
+
   val annIndexIvfQ: Q = Q(
     "ann_index_ivf",
     (s, dir) => {
@@ -2197,5 +2214,5 @@ object LlmQueries {
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ,
     annHammingRerankQ, annHammingScaledQ,
     annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ,
-    annIndexIvfQ)
+    annIndexIvfQ, semanticDedupIndexedQ)
 }

@@ -76,4 +76,26 @@ class SemDedupSpec extends SparkSpec {
       .filter(col("keep") === 0).count()
     assert(kept === 0)
   }
+
+  test("semanticDedupIndexed over the persisted IVF index equals the monolithic form bit-for-bit") {
+    // the nightly-dedup shape: Lloyd read from the index tables, the
+    // dominance dist recomputed map-side from the quantizer — must
+    // reproduce semanticDedup exactly, including through parquet
+    val emb = graft.Tables.embeddings(spark, sf())
+    val mono = SemDedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 8, iters = 1, tau = 0.35)
+    val (vectors, _, quant) = AnnIndex.buildIvf(emb, "vec_id", "embedding",
+      cells = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_idx")
+      .toFile.getAbsolutePath
+    vectors.write.parquet(s"$dir/vectors")
+    quant.write.parquet(s"$dir/quant")
+    val indexed = SemDedup.semanticDedupIndexed(
+      spark.read.parquet(s"$dir/vectors"), spark.read.parquet(s"$dir/quant"),
+      tau = 0.35)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(indexed) === rows(mono))
+    assert(indexed.count() === emb.count())
+  }
 }
