@@ -164,9 +164,16 @@ object AnnIndex {
     * 104 s / 1.8 s).
     */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, cells: Int,
-               iters: Int = 1, dim: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+               iters: Int = 1, dim: Int = -1): (DataFrame, DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
+    // dim <= 0 ⇒ derive from the first vector (one limit(1) driver read
+    // at build time): a hardcoded default silently produced wrong
+    // member-mean probe centroids for any non-matching corpus, because
+    // cellCentroids folds element indices over range(dim).
+    val d = if (dim > 0) dim
+      else df.select(Similarity.toDoubleVec(col(vecCol)).as("v"))
+        .limit(1).collect().head.getSeq[Double](0).length
     val trained = Similarity.lloydCentroids(df, idCol, vecCol, cells, iters)
     val assign = Similarity.assignCells(df, idCol, vecCol, trained)
       .select(col("vec_id").as("__kid"), col("cell"))
@@ -179,7 +186,7 @@ object AnnIndex {
       col("v"), col("__norm").as("nrm"))
     val quantizer = trained.toDF("c_cell", "cv")
       .withColumn("cn", Similarity.dot(col("cv"), col("cv")))
-    (vectors, Similarity.cellCentroids(base, dim, dotF), quantizer)
+    (vectors, Similarity.cellCentroids(base, d, dotF), quantizer)
   }
 
   /** Assign NEW vectors against the persisted QUANTIZER without
@@ -200,7 +207,7 @@ object AnnIndex {
     val base = Similarity.withNorm(
       df.select(col(idCol).cast("long").as("corpus_id"),
         Similarity.toDoubleVec(col(vecCol)).as("v")), "v")
-    val scored = base.join(broadcast(
+    val scored = base.crossJoin(broadcast(
         centroids.select(col("c_cell"), col("cv"), col("cn"))))
       .select(col("corpus_id"), col("c_cell"), col("v"), col("__norm"),
         (col("__norm") + col("cn") -

@@ -174,15 +174,18 @@ object Bpe {
     // budget (resume with a smaller numMerges) replays only the prefix,
     // honoring the "up to numMerges TOTAL" contract — replay order is
     // the training order, so the prefix is exactly the smaller run.
-    val prior: Seq[(Int, String, String, Long)] =
+    // onDisk keeps the FULL log; the tail beyond the budget is trained
+    // capital (~250-650 ms/merge) the final persist must not destroy.
+    val onDisk: Seq[(Int, String, String, Long)] =
       if (!log.isFile) Seq.empty
       else {
         val src = scala.io.Source.fromFile(log, "UTF-8")
         try src.getLines().map { ln =>
           val Array(r, a, b, n) = ln.split("\t", 4)
           (r.toInt, a, b, n.toLong)
-        }.toVector.take(numMerges) finally src.close()
+        }.toVector finally src.close()
       }
+    val prior = onDisk.take(numMerges)
     def persist(ms: Seq[(Int, String, String, Long)]): Unit = {
       val tmp = new java.io.File(dir, "merges.tsv.tmp")
       val w = new java.io.PrintWriter(tmp, "UTF-8")
@@ -214,7 +217,14 @@ object Bpe {
       sincePersist += 1
       if (sincePersist >= every) { persist(all.toSeq); sincePersist = 0 }
     })
-    persist(ms)
+    // Persist only when it GROWS the log: a smaller-budget resume trains
+    // nothing (prior == ms), and rewriting would truncate checkpointed
+    // merges beyond the budget — a later resume at the original budget
+    // would have to retrain the lost tail. (Periodic persists above are
+    // safe: the loop only runs when onDisk.size < numMerges, so every
+    // `all` it sees is strictly longer than the on-disk log.)
+    if (ms.size > onDisk.size) persist(ms)
+    else if (!log.isFile) persist(ms)
     BpeModel(ms, fin)
   }
 

@@ -92,11 +92,20 @@ object OffsetFileSource {
     * authoritative (kafka semantics): a checkpointed partition whose
     * file is momentarily absent must keep its offset, not be rebuilt
     * from disk state.
+    *
+    * Extraction is scoped to the NAMED topic's nested object: a
+    * multi-topic offsets JSON (`{"a":{"0":5},"b":{"0":9}}`, legal per
+    * the kafka option contract) must not merge foreign-topic
+    * partitions into this topic's map. Partition objects hold only
+    * numeric values, so the non-nested `[^}]*` body match is exact.
     */
   def parseOffsetsJson(json: String, topic: String): Map[Int, Long] = {
     require(json.contains("\"" + topic + "\""),
       s"offsets JSON $json does not mention topic '$topic'")
-    OffsetEntry.findAllMatchIn(json)
+    val topicObj =
+      ("\"" + java.util.regex.Pattern.quote(topic) + "\"\\s*:\\s*\\{([^}]*)\\}").r
+    val scoped = topicObj.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    OffsetEntry.findAllMatchIn(scoped)
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
   }
 }

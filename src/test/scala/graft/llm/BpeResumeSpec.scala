@@ -58,6 +58,15 @@ class BpeResumeSpec extends SparkSpec {
     assert(smaller.merges.size === 5, "model must hold exactly numMerges merges")
     assert(Bpe.lastTrainRounds === 0, "prefix replay needs no pair-count rounds")
     assert(modelSig(smaller) === modelSig(Bpe.train(docs, "text", numMerges = 5)))
+    // r8 ADVICE medium: the smaller run must NOT truncate the on-disk log —
+    // merges 6-8 are trained capital a later resume at budget 8 relies on
+    val logAfter = scala.io.Source.fromFile(s"$dir/merges.tsv", "UTF-8")
+      .getLines().toVector
+    assert(logAfter.size === 8, "smaller-budget resume must not rewrite the log")
+    val back = Bpe.trainResumable(docs, "text", numMerges = 8, dir = dir)
+    assert(Bpe.lastTrainRounds === 0,
+      "original-budget resume after a smaller run must be pure replay")
+    assert(back.merges.size === 8)
   }
 
   test("a completed log makes re-run pure replay (no further training)") {

@@ -147,4 +147,27 @@ class OffsetSourceSpec extends SparkSpec {
     val p3 = parts2.find(_.partition == 3).get
     assert(p3.start === 0L && p3.end === 1L)
   }
+
+  test("multi-topic offsets JSON: only the named topic's partitions are read") {
+    // r8 ADVICE low: parseOffsetsJson used to collect every "p":offset
+    // pair in the JSON regardless of topic, so a multi-topic checkpoint
+    // (legal per the kafka option contract) merged foreign-topic
+    // partitions into this topic's restore map.
+    val multi = """{"t": {"0": 3, "1": 1}, "other": {"0": 9, "2": 5}}"""
+    assert(OffsetFileSource.parseOffsetsJson(multi, "t") ===
+      Map(0 -> 3L, 1 -> 1L),
+      "foreign-topic partitions must not leak into the named topic's map")
+    assert(OffsetFileSource.parseOffsetsJson(multi, "other") ===
+      Map(0 -> 9L, 2 -> 5L))
+    // and end-to-end through a bounded read: 'other' would bound p0 at 9
+    // (past end-of-log) if it leaked; scoped parsing reads [3, latest)
+    val path = writeTopic() // p0 (4 recs), p1 (2 recs)
+    val rows = spark.read.format(Fmt)
+      .option("path", path).option("topic", "t")
+      .option("startingOffsets", """{"t": {"0": 3, "1": 1}, "other": {"0": 0, "1": 0}}""")
+      .load()
+      .groupBy("partition").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows === Map(0 -> 1L, 1 -> 1L))
+  }
 }
