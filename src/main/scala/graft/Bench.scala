@@ -79,19 +79,49 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    // Drift canaries (r8 VERDICT #3): three frozen trivial shapes —
+    // never edited, not part of the driver contract — timed once per
+    // sweep so any cross-round per-query comparison can normalize by
+    // them instead of guessing at box noise (the r8 tail showed
+    // UNTOUCHED operators reading 1.3-1.7x slower purely from ambient
+    // load). Rule, restated in NOTES: per-query deltas between rounds
+    // are read canary-normalized.
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val canaries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      "canary_scan" -> ((s, dir) => Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")),
+      "canary_agg" -> ((s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag").agg(fsum("l_quantity").as("q"))),
+      "canary_join" -> ((s, dir) => Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count()))
+    canaries.foreach { case (_, fn) => try force(fn(spark, warmDir))
+      catch { case _: Throwable => () } }
     val samples = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to nRuns; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may persist() self-join inputs; drop them so later
-      // queries aren't squeezed by accumulated storage memory, and GC
-      // (untimed) so one query's garbage isn't billed to the next
-      spark.catalog.clearCache()
-      System.gc()
-      samples(name) = samples(name) :+ dt
+    val canarySamples = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to nRuns) {
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may persist() self-join inputs; drop them so later
+        // queries aren't squeezed by accumulated storage memory, and GC
+        // (untimed) so one query's garbage isn't billed to the next
+        spark.catalog.clearCache()
+        System.gc()
+        samples(name) = samples(name) :+ dt
+      }
+      canaries.foreach { case (cname, fn) =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        canarySamples(cname) = canarySamples(cname) :+ (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+      }
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def median(xs: Vector[Double]): Double = {
@@ -110,8 +140,14 @@ object Bench {
       val s = samples(n).sorted
       "\"" + n + "\":[" + r3(s.head) + "," + r3(median(s)) + "," + r3(s.last) + "]"
     }.mkString("{", ",", "}")
+    // canaries carry their RAW per-sweep series (sweep order, not
+    // sorted): drift within a capture is as diagnostic as drift
+    // between captures
+    val canaryRuns = canaries.map { case (n, _) =>
+      "\"" + n + "\":[" + canarySamples(n).map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fileLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs_min_med_max":$triples,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_runs":$nRuns,"queries":$qs,"runs_min_med_max":$triples,"canary_runs_sec":$canaryRuns,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fileLine + "\n").getBytes("UTF-8"))
     spark.sparkContext.setLogLevel("OFF")

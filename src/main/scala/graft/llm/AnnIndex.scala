@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,23 +116,44 @@ object AnnIndex {
     * [[Similarity.lshTopK]] semantics (candidates share a bucket in
     * ≥1 group, exact scores, cross-group dedup) with the corpus
     * bucketing read from `buckets`/`vectors` instead of recomputed.
-    * Shuffle discipline: the dedup exchange carries the 16-byte
-    * (query_id, corpus_id) pair; both vector tables re-enter by
-    * candidate-sized id joins.
+    *
+    * Shuffle discipline: the query side is BROADCAST (a probe's query
+    * batch is small by this module's contract — a corpus-sized query
+    * set is the monolithic operators' job), so the candidate-gen join
+    * and the qv re-entry cost no candidate-sized exchange; the dedup
+    * exchange carries the 16-byte (query_id, corpus_id) pair; the
+    * full vectors re-enter by ONE candidate-sized id join. That join
+    * is irreducible for the exact-score contract: every candidate
+    * needs `v` for its dot product, so carrying `nrm` on the bucket
+    * rows (the buildHamming s1/s2 trick, r8 ADVICE) cannot drop it —
+    * the sketch-carry pays in the hamming funnel ONLY because the
+    * popcount shortlist cuts BEFORE any vector re-entry. If `buckets`
+    * does carry an `nrm` column, it is used (the vectors join then
+    * fetches `v` alone); measured at 200k/500 the two layouts are
+    * within noise of each other, so [[build]] keeps the skinny
+    * 24-byte bucket rows. What DOES pay at scale is layout:
+    * `bucketBy(grp, bucket)` on `buckets` and `bucketBy(corpus_id)`
+    * on `vectors` remove both index-side exchanges entirely
+    * (AnnIndexSpec's zero-Exchange plan contracts).
     */
   def topK(buckets: DataFrame, vectors: DataFrame, queries: DataFrame,
            idCol: String, vecCol: String, planes: Seq[Seq[Seq[Double]]],
            k: Int, probes: Int = 0): DataFrame = {
     val dotF = Similarity.dotAdaptive(queries)(_, _)
+    val carriedNrm = buckets.columns.contains("nrm")
+    val cols = Seq(col("query_id"), col("corpus_id").as("neighbor_id")) ++
+      (if (carriedNrm) Seq(col("nrm")) else Nil)
     val cand = probeBuckets(queries, idCol, vecCol, planes, probes)
       .join(buckets, Seq("grp", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id").as("neighbor_id"))
+      .select(cols: _*)
       .dropDuplicates("query_id", "neighbor_id")
+    val vside =
+      if (carriedNrm) vectors.select(col("corpus_id").as("neighbor_id"), col("v"))
+      else vectors.select(col("corpus_id").as("neighbor_id"), col("v"), col("nrm"))
     val scored = cand
-      .join(queryVecs(queries, idCol, vecCol), "query_id")
-      .join(vectors.select(col("corpus_id").as("neighbor_id"), col("v"),
-        col("nrm")), "neighbor_id")
+      .join(broadcast(queryVecs(queries, idCol, vecCol)), "query_id")
+      .join(vside, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dotF(col("qv"), col("v")) / (sqrt(col("qn")) * sqrt(col("nrm"))))
           .as("cosine"))
@@ -219,6 +240,95 @@ object AnnIndex {
         col("__norm").as("nrm"))
   }
 
+  /** [[ivfAssign]] as a STREAM-LEGAL pure projection — the streaming
+    * delta-ingest path for the persisted IVF index. The quantizer is
+    * k·dim doubles (driver state by construction, the Lloyd-loop
+    * argument), so instead of the batch form's crossJoin + rank window
+    * (illegal on an unaggregated stream, and an n·k shuffle even in
+    * batch), the argmin runs MAP-SIDE over the quantizer as one array
+    * literal: per row, `array_min` over (dist, cell) structs — struct
+    * ordering is (dist asc, cell asc), exactly the batch tie rule.
+    * Distances use the same `dotAdaptive` fold at the same IEEE
+    * accumulation order, so assignments are bit-equal to [[ivfAssign]]
+    * (AnnIndexSpec pins zero flips on the build corpus and per-row
+    * (v, nrm) equality on a streamed delta).
+    *
+    * Because the result is a stateless projection, the NATIVE parquet
+    * streaming sink appends it exactly-once (file-sink manifest log) —
+    * no foreachBatch, no dedup bookkeeping:
+    * {{{
+    *   AnnIndex.ivfAssignStream(readStream, "id", "emb", quantizer)
+    *     .writeStream.format("parquet")
+    *     .option("path", vectorsDir).option("checkpointLocation", ckpt)
+    *     .start()
+    * }}}
+    * and the appended rows union with the build's vectors table as
+    * [[ivfTopK]] input. Works identically on a batch frame (it is the
+    * zero-shuffle assignment form). Re-train cadence is [[ivfChurn]]'s
+    * job.
+    */
+  def ivfAssignStream(stream: DataFrame, idCol: String, vecCol: String,
+                      quantizer: DataFrame): DataFrame = {
+    val best = argminCell(stream, quantizer, col("v"), col("__norm"))
+    Similarity.withNorm(
+        stream.select(col(idCol).cast("long").as("corpus_id"),
+          Similarity.toDoubleVec(col(vecCol)).as("v")), "v")
+      .select(col("corpus_id"), best.as("cell"), col("v"),
+        col("__norm").as("nrm"))
+  }
+
+  /** Map-side nearest-centroid cell: `array_min` over (dist, cell)
+    * structs built from the collected centroid table as ONE array
+    * literal — struct ordering is (dist asc, cell asc), the exact
+    * batch-assignment tie rule; `dist = ‖v‖² + ‖c‖² − 2·v·c` at the
+    * same `dotAdaptive` IEEE fold. Zero shuffle, stream-legal.
+    */
+  private def argminCell(df: DataFrame, centroids: DataFrame,
+                         vec: Column, nrm: Column): Column = {
+    val cents = centroids
+      .select(col("c_cell").cast("int"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    require(cents.nonEmpty, "centroid table is empty")
+    val dotF = Similarity.dotAdaptive(df)(_, _)
+    val centArr = typedLit(cents) // array<struct<_1:int,_2:array<double>,_3:double>>
+    array_min(transform(centArr, c =>
+      struct((nrm + c.getField("_3") -
+        lit(2.0) * dotF(vec, c.getField("_2"))).as("dist"),
+        c.getField("_1").as("cell"))))
+      .getField("cell")
+  }
+
+  /** Assignment-churn health metric for a persisted IVF index — the
+    * re-train trigger the quantizer-drift measurement motivates
+    * (34/450 borderline flips when member-means replace the training
+    * quantizer, AnnIndexSpec): one row
+    * `(total, flipped, churn_rate)` where `flipped` counts vectors
+    * whose stored cell differs from their argmin under the CURRENT
+    * member-mean centroids. As [[ivfAssign]]/[[ivfAssignStream]]
+    * deltas accumulate, member means drift away from the frozen
+    * training quantizer and churn grows — probe recall decays with it
+    * because [[ivfTopK]] ranks probe cells by those member means while
+    * membership still reflects the quantizer.
+    *
+    * Contract: measure churn right after a build as the baseline
+    * (synthetic 20k/64-cell corpus: ~7.5% at iters=1 — borderline
+    * vectors the single Lloyd pass leaves astride two cells), schedule
+    * [[buildIvf]] re-training when churn exceeds ~2× that baseline.
+    * Cost: one corpus pass, map-side argmin (k·dim literal centroids),
+    * one 3-long aggregate — cheap enough for a nightly `observe()`.
+    */
+  def ivfChurn(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val re = argminCell(vectors, centroids, col("v"), col("nrm"))
+    vectors
+      .select(col("cell"), re.as("re_cell"))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("cell") =!= col("re_cell"), 1L).otherwise(0L)).as("flipped"))
+      .select(col("total"), col("flipped"),
+        (col("flipped").cast("double") / col("total")).as("churn_rate"))
+  }
+
   /** Exact-cosine top-k against the persisted IVF index: each query
     * ranks the broadcast centroids, probes its `nprobe` nearest
     * cells through the cell equi-join, exact cosine scores the
@@ -270,7 +380,7 @@ object AnnIndex {
       .select(col("query_id"), element_at(col("__sk"), 1).as("q1"),
         element_at(col("__sk"), 2).as("q2"))
     val cand = probeBuckets(queries, idCol, vecCol, planes, probes)
-      .join(qsk, "query_id")
+      .join(broadcast(qsk), "query_id")
       .join(buckets, Seq("grp", "bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id").as("neighbor_id"),
@@ -282,7 +392,7 @@ object AnnIndex {
       .filter(col("srn") <= shortlist)
       .select("query_id", "neighbor_id", "hamming")
     val scored = short
-      .join(queryVecs(queries, idCol, vecCol), "query_id")
+      .join(broadcast(queryVecs(queries, idCol, vecCol)), "query_id")
       .join(vectors.select(col("corpus_id").as("neighbor_id"), col("v"),
         col("nrm")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"), col("hamming"),

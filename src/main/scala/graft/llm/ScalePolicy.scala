@@ -230,6 +230,48 @@ object ScalePolicy {
     */
   val HammingShortlist = 256
 
+  /** Measured recall-vs-shortlist law of the binary-sketch funnel at
+    * the policy planes and [[hammingProbesFor]] probes (r9 sweep,
+    * SCALE_DECADES_r9: recall@5 vs brute, 200-query slices, three
+    * decades 20k/60k/200k). Each anchor is the MINIMUM across the
+    * decades — the conservative face of a law that is roughly
+    * corpus-invariant at every width (±0.05):
+    *
+    *   shortlist:  64    128   256   512   1024  2048
+    *   recall:    0.147 0.223 0.301 0.374 0.423 0.440
+    *
+    * Log-linear at ~+0.07/doubling through 512, then SATURATING: the
+    * 1024→2048 doubling buys +0.003..+0.017 at up to 1.4× the time.
+    * The ceiling is the GENERATE stage's candidate recall — a true
+    * neighbor sharing no bucket with the query in any group can never
+    * enter the shortlist, so past ~0.44 the shortlist is no longer the
+    * binding constraint. A user who needs 0.5+ recall cannot buy it
+    * with this knob: they need more bucket mass (more groups/probes at
+    * linear index/query cost) or the exact paths
+    * ([[Similarity.rpRerankTopK]] wider shortlists /
+    * [[Similarity.bruteTopK]]).
+    */
+  val ShortlistRecall: Seq[(Int, Double)] = Seq(
+    64 -> 0.147, 128 -> 0.223, 256 -> 0.301, 512 -> 0.374,
+    1024 -> 0.423, 2048 -> 0.440)
+
+  /** Smallest measured shortlist width whose conservative recall
+    * anchor meets `targetRecall` — the [[ShortlistRecall]] law as a
+    * knob. Throws (with the measured ceiling in the message) for
+    * targets past what the funnel can reach at any width, so the
+    * recall budget is an explicit, refusable contract rather than a
+    * silent shortfall.
+    */
+  def shortlistFor(targetRecall: Double): Int = {
+    require(targetRecall > 0, s"targetRecall must be positive, got $targetRecall")
+    ShortlistRecall.collectFirst { case (sl, r) if r >= targetRecall => sl }
+      .getOrElse(throw new IllegalArgumentException(
+        f"targetRecall=$targetRecall%.3f exceeds the funnel's measured " +
+          f"ceiling ${ShortlistRecall.last._2}%.3f (shortlist saturates at " +
+          "the bucket-stage candidate recall — use more plane groups, " +
+          "rpRerankTopK, or bruteTopK for higher recall)"))
+  }
+
   /** [[Similarity.hammingRerankBucketedTopK]] with every knob derived
     * from the corpus size — the policy entry point of the binary-
     * sketch funnel (r7 finding: at 200k vectors the PINNED 16×6
@@ -249,11 +291,12 @@ object ScalePolicy {
     */
   def hammingRerankAuto(df: DataFrame, idCol: String, vecCol: String,
                         queryPred: Column, k: Int, corpus: Long,
-                        dim: Int = 64,
-                        targetOccupancy: Int = 20): DataFrame = {
+                        dim: Int = 64, targetOccupancy: Int = 20,
+                        targetRecall: Option[Double] = None): DataFrame = {
     val bits = lshBitsFor(corpus, targetOccupancy)
     Similarity.hammingRerankBucketedTopK(df, idCol, vecCol, queryPred, k,
       Similarity.md5Planes(dim, lshGroupsFor(bits), bits),
-      shortlist = HammingShortlist, probes = hammingProbesFor(bits))
+      shortlist = targetRecall.map(shortlistFor).getOrElse(HammingShortlist),
+      probes = hammingProbesFor(bits))
   }
 }

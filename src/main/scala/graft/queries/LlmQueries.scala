@@ -650,6 +650,93 @@ object LlmQueries {
     Some(annIvfScaledSql)
   )
 
+  /** IVF assignment-churn health metric (AnnIndex.ivfChurn) — the
+    * re-train trigger for a persisted index accumulating deltas: one
+    * row (total, flipped, churn_rate) counting vectors whose stored
+    * cell (argmin vs the TRAINING quantizer) differs from their argmin
+    * under the CURRENT member-mean centroids. The oracle replays the
+    * full Lloyd chain, the member-mean fold, and both argmins — so the
+    * drift gap itself (the 34/450-style measurement) is hash-anchored.
+    */
+  val annIndexChurnQ: Q = Q(
+    "ann_index_churn",
+    (s, dir) => {
+      val (vectors, cents, _) = AnnIndex.buildIvf(Tables.embeddings(s, dir),
+        "vec_id", "embedding", cells = 8, iters = 1)
+      AnnIndex.ivfChurn(vectors, cents)
+    },
+    Some(kmCellCtes(8) + """,
+      m2 AS (SELECT a.cell, list(n2.v ORDER BY n2.vec_id) AS vs, count(*) AS cnt
+             FROM a2 a JOIN n n2 USING (vec_id) GROUP BY 1),
+      c2 AS (SELECT cell, list_transform(range(64), kk ->
+               list_reduce(list_transform(vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / cnt) AS cv
+             FROM m2),
+      """ + kmAssignCte("a3", "c2") + """
+      SELECT count(*)::BIGINT AS total,
+             sum(CASE WHEN a2.cell <> a3.cell THEN 1 ELSE 0 END)::BIGINT AS flipped,
+             sum(CASE WHEN a2.cell <> a3.cell THEN 1 ELSE 0 END)::DOUBLE / count(*) AS churn_rate
+      FROM a2 JOIN a3 USING (vec_id)
+    """)
+  )
+
+  /** IVF delta ingest (AnnIndex.ivfAssignStream, the streaming-legal
+    * map-side argmin): train the quantizer on the 90% "old" corpus,
+    * assign the 10% delta against it WITHOUT retraining — the FAISS
+    * add() path. Batch and stream share this exact plan (it is a pure
+    * projection; StreamAnnSpec pins parquet-appended == batch), so the
+    * oracle anchors the streaming ingest's arithmetic too: Lloyd on
+    * the old corpus, then the delta's argmin vs the trained centroids.
+    */
+  val annIvfDeltaQ: Q = Q(
+    "ann_ivf_delta",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (_, _, quant) = AnnIndex.buildIvf(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        cells = 8, iters = 1)
+      AnnIndex.ivfAssignStream(emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", quant)
+        .select(col("corpus_id"), col("cell"), col("nrm"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id % 10 <> 0),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS cv
+             FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+      a1 AS (
+        SELECT vec_id, cell, dist FROM (
+          SELECT n.vec_id, c.cell,
+                 n.nrm + list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)
+                   - 2 * list_reduce(list_transform(range(1, 65), i -> n.v[i::INT] * c.cv[i::INT]), (a, b) -> a + b) AS dist
+          FROM n CROSS JOIN c0 c) t
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+      m1 AS (SELECT a.cell, list(n2.v ORDER BY n2.vec_id) AS vs, count(*) AS cnt
+             FROM a1 a JOIN n n2 USING (vec_id) GROUP BY 1),
+      c1 AS (SELECT p.cell,
+                    CASE WHEN m.cnt IS NULL THEN p.cv
+                         ELSE list_transform(range(64), kk ->
+                           list_reduce(list_transform(m.vs, v -> v[(kk + 1)::INT]), (a, b) -> a + b) / m.cnt)
+                    END AS cv
+             FROM c0 p LEFT JOIN m1 m USING (cell)),
+      d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 10 = 0),
+      dn AS (SELECT vec_id, v,
+                    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+             FROM d),
+      ad AS (
+        SELECT vec_id, cell, nrm FROM (
+          SELECT dn.vec_id, c.cell, dn.nrm,
+                 dn.nrm + list_reduce(list_transform(c.cv, x -> x * x), (a, b) -> a + b)
+                   - 2 * list_reduce(list_transform(range(1, 65), i -> dn.v[i::INT] * c.cv[i::INT]), (a, b) -> a + b) AS dist
+          FROM dn CROSS JOIN c1 c) t
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)
+      SELECT vec_id AS corpus_id, cell, nrm FROM ad
+    """)
+  )
+
   /** PII redaction. The synthetic corpus carries no PII, so the query
     * deterministically appends synthetic PII (email, URL, long id) —
     * restated identically in the oracle — and the operator masks it.
@@ -2214,5 +2301,5 @@ object LlmQueries {
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ,
     annHammingRerankQ, annHammingScaledQ,
     annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ,
-    annIndexIvfQ, semanticDedupIndexedQ)
+    annIndexIvfQ, semanticDedupIndexedQ, annIndexChurnQ, annIvfDeltaQ)
 }

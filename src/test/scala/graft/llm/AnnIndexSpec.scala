@@ -173,6 +173,73 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("ivfAssignStream (map-side argmin) is bit-equal to ivfAssign; ivfChurn reads 0 vs quantizer, the drift gap vs member-means") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val (vectors, cents, quant) = AnnIndex.buildIvf(emb, "vec_id", "embedding",
+      cells = 8, iters = 1)
+    // the stream-legal literal-argmin form must reproduce the batch
+    // crossJoin+window form exactly: same dist fold, same tie rule
+    val win = AnnIndex.ivfAssign(emb, "vec_id", "embedding", quant)
+    val lit = AnnIndex.ivfAssignStream(emb, "vec_id", "embedding", quant)
+    assert(lit.columns.toSeq === win.columns.toSeq)
+    assert(rows(lit) === rows(win))
+    // churn vs the TRAINING quantizer is zero by construction (stored
+    // cells ARE its argmins)...
+    val zero = AnnIndex.ivfChurn(vectors, quant).collect()(0)
+    assert(zero.getLong(0) === emb.count())
+    assert(zero.getLong(1) === 0L && zero.getDouble(2) === 0.0)
+    // ...while churn vs the member-mean probe centroids is the
+    // measured quantizer-drift gap (borderline vectors a single Lloyd
+    // pass leaves astride two cells) — nonzero, but a small fraction
+    val drift = AnnIndex.ivfChurn(vectors, cents).collect()(0)
+    info(s"member-mean churn: ${drift.getLong(1)}/${drift.getLong(0)} = ${drift.getDouble(2)}")
+    assert(drift.getLong(1) > 0L && drift.getDouble(2) < 0.5)
+  }
+
+  test("a corpus_id-bucketed vectors table reranks with NO vector-side exchange; nrm-carry buckets probe identically") {
+    // the other half of the 1000-executor layout: the rerank's only
+    // corpus-sized join (full vectors by candidate id) reads the
+    // vectors table pre-partitioned — only the candidate side shuffles
+    val emb = graft.Tables.embeddings(spark, sf())
+    val planes = Similarity.md5Planes(64, 16, 6)
+    val queries = emb.filter(col("vec_id") % 40 === 0)
+    val (buckets, vectors) = AnnIndex.build(emb, "vec_id", "embedding", planes)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Bucketing.writeBucketed(vectors, "aidx_vectors", 8,
+        Seq("corpus_id"), Seq("corpus_id"))
+      val probe = AnnIndex.topK(buckets, spark.table("aidx_vectors"),
+        queries, "vec_id", "embedding", planes, k = 5)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"vectors scan must be bucketed:\n${plan.take(3000)}")
+      // every single-key id hash-exchange belongs to the candidate side
+      // (the pair-keyed dedup exchange is a different shape); the
+      // corpus-sized vectors never re-shuffle
+      val nExchanges = plan.linesIterator.count(
+        _.contains("Exchange hashpartitioning(neighbor_id"))
+      assert(nExchanges <= 1,
+        s"vectors side re-shuffled on id — $nExchanges exchanges:\n${plan.take(3000)}")
+      val plain = AnnIndex.topK(buckets, vectors, queries, "vec_id",
+        "embedding", planes, k = 5)
+      assert(rows(probe) === rows(plain))
+      // r8 ADVICE nrm-carry layout: widened bucket rows are accepted and
+      // probe bit-identically (topK schema-sniffs the nrm column and
+      // fetches v alone from the vectors table)
+      val bktsNrm = buckets.join(
+        vectors.select(col("corpus_id"), col("nrm")), "corpus_id")
+      val carried = AnnIndex.topK(bktsNrm, vectors, queries, "vec_id",
+        "embedding", planes, k = 5)
+      assert(rows(carried) === rows(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.sources.Bucketing.drop(spark, "aidx_vectors")
+    }
+  }
+
   test("disjoint external queries probe the index (no self-exclusion interference)") {
     // external ids far outside the corpus id space: every corpus
     // vector is a legal neighbor, and an exact copy surfaces at

@@ -164,6 +164,42 @@ class ScalePolicySpec extends SparkSpec {
       Seq("query_id", "neighbor_id", "hamming", "cosine", "rank"))
   }
 
+  test("shortlistFor: the measured recall law picks the smallest sufficient width; past-ceiling targets are refused") {
+    // anchors = MIN recall across the 20k/60k/200k decades (r9 sweep,
+    // SCALE_DECADES_r9): 64→0.147, 128→0.223, 256→0.301, 512→0.374,
+    // 1024→0.423, 2048→0.440 — log-linear ~+0.07/doubling through 512,
+    // saturating at the GENERATE stage's candidate-recall ceiling
+    assert(ScalePolicy.shortlistFor(0.10) === 64)
+    assert(ScalePolicy.shortlistFor(0.147) === 64)
+    assert(ScalePolicy.shortlistFor(0.15) === 128)
+    assert(ScalePolicy.shortlistFor(0.30) === 256)
+    assert(ScalePolicy.shortlistFor(0.35) === 512)
+    assert(ScalePolicy.shortlistFor(0.40) === 1024)
+    assert(ScalePolicy.shortlistFor(0.44) === 2048)
+    // 0.5+ recall is NOT purchasable with this knob — the refusal names
+    // the ceiling instead of silently under-delivering
+    val ex = intercept[IllegalArgumentException](ScalePolicy.shortlistFor(0.5))
+    assert(ex.getMessage.contains("ceiling"))
+    // the anchors are monotone in width (a law, not noise)
+    assert(ScalePolicy.ShortlistRecall.map(_._2) ===
+      ScalePolicy.ShortlistRecall.map(_._2).sorted)
+    // hammingRerankAuto threads a recall target through to the funnel:
+    // equal to the manual call at the derived shortlist
+    val emb = graft.Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val qp = col("id") % 40 === 0
+    val bits = ScalePolicy.lshBitsFor(n)
+    val planes = Similarity.md5Planes(64, ScalePolicy.lshGroupsFor(bits), bits)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val auto = ScalePolicy.hammingRerankAuto(emb, "vec_id", "embedding",
+      qp, k = 5, corpus = n, targetRecall = Some(0.37))
+    val manual = Similarity.hammingRerankBucketedTopK(emb, "vec_id", "embedding",
+      qp, k = 5, planes, shortlist = 512,
+      probes = ScalePolicy.hammingProbesFor(bits))
+    assert(rows(auto) === rows(manual))
+  }
+
   test("semanticDedupAuto verdicts match semanticDedup at the derived k") {
     val emb = graft.Tables.embeddings(spark, sf())
     val n = emb.count()

@@ -74,6 +74,56 @@ class StreamAnnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF delta-ingest: parquet-appended rows are bit-equal to batch ivfAssign; the unioned index probes the delta") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.AnnIndex
+    val emb = corpus()
+    val (vectors, cents, quant) = AnnIndex.buildIvf(emb, "vec_id", "embedding",
+      cells = 8, iters = 1)
+    val vectorsM = vectors.localCheckpoint()
+    val quantM = quant.localCheckpoint()
+    val base = emb.orderBy("vec_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val r = new scala.util.Random(11)
+    val delta = Seq(
+      (910000L, base(0)._2),
+      (910001L, base(1)._2.map(x => x + r.nextGaussian().toFloat * 0.01f)),
+      (910002L, Seq.fill(64)(r.nextGaussian().toFloat)))
+    val work = java.nio.file.Files.createTempDirectory("ivf_ingest").toFile.getPath
+    val mem = MemoryStream[(Long, Seq[Float])]
+    // the documented deployment: a stateless projection through the
+    // NATIVE parquet sink (exactly-once via the file-sink manifest)
+    val q = AnnIndex.ivfAssignStream(
+        mem.toDF().toDF("id", "embedding"), "id", "embedding", quantM)
+      .writeStream.format("parquet")
+      .option("path", s"$work/delta")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode("append").start()
+    try {
+      mem.addData(delta.take(1)); q.processAllAvailable()
+      mem.addData(delta.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val appended = spark.read.parquet(s"$work/delta")
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Double](2), x.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val batch = AnnIndex.ivfAssign(delta.toDF("id", "embedding"),
+      "id", "embedding", quantM)
+    assert(sig(appended) === sig(batch),
+      "stream-appended rows must be bit-equal to the batch assignment")
+    // the union of (build vectors, appended delta) serves probes that
+    // surface the streamed exact copy at cosine 1
+    val probeQ = Seq((990000L, base(0)._2)).toDF("vec_id", "embedding")
+    val hit = AnnIndex.ivfTopK(
+      vectorsM.union(appended.select("corpus_id", "cell", "v", "nrm")),
+      cents, probeQ, "vec_id", "embedding", k = 2, nprobe = 8).collect()
+    val ids = hit.map(_.getLong(1)).toSet
+    assert(ids.contains(910000L) && ids.contains(base(0)._1),
+      s"probe must see both the streamed copy and its source, got $ids")
+    assert(hit.forall(h => math.abs(h.getDouble(2) - 1.0) < 1e-12))
+  }
+
   test("matchesDistinct collapses cross-group multiplicity to one row per pair") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
