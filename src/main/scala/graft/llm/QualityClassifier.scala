@@ -1,0 +1,196 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised model-based quality filtering — the fasttext-classifier
+  * stage of the GPT-3 / CCNet-style curation pipeline (Brown et al.
+  * 2020 §A: a linear classifier trained curated-vs-CommonCrawl gates
+  * web documents; Joulin et al. 2016 for the bag-of-words + hashing
+  * model family; Wenzek et al. 2019 pairs the same idea with the LM
+  * perplexity buckets already in `LangModel`/ccnet_buckets).
+  *
+  * The classifier here is multinomial Naive Bayes rather than
+  * logistic regression: NB training is CLOSED-FORM over token counts
+  * — two `groupBy` aggregations, no iterative driver loop — so it is
+  * embarrassingly distributed, one-pass at 100 TB, and exactly
+  * reproducible in the DuckDB oracle (a gradient-descent LR would be
+  * neither closed-form nor order-independent). For short web-text
+  * quality gating NB and LR are interchangeable in practice; what
+  * production cares about (a per-document log-linear score over token
+  * features at scan speed) is identical.
+  *
+  * Determinism policy (Registry doc): token counts are exact
+  * integers; each feature's smoothed log-likelihood-ratio is
+  * quantized to integer micro-nats (`floor(ln(·)·1e6 + 0.5)`) BEFORE
+  * any reordering aggregate, so document scores are exact integer
+  * sums — bit-identical across partitionings and engines.
+  *
+  * Scale shape:
+  *  - train: one map-side explode + one `groupBy(feature)` with
+  *    partial aggregation — the shuffle carries (feature, c_pos,
+  *    c_neg) partials, the result is vocabulary-bounded (and with
+  *    [[hashedFeature]] HARD-bounded at `buckets` rows — the fasttext
+  *    hashing trick — regardless of corpus vocabulary).
+  *  - score: map-side explode, broadcast-join the model (legal by the
+  *    bucket bound), map-side coalesce to the OOV constant, one
+  *    `groupBy(doc)` of integer partials. One shuffle end-to-end,
+  *    scan-dominated — the same profile as [[Dsir.scoreWith]].
+  */
+object QualityClassifier {
+
+  import TextHash.words
+
+  private def toks(textCol: Column): Column = words(lower(trim(textCol)))
+
+  /** Identity features: the token itself (interpretable model). */
+  val wordFeature: Column => Column = identity
+
+  /** Hashing-trick features (Joulin et al. 2016): md5-derived 32-bit
+    * hash mod `buckets`, so the model is ≤ buckets rows no matter how
+    * large the corpus vocabulary grows — the property that keeps the
+    * score-side broadcast join legal at 100 TB. md5 (not Spark
+    * `hash()`) so the DuckDB oracle reproduces buckets bit-for-bit.
+    */
+  def hashedFeature(buckets: Int): Column => Column =
+    w => pmod(TextHash.h32(concat(lit("nbq:"), w)), lit(buckets.toLong))
+
+  /** Train the NB model: one row per feature,
+    * `(f, c_pos, c_neg, llr_micro)` where
+    * `llr = ln((c_pos+1)/(tot_pos+V)) − ln((c_neg+1)/(tot_neg+V))`
+    * (Laplace smoothing; V = number of distinct features in train),
+    * quantized to micro-nats. `posLabel` is a boolean Column over the
+    * training frame's columns (e.g. `col("source").isin("src0",…)`).
+    *
+    * The per-feature llr needs the GLOBAL scalars (tot_pos, tot_neg,
+    * V); they are one 3-column aggregate of the count table,
+    * broadcast back — vocabulary-sized input, 1-row output.
+    */
+  def nbModel(train: DataFrame, textCol: String, posLabel: Column,
+              feature: Column => Column = wordFeature): DataFrame = {
+    val counts = train
+      .select(posLabel.as("__pos"), explode(toks(col(textCol))).as("__w"))
+      .select(col("__pos"), feature(col("__w")).as("f"))
+      .groupBy("f")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+    val stats = counts.agg(
+      sum("c_pos").as("tot_pos"), sum("c_neg").as("tot_neg"),
+      count(lit(1)).as("vv"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("f"), col("c_pos"), col("c_neg"),
+        llrMicro(col("c_pos"), col("c_neg"),
+          col("tot_pos"), col("tot_neg"), col("vv")).as("llr_micro"))
+  }
+
+  /** Class prior as one broadcastable row `(n_pos, n_neg,
+    * prior_micro)` — `floor(ln(n_pos/n_neg)·1e6 + 0.5)` over TRAIN
+    * document counts.
+    */
+  def nbPrior(train: DataFrame, posLabel: Column): DataFrame =
+    train.agg(
+        sum(when(posLabel, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(posLabel, 0L).otherwise(1L)).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        floor(log(col("n_pos").cast("double") / col("n_neg").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("prior_micro"))
+
+  /** Integer micro-nat smoothed LLR — quantize-before-sum (Registry
+    * numeric policy): both engines compute `ln` on the IDENTICAL
+    * doubles (exact-integer ratios are correctly-rounded IEEE
+    * divisions), so the quantized value matches bit-for-bit.
+    */
+  private def llrMicro(cPos: Column, cNeg: Column,
+                       totPos: Column, totNeg: Column, vv: Column): Column =
+    floor((log((cPos + 1).cast("double") / (totPos + vv).cast("double")) -
+      log((cNeg + 1).cast("double") / (totNeg + vv).cast("double")))
+      * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Score documents under a trained model:
+    * `(doc_id, n_tokens, oov_tokens, score_micro, pred_pos)` with
+    * `score = prior + Σ_occurrences llr(f)`; features absent from the
+    * model contribute the OOV llr (Laplace mass `1/(tot_c + V)`).
+    * `pred_pos = 1 ⇔ score_micro > 0` — the MAP decision; production
+    * keeps `score_micro` and thresholds it (or Pareto-samples it,
+    * Brown et al. §A) downstream.
+    *
+    * Plan: explode → broadcast-join model → map-side OOV coalesce →
+    * single `groupBy(doc)` of integer partials. The OOV constant and
+    * the prior are 1-row broadcasts derived from the model itself, so
+    * a persisted model table is the only serving state.
+    */
+  /** Collapse a trained model + prior into the three serving scalars
+    * of [[nbScoreMap]]: `(featureMap, oovMicro, priorMicro)`. Map keys
+    * are the feature's STRING form (map literals are string-keyed so
+    * word and hashed features share one serving path). Driver reads
+    * are model-sized — bounded by the [[hashedFeature]] bucket count,
+    * the same O(model) ceiling as [[Dsir.LiteralModelMaxBuckets]].
+    */
+  def serve(model: DataFrame, prior: DataFrame): (Map[String, Long], Long, Long) = {
+    val m = model.select(col("f").cast("string"), col("llr_micro"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oov = model.agg(
+        sum("c_pos").as("tot_pos"), sum("c_neg").as("tot_neg"),
+        count(lit(1)).as("vv"))
+      .select(llrMicro(lit(0L), lit(0L),
+        col("tot_pos"), col("tot_neg"), col("vv")).as("oov_micro"))
+      .collect().head.getLong(0)
+    val pm = prior.select(col("prior_micro")).collect().head.getLong(0)
+    (m, oov, pm)
+  }
+
+  /** Serving-side scorer: the model re-enters as a MAP LITERAL folded
+    * per row with `aggregate` — ZERO shuffle over the scored corpus
+    * and stream-legal (each arrival scores itself map-side; corpus
+    * knowledge lives in the literal, never in stream state — the
+    * [[Dsir.scoreWith]] / StreamDedup index-not-state discipline).
+    * Integer arithmetic ⇒ bit-equal to [[nbScore]]
+    * (QualityClassifierSpec pins it). Same janino literal ceiling as
+    * [[Dsir.LiteralModelMaxBuckets]]: past a few thousand features,
+    * serve with [[nbScore]]'s broadcast join instead.
+    */
+  def nbScoreMap(docs: DataFrame, idCol: String, textCol: String,
+                 model: Map[String, Long], oovMicro: Long, priorMicro: Long,
+                 feature: Column => Column = wordFeature): DataFrame = {
+    val m = typedlit(model)
+    val f: Column => Column = w => feature(w).cast("string")
+    val tokMicro: Column = aggregate(col("__ws"), lit(0L),
+      (acc, w) => acc + coalesce(element_at(m, f(w)), lit(oovMicro)))
+    val oovCount: Column = aggregate(col("__ws"), lit(0L),
+      (acc, w) => acc + when(element_at(m, f(w)).isNull, 1L).otherwise(0L))
+    docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        oovCount.as("oov_tokens"),
+        (lit(priorMicro) + tokMicro).as("score_micro"))
+      .withColumn("pred_pos",
+        when(col("score_micro") > 0, 1).otherwise(0))
+  }
+
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, prior: DataFrame,
+              feature: Column => Column = wordFeature): DataFrame = {
+    val oov = model.agg(
+        sum("c_pos").as("tot_pos"), sum("c_neg").as("tot_neg"),
+        count(lit(1)).as("vv"))
+      .select(llrMicro(lit(0L), lit(0L),
+        col("tot_pos"), col("tot_neg"), col("vv")).as("oov_micro"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("__w"))
+      .select(col("doc_id"), feature(col("__w")).as("f"))
+      .join(broadcast(model.select(col("f"), col("llr_micro"))), Seq("f"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"),
+        coalesce(col("llr_micro"), col("oov_micro")).as("llr"),
+        when(col("llr_micro").isNull, 1L).otherwise(0L).as("is_oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("is_oov").as("oov_tokens"),
+        sum("llr").as("__tok_micro"))
+      .crossJoin(broadcast(prior.select(col("prior_micro"))))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+        (col("prior_micro") + col("__tok_micro")).as("score_micro"),
+        when(col("prior_micro") + col("__tok_micro") > 0, 1)
+          .otherwise(0).as("pred_pos"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, Sampling, TextHash, TextStats, Unigram, Winnow, Wordpiece}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, QualityClassifier, Sampling, TextHash, TextStats, Unigram, Winnow, Wordpiece}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -1296,6 +1296,115 @@ object CurationQueries {
     """)
   )
 
+  /** Shared fixtures of the nb_quality_* family: the GPT-3-style
+    * supervised quality gate (QualityClassifier doc). Labels are
+    * curated-vs-rest by source (srcs 0–3 stand in for the "books +
+    * wikipedia" positive class); the train split is the deterministic
+    * doc_id % 5 ≠ 0 (retry-stable, growth-stable — same property as
+    * train_split's md5 assignment; modulo keeps the oracle a one-line
+    * predicate).
+    */
+  private val nbPos = col("source").isin("src0", "src1", "src2", "src3")
+  private val nbPosSql = "source IN ('src0','src1','src2','src3')"
+  // oracle CTEs shared by all three queries: train tokens → per-feature
+  // counts → global scalars; parameterized on the feature expression so
+  // the word-identity and hashing-trick variants restate identically
+  private def nbModelSql(featExpr: String): String = s"""
+      tr AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      tok0 AS (SELECT ($nbPosSql) AS pos,
+                      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+               FROM tr),
+      tok AS (SELECT pos, $featExpr AS f FROM tok0),
+      cnt AS (SELECT f,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                     CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+              FROM tok GROUP BY 1),
+      st AS (SELECT CAST(sum(c_pos) AS BIGINT) AS tot_pos,
+                    CAST(sum(c_neg) AS BIGINT) AS tot_neg,
+                    CAST(count(*) AS BIGINT) AS vv
+             FROM cnt),
+      model AS (SELECT f, c_pos, c_neg,
+                       CAST(floor((ln((c_pos + 1)::DOUBLE / (tot_pos + vv)::DOUBLE)
+                                 - ln((c_neg + 1)::DOUBLE / (tot_neg + vv)::DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT) AS llr_micro
+                FROM cnt CROSS JOIN st)"""
+  private def nbScoreSql(featExpr: String): String = s"""
+      WITH ${nbModelSql(featExpr)},
+      oov AS (SELECT CAST(floor((ln((0 + 1)::DOUBLE / (tot_pos + vv)::DOUBLE)
+                               - ln((0 + 1)::DOUBLE / (tot_neg + vv)::DOUBLE))
+                                * 1e6 + 0.5) AS BIGINT) AS oov_micro
+              FROM st),
+      pr AS (SELECT CAST(floor(ln(
+                      CAST(sum(CASE WHEN $nbPosSql THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+                    / CAST(sum(CASE WHEN $nbPosSql THEN 0 ELSE 1 END) AS BIGINT)::DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT) AS prior_micro
+             FROM tr),
+      te AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+             FROM documents WHERE doc_id % 5 = 0),
+      tef AS (SELECT doc_id, $featExpr AS f FROM te),
+      j AS (SELECT t.doc_id,
+                   coalesce(m.llr_micro, o.oov_micro) AS llr,
+                   CASE WHEN m.llr_micro IS NULL THEN 1 ELSE 0 END AS is_oov
+            FROM tef t LEFT JOIN model m ON t.f = m.f CROSS JOIN oov o)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(is_oov) AS BIGINT) AS oov_tokens,
+             CAST(pr.prior_micro + sum(llr) AS BIGINT) AS score_micro,
+             CASE WHEN pr.prior_micro + sum(llr) > 0 THEN 1 ELSE 0 END AS pred_pos
+      FROM j CROSS JOIN pr GROUP BY doc_id, pr.prior_micro"""
+
+  /** The trained word-feature NB model table itself — vocabulary-sized
+    * output, the artifact a production pipeline persists and serves.
+    */
+  val nbQualityModel: Q = Q(
+    "nb_quality_model",
+    (s, dir) => QualityClassifier.nbModel(
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "text", nbPos),
+    Some(s"""
+      WITH ${nbModelSql("w")}
+      SELECT f, c_pos, c_neg, llr_micro FROM model
+    """)
+  )
+
+  /** Held-out 20% scored under the word-feature model + class prior —
+    * the quality-gate decision rows (score_micro is what downstream
+    * thresholding / Pareto sampling consumes).
+    */
+  val nbQualityScore: Q = Q(
+    "nb_quality_score",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      QualityClassifier.nbScore(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        QualityClassifier.nbModel(train, "text", nbPos),
+        QualityClassifier.nbPrior(train, nbPos))
+    },
+    Some(nbScoreSql("w"))
+  )
+
+  /** The 100 TB form: hashing-trick features into 4096 buckets
+    * (Joulin et al. 2016), so the model is HARD-bounded at 4096 rows
+    * regardless of corpus vocabulary and the scoring join stays a
+    * broadcast at any scale. Same scoring arithmetic, md5-derived
+    * buckets restated in the oracle.
+    */
+  val nbQualityHashed: Q = Q(
+    "nb_quality_hashed",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val feat = QualityClassifier.hashedFeature(4096)
+      QualityClassifier.nbScore(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        QualityClassifier.nbModel(train, "text", nbPos, feat),
+        QualityClassifier.nbPrior(train, nbPos), feat)
+    },
+    Some(nbScoreSql(
+      "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
@@ -1303,5 +1412,6 @@ object CurationQueries {
     lmBigramScore, paragraphDedupQ, cmsHeavyHitters, bpeVocab, bpeEncode,
     dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
     wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
-    winnowFingerprints, winnowPairs, lmKneserNey)
+    winnowFingerprints, winnowPairs, lmKneserNey,
+    nbQualityModel, nbQualityScore, nbQualityHashed)
 }

@@ -144,6 +144,15 @@ object StreamBench {
     val annBuckets = annBuckets0.localCheckpoint()
     val annVectors = annVectors0.localCheckpoint()
     println(s"vec input rows=$nVecs ann index buckets=${annBuckets.count()}")
+    // persisted IVF quantizer trained ONCE from the batch corpus — the
+    // delta-ingest row measures AnnIndex.ivfAssignStream, the map-side
+    // argmin projection that appends stream arrivals to the persisted
+    // index (stateless, zero shuffle; bit-equality to the batch
+    // assignment is AnnIndexSpec's job, this row is throughput only)
+    val (_, _, ivfQuant0) = graft.llm.AnnIndex.buildIvf(
+      embTbl, "vec_id", "embedding", cells = 64, iters = 1)
+    val ivfQuant = ivfQuant0.localCheckpoint()
+    println(s"ivf quantizer cells=${ivfQuant.count()}")
     // DSIR model trained once on the batch corpus, served as a map
     // literal — the scorer is a pure projection (zero stream state)
     val dsirModel = graft.llm.Dsir.bucketModel(
@@ -151,6 +160,16 @@ object StreamBench {
       .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
       .toMap
     println(s"dsir model buckets=${dsirModel.size}")
+    // NB quality model trained once on the batch corpus, served as a
+    // map literal — scoring is a stateless pure projection (the
+    // model-based quality gate of the GPT-3 pipeline, stream form)
+    val nbPos = col("source").isin("src0", "src1", "src2", "src3")
+    val nbTrain = graft.Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val (nbM, nbOov, nbPrior) = graft.llm.QualityClassifier.serve(
+      graft.llm.QualityClassifier.nbModel(nbTrain, "text", nbPos),
+      graft.llm.QualityClassifier.nbPrior(nbTrain, nbPos))
+    println(s"nb model features=${nbM.size}")
     // wordpiece vocab trained once on the batch corpus (8 BPE merges),
     // served as map literals — the tokenizer scorer is a stateless
     // pure projection on the stream
@@ -185,6 +204,15 @@ object StreamBench {
       "ann_probe" -> (() => graft.stream.StreamAnn.matches(
         vecSource(), annBuckets, annVectors, "id", "embedding",
         annPlanes, minCosine = 0.6)),
+      // IVF delta ingest vs the persisted quantizer: stateless map-side
+      // argmin (k·dim centroid literal), the streaming half of the
+      // build-once/probe-many index story — state_rows must stay 0
+      "ivf_delta_ingest" -> (() => graft.llm.AnnIndex.ivfAssignStream(
+        vecSource(), "id", "embedding", ivfQuant)),
+      // NB quality gate on the doc stream: map-literal fold per row
+      // (QualityClassifier.nbScoreMap) — stateless, zero shuffle
+      "nb_quality_score" -> (() => graft.llm.QualityClassifier.nbScoreMap(
+        docSource(), "id", "text", nbM, nbOov, nbPrior)),
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
         buckets = 1024)),

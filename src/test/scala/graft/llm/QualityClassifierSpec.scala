@@ -1,0 +1,157 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class QualityClassifierSpec extends SparkSpec {
+
+  private def lnMicro(p: Double): Long =
+    math.floor(math.log(p) * 1e6 + 0.5).toLong
+
+  /** Independent driver-side NB reference: word counts per class,
+    * Laplace llr in micro-nats, doc score = prior + Σ occurrences.
+    */
+  private def refScores(train: Seq[(Long, String, Boolean)],
+                        test: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+    val tok = train.flatMap { case (_, t, pos) => toks(t).map(_ -> pos) }
+    val cnt = tok.groupBy(_._1).map { case (w, xs) =>
+      w -> (xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val totPos = cnt.values.map(_._1).sum
+    val totNeg = cnt.values.map(_._2).sum
+    val vv = cnt.size.toLong
+    def llr(cp: Long, cn: Long): Long =
+      lnMicro((cp + 1).toDouble / (totPos + vv)) -
+        lnMicro((cn + 1).toDouble / (totNeg + vv))
+    // NOTE the engine quantizes the DIFFERENCE of the two ln terms in
+    // one floor, not each term separately: mirror that
+    def llr1(cp: Long, cn: Long): Long =
+      math.floor((math.log((cp + 1).toDouble / (totPos + vv)) -
+        math.log((cn + 1).toDouble / (totNeg + vv))) * 1e6 + 0.5).toLong
+    val _ = llr _ // silence unused for the two-fold variant
+    val oov = llr1(0L, 0L)
+    val nPos = train.count(_._3).toLong
+    val nNeg = train.size - nPos
+    val prior = math.floor(math.log(nPos.toDouble / nNeg.toDouble) * 1e6 + 0.5).toLong
+    test.map { case (id, t) =>
+      val ws = toks(t)
+      val nOov = ws.count(w => !cnt.contains(w)).toLong
+      val s = prior + ws.map(w =>
+        cnt.get(w).map { case (cp, cn) => llr1(cp, cn) }.getOrElse(oov)).sum
+      id -> (ws.size.toLong, nOov, s)
+    }.toMap
+  }
+
+  private val train = Seq(
+    (1L, "good clean prose with sentences", true),
+    (2L, "another well formed paragraph of prose", true),
+    (3L, "click here buy now cheap cheap", false),
+    (4L, "spam list spam list keywords keywords keywords", false),
+    (5L, "prose and sentences again", true))
+  private val test = Seq(
+    (10L, "clean prose sentences"),          // all positive-leaning
+    (11L, "cheap spam keywords click"),      // all negative-leaning
+    (12L, "prose unseen_word cheap"))        // mixed + OOV
+
+  test("nbScore matches an independent driver-side NB recompute exactly") {
+    import spark.implicits._
+    val tr = train.toDF("doc_id", "text", "pos")
+    val te = test.toDF("doc_id", "text")
+    val model = QualityClassifier.nbModel(tr, "text", col("pos"))
+    val prior = QualityClassifier.nbPrior(tr, col("pos"))
+    val got = QualityClassifier.nbScore(te, "doc_id", "text", model, prior)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    val want = refScores(train.map(t => (t._1, t._2, t._3)), test)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (id, (n, nOov, s)) =>
+      val (gn, goov, gs, gp) = got(id)
+      assert(gn === n, s"n_tokens doc $id")
+      assert(goov === nOov, s"oov_tokens doc $id")
+      assert(gs === s, s"score_micro doc $id")
+      assert(gp === (if (s > 0) 1 else 0), s"pred_pos doc $id")
+    }
+    // sanity on separation: the positive-leaning doc scores above the
+    // negative-leaning one
+    assert(got(10L)._3 > got(11L)._3)
+  }
+
+  test("model counts conserve the training token stream") {
+    import spark.implicits._
+    val tr = train.toDF("doc_id", "text", "pos")
+    val m = QualityClassifier.nbModel(tr, "text", col("pos"))
+      .agg(sum("c_pos"), sum("c_neg")).collect().head
+    val wantPos = train.filter(_._3).map(_._2.trim.split("\\s+").length).sum
+    val wantNeg = train.filterNot(_._3).map(_._2.trim.split("\\s+").length).sum
+    assert(m.getLong(0) === wantPos)
+    assert(m.getLong(1) === wantNeg)
+  }
+
+  test("hashedFeature bounds the model and scores every doc") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val tst = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val feat = QualityClassifier.hashedFeature(64)
+    val model = QualityClassifier.nbModel(trn, "text", col("lang") === "en", feat)
+    assert(model.count() <= 64)
+    val fRange = model.agg(min("f"), max("f")).collect().head
+    assert(fRange.getLong(0) >= 0L && fRange.getLong(1) < 64L)
+    val scored = QualityClassifier.nbScore(tst, "doc_id", "text", model,
+      QualityClassifier.nbPrior(trn, col("lang") === "en"), feat)
+    assert(scored.count() === tst.count())
+    // hashing into 64 buckets on a ~30-word vocab has no OOV at score
+    // time only if every test word's bucket was seen in train; allow
+    // either, but the totals must still conserve
+    val chk = scored.agg(sum("n_tokens")).collect().head.getLong(0)
+    val want = tst.select(size(split(trim(lower(col("text"))), "\\s+")).as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(chk === want)
+  }
+
+  test("nbScoreMap (map-literal serving) is bit-equal to nbScore, word + hashed") {
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val tst = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val pos = col("source").isin("src0", "src1", "src2", "src3")
+    for (feat <- Seq(QualityClassifier.wordFeature,
+                     QualityClassifier.hashedFeature(64))) {
+      val model = QualityClassifier.nbModel(trn, "text", pos, feat)
+      val prior = QualityClassifier.nbPrior(trn, pos)
+      val (m, oov, pm) = QualityClassifier.serve(model, prior)
+      val a = QualityClassifier.nbScore(tst, "doc_id", "text", model, prior, feat)
+        .orderBy("doc_id").collect().toSeq
+      val b = QualityClassifier.nbScoreMap(tst, "doc_id", "text", m, oov, pm, feat)
+        .orderBy("doc_id").collect().toSeq
+      assert(a === b)
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("nbScoreMap is a pure projection: zero exchanges in the plan") {
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val pos = col("lang") === "en"
+    val (m, oov, pm) = QualityClassifier.serve(
+      QualityClassifier.nbModel(trn, "text", pos),
+      QualityClassifier.nbPrior(trn, pos))
+    val plan = QualityClassifier.nbScoreMap(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        m, oov, pm)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"serving scorer must not shuffle:\n$plan")
+  }
+
+  test("scoring plan broadcast-joins the model (no corpus-side exchange on f)") {
+    import spark.implicits._
+    val tr = train.toDF("doc_id", "text", "pos")
+    val te = test.toDF("doc_id", "text")
+    val plan = QualityClassifier.nbScore(te, "doc_id", "text",
+      QualityClassifier.nbModel(tr, "text", col("pos")),
+      QualityClassifier.nbPrior(tr, col("pos")))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"model join must broadcast:\n$plan")
+  }
+}
