@@ -167,6 +167,38 @@ object QualityClassifier {
         when(col("score_micro") > 0, 1).otherwise(0))
   }
 
+  /** GPT-3's quality-gated Pareto sampling (Brown et al. 2020 §A:
+    * "documents were kept if np.random.pareto(α) > 1 − score", α = 9)
+    * over [[nbScore]] output — high-scoring documents survive almost
+    * surely, low-scoring ones with heavy-tailed luck, so the filtered
+    * corpus keeps some hard negatives instead of a hard cutoff.
+    *
+    * Deterministic and map-side: the Pareto deviate is the inverse-CDF
+    * transform `(1−u)^(−1/α) − 1` of an md5 uniform (the
+    * [[Sampling.weightedSample]] discipline — retry-stable, no RNG
+    * state), and the NB score enters as the sigmoid probability
+    * `p = 1/(1+exp(−score))` in nats. Zero shuffle beyond what the
+    * scoring itself did.
+    */
+  def paretoSample(scored: DataFrame, idCol: String, scoreMicroCol: String,
+                   alpha: Double = 9.0, salt: String = "nbp"): DataFrame = {
+    val u = TextHash.h32(concat(lit(salt + ":"), col(idCol).cast("string")))
+      .cast("double") / lit(4294967296.0)
+    val p = lit(1.0) /
+      (lit(1.0) + exp(-(col(scoreMicroCol).cast("double") / lit(1e6))))
+    scored
+      .withColumn("__p", p)
+      .filter(pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0) >
+        lit(1.0) - col("__p"))
+      // exp/pow are libm calls — not bit-contracted cross-engine, so the
+      // EMITTED column is micro-quantized (LangModel `ln` policy); the
+      // full-precision doubles stay inside the filter, where an ulp flip
+      // needs the two sides within ~1e-15 of each other (measure-zero)
+      .withColumn("keep_p_micro",
+        floor(col("__p") * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("__p")
+  }
+
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               model: DataFrame, prior: DataFrame,
               feature: Column => Column = wordFeature): DataFrame = {

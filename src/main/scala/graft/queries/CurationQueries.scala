@@ -1405,6 +1405,105 @@ object CurationQueries {
       "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
   )
 
+  /** GPT-3's Pareto-sampled quality gate chained over the NB scorer
+    * (QualityClassifier.paretoSample doc): kept docs + their quantized
+    * keep-probability. The oracle restates the inverse-CDF deviate and
+    * the sigmoid; exponent literals are CAST AS DOUBLE (bare -1.0/9.0
+    * would run DECIMAL division in DuckDB — Registry literal pitfall).
+    */
+  val nbQualityPareto: Q = Q(
+    "nb_quality_pareto",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      QualityClassifier.paretoSample(
+        QualityClassifier.nbScore(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+          QualityClassifier.nbModel(train, "text", nbPos),
+          QualityClassifier.nbPrior(train, nbPos)),
+        // α = 2 (not GPT-3's 9): the synthetic corpus's vocabulary is
+        // near-uniform across sources, so NB scores sit at the prior
+        // (p ≈ 0.2) and α = 9 keeps ~0.5 docs per 100 — a 0-row result
+        // that would anchor nothing; the heavier tail exercises both
+        // filter branches while keeping the arithmetic identical
+        "doc_id", "score_micro", alpha = 2.0)
+    },
+    Some(s"""
+      SELECT doc_id, n_tokens, oov_tokens, score_micro, pred_pos,
+             CAST(floor(kp * 1e6 + 0.5) AS BIGINT) AS keep_p_micro
+      FROM (
+        SELECT s.*,
+               CAST(1 AS DOUBLE) /
+                 (CAST(1 AS DOUBLE) + exp(-(score_micro::DOUBLE / 1e6))) AS kp,
+               ('0x' || substr(md5('nbp:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+        FROM ( ${nbScoreSql("w")} ) s
+      ) p
+      WHERE pow(CAST(1 AS DOUBLE) - u,
+                CAST(-1 AS DOUBLE) / CAST(2 AS DOUBLE)) - CAST(1 AS DOUBLE)
+            > CAST(1 AS DOUBLE) - kp
+    """)
+  )
+
+  /** Held-out confusion matrix + derived metrics for the NB gate —
+    * the eval primitive a production filter ships with. One row;
+    * ratios are exact-integer IEEE divisions (deterministic without
+    * quantization).
+    */
+  val nbQualityEval: Q = Q(
+    "nb_quality_eval",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val scored = QualityClassifier.nbScore(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        QualityClassifier.nbModel(train, "text", nbPos),
+        QualityClassifier.nbPrior(train, nbPos))
+      val cm = scored
+        .join(docs.select(col("doc_id"), nbPos.cast("int").as("actual")), "doc_id")
+        .agg(
+          sum(when(col("pred_pos") === 1 && col("actual") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred_pos") === 1 && col("actual") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pred_pos") === 0 && col("actual") === 1, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("pred_pos") === 0 && col("actual") === 0, 1L).otherwise(0L)).as("tn"))
+      val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+      val rec = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+      cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0, prec).as("precision"),
+          when(col("tp") + col("fn") > 0, rec).as("recall"),
+          ((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+            .as("accuracy"))
+        .withColumn("f1",
+          when(col("precision").isNotNull && col("recall").isNotNull &&
+            col("precision") + col("recall") > 0,
+            lit(2.0) * col("precision") * col("recall") /
+              (col("precision") + col("recall"))))
+    },
+    Some(s"""
+      WITH s AS (SELECT * FROM ( ${nbScoreSql("w")} )),
+      cm AS (SELECT
+               CAST(sum(CASE WHEN s.pred_pos = 1 AND ($nbPosSql) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.pred_pos = 1 AND NOT ($nbPosSql) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s.pred_pos = 0 AND ($nbPosSql) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN s.pred_pos = 0 AND NOT ($nbPosSql) THEN 1 ELSE 0 END) AS BIGINT) AS tn
+             FROM s JOIN documents d ON s.doc_id = d.doc_id),
+      m AS (SELECT tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0
+                        THEN tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN tp::DOUBLE / (tp + fn)::DOUBLE END AS recall,
+                   (tp + tn)::DOUBLE / (tp + fp + fn + tn)::DOUBLE AS accuracy
+            FROM cm)
+      SELECT tp, fp, fn, tn, precision, recall, accuracy,
+             CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+                       AND precision + recall > 0
+                  THEN CAST(2 AS DOUBLE) * precision * recall / (precision + recall)
+             END AS f1
+      FROM m
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
@@ -1413,5 +1512,6 @@ object CurationQueries {
     dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
     wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
     winnowFingerprints, winnowPairs, lmKneserNey,
-    nbQualityModel, nbQualityScore, nbQualityHashed)
+    nbQualityModel, nbQualityScore, nbQualityHashed,
+    nbQualityPareto, nbQualityEval)
 }

@@ -143,6 +143,28 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"serving scorer must not shuffle:\n$plan")
   }
 
+  test("paretoSample keeps high scores a.s., low scores at the heavy tail, deterministically") {
+    import spark.implicits._
+    // p ≈ 1 ⇒ keep needs deviate > ~0 ⇒ every doc survives;
+    // p ≈ 0 ⇒ keep needs deviate > 1 ⇔ u > 1 − 2^−α ≈ 99.8% quantile
+    val hi = (1L to 200L).map(i => (i, 50000000L)).toDF("doc_id", "score_micro")
+    val lo = (1L to 200L).map(i => (i, -50000000L)).toDF("doc_id", "score_micro")
+    val keptHi = QualityClassifier.paretoSample(hi, "doc_id", "score_micro").count()
+    val keptLo = QualityClassifier.paretoSample(lo, "doc_id", "score_micro").count()
+    assert(keptHi === 200L)
+    assert(keptLo <= 5L) // expected ~0.4 of 200 at the 2^-9 tail
+    // deterministic: same input ⇒ identical surviving set
+    val a = QualityClassifier.paretoSample(lo, "doc_id", "score_micro")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = QualityClassifier.paretoSample(lo, "doc_id", "score_micro")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // quantized keep-probability stays in [0, 1e6]
+    val rng = QualityClassifier.paretoSample(hi, "doc_id", "score_micro")
+      .agg(min("keep_p_micro"), max("keep_p_micro")).collect().head
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 1000000L)
+  }
+
   test("scoring plan broadcast-joins the model (no corpus-side exchange on f)") {
     import spark.implicits._
     val tr = train.toDF("doc_id", "text", "pos")
