@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.SparkSpec
-import graft.llm.{Chunking, Decontam, Similarity}
+import graft.llm.{Chunking, Decontam, QualityClassifier, Similarity}
 import graft.sources.Layout
 
 /** Property tests for the round-3 curation operators (seed-pinned so
@@ -122,6 +122,29 @@ class CurationPropertySpec extends SparkSpec {
           .orderBy("doc_id").collect().map(_.toSeq).toSeq
       assert(run(df) === run(df.repartition(7)), s"seed=$seed")
       assert(run(df) === run(df.repartition(1)), s"seed=$seed")
+    }
+  }
+
+  test("NB classifier train+score is invariant under input partitioning (3 seeds)") {
+    import spark.implicits._
+    // the integer micro-nat policy's whole point: identical bits under
+    // any partitioning of BOTH the training and the scored corpus
+    (70L to 72L).foreach { seed =>
+      val texts = sample(docGen, seed)
+      val df = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, i % 3 == 0) }.toDF("doc_id", "text", "pos")
+      def run(d: org.apache.spark.sql.DataFrame) = {
+        val tr = d.filter(col("doc_id") % 2 === 0)
+        val te = d.filter(col("doc_id") % 2 === 1)
+        QualityClassifier.nbScore(te, "doc_id", "text",
+            QualityClassifier.nbModel(tr, "text", col("pos")),
+            QualityClassifier.nbPrior(tr, col("pos")))
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      }
+      val base = run(df)
+      assert(base.nonEmpty)
+      assert(base === run(df.repartition(7)), s"seed=$seed")
+      assert(base === run(df.repartition(1)), s"seed=$seed")
     }
   }
 }

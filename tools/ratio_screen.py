@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Machine check of the COVERAGE.md ratio-screen rule (dev-side).
+
+Rule: any query whose sf0.1->sf1 bench ratio exceeds 3x must carry one
+of (a) a labeled-baseline marker, (b) a measured output-growth note,
+(c) a policy arm beside it. The discharge table below encodes the
+COVERAGE.md "Ratio-screen rule" section; a >3x query missing from it
+is a VIOLATION the round must either fix or document.
+
+Noise discipline: the per-query MEDIAN ratio triggers the screen, but a
+query is only a hard violation if its MIN ratio also exceeds 3x
+(min-of-3 is the record's stable column; a median-only exceedance is
+reported as dispersion, not structure).
+
+Usage: python3 tools/ratio_screen.py BENCH_SF01_rN.json BENCH_SF1_rN.json
+Exit 1 on violations.
+"""
+import sys, json
+
+# name -> (rule clause, one-line reason)  [COVERAGE.md discharge table]
+ALLOWED = {
+    "cosine_topk":        ("a", "exact quadratic baseline of the ANN family"),
+    "ann_rp_rerank":      ("a", "brute JL baseline; arm ann_rp_rerank_scaled"),
+    "pq_topk":            ("a", "brute ADC baseline; arm ann_ivfpq_scaled"),
+    "ann_ivfpq_topk":     ("a", "fixed-cell baseline; arm ann_ivfpq_scaled"),
+    "ann_ivf_topk":       ("a", "fixed-cell baseline; arm ann_ivf_scaled"),
+    "ann_ivf_multiprobe": ("a+c", "fixed-label-cell baseline; arm ann_ivf_scaled"),
+    "knn_graph":          ("a", "fixed-block baseline; arm knn_graph_bucketed"),
+    "knn_classify":       ("a", "baseline; arm knn_classify_scaled"),
+    "hard_negatives":     ("a", "baseline; arm hard_negatives_scaled"),
+    "knn_triangles":      ("a", "baseline; arm knn_triangles_scaled"),
+    "link_prediction":    ("a", "baseline; arm link_prediction_scaled"),
+    "bm25_topk":          ("a", "untruncated baseline; arm bm25_pruned"),
+    "rrf_hybrid":         ("a", "brute-fusion baseline; arm rrf_hybrid_scaled"),
+    "semantic_dedup":     ("a", "baseline; arms semantic_dedup_scaled/_indexed"),
+    "ann_lsh_topk":       ("a", "fixed-plane baseline; arm ann_lsh_multiprobe/policy"),
+    "ann_hamming_rerank": ("a", "flat-scan baseline; arm ann_hamming_scaled"),
+    "ann_index_topk":     ("a", "fixed-plane LSH probe; policy siblings "
+                                "ann_index_hamming/_ivf hold 2.2x/1.5x"),
+    "range_pairs":        ("b", "output 232k -> 32.2M rows (139x) for 10x events"),
+    "dedup_embedding":    ("b", "output pairs 391 -> 42161 (108x) for 10x vectors"),
+    "candles_gap_filled": ("b", "output rows ~10x (gap spine scales with span)"),
+    "winnow_fingerprints":("b", "linear per-doc fingerprint output, 10x rows"),
+    "winnow_pairs":       ("b", "linear fingerprint volume feeding the pair join"),
+    "tfidf_top_terms":    ("b", "per-document linear token work; sublinear vs 10x"),
+    "dup_ngram_pairs":    ("b", "verbatim-span pair output grows with dup mass"),
+    "kcore_nodes":        ("b", "synchronous peeling, O(|E|) per unrolled round "
+                                "(r6 audit); edges 10x"),
+    "label_communities":  ("b", "label-propagation rounds over 10x edges"),
+    "value_quantiles":    ("b", "exact rank selection over 10x rows"),
+}
+
+def main(sf01_path, sf1_path):
+    a = json.load(open(sf01_path))
+    b = json.load(open(sf1_path))
+    qa, qb = a["queries"], b["queries"]
+    ta = a.get("runs_min_med_max", {})
+    tb = b.get("runs_min_med_max", {})
+    violations, dispersion, discharged = [], [], []
+    for name in sorted(qa):
+        if name not in qb or qa[name] <= 0.15:  # sub-noise-floor queries
+            continue
+        med = qb[name] / qa[name]
+        if med <= 3.0:
+            continue
+        mn = (tb[name][0] / ta[name][0]) if name in ta and name in tb \
+             and ta[name][0] > 0 else med
+        if name in ALLOWED:
+            clause, why = ALLOWED[name]
+            discharged.append(f"  ok   {name:24s} med {med:5.1f}x min {mn:5.1f}x  ({clause}) {why}")
+        elif mn <= 3.0:
+            dispersion.append(f"  warn {name:24s} med {med:5.1f}x min {mn:5.1f}x  median-only exceedance (dispersion)")
+        else:
+            violations.append(f"  FAIL {name:24s} med {med:5.1f}x min {mn:5.1f}x  undischarged — add a baseline label, output-growth note, or policy arm")
+    for line in discharged + dispersion + violations:
+        print(line)
+    print(f"\n{len(discharged)} discharged, {len(dispersion)} dispersion-only, "
+          f"{len(violations)} violations")
+    return 1 if violations else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
