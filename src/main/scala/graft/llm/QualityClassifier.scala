@@ -149,6 +149,26 @@ object QualityClassifier {
     * [[Dsir.LiteralModelMaxBuckets]]: past a few thousand features,
     * serve with [[nbScore]]'s broadcast join instead.
     */
+  /** The gate as a FILTER: keeps the input row — ALL its columns —
+    * when the NB score clears `minScoreMicro`. This is the composable
+    * production form ([[nbScoreMap]] replaces the row with its score;
+    * a pipeline stage wants the document to flow on to dedup /
+    * tokenize / sink). Pure map-side predicate over the same map
+    * literal: zero shuffle, stream-legal, and the kept set is exactly
+    * `nbScoreMap(...).filter(score_micro > minScoreMicro)`
+    * (spec-pinned).
+    */
+  def nbFilter(docs: DataFrame, textCol: String,
+               model: Map[String, Long], oovMicro: Long, priorMicro: Long,
+               minScoreMicro: Long,
+               feature: Column => Column = wordFeature): DataFrame = {
+    val m = typedlit(model)
+    val f: Column => Column = w => feature(w).cast("string")
+    val tokMicro: Column = aggregate(toks(col(textCol)), lit(0L),
+      (acc, w) => acc + coalesce(element_at(m, f(w)), lit(oovMicro)))
+    docs.filter(lit(priorMicro) + tokMicro > lit(minScoreMicro))
+  }
+
   def nbScoreMap(docs: DataFrame, idCol: String, textCol: String,
                  model: Map[String, Long], oovMicro: Long, priorMicro: Long,
                  feature: Column => Column = wordFeature): DataFrame = {

@@ -129,6 +129,28 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("nbFilter keeps exactly the nbScoreMap rows above the threshold") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"), col("lang"))
+    val trn = Tables.documents(spark, sf())
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val pos = col("source").isin("src0", "src1", "src2", "src3")
+    val (m, oov, pm) = QualityClassifier.serve(
+      QualityClassifier.nbModel(trn, "text", pos),
+      QualityClassifier.nbPrior(trn, pos))
+    val thr = -1600000L
+    val kept = QualityClassifier.nbFilter(docs, "text", m, oov, pm, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = QualityClassifier.nbScoreMap(docs, "doc_id", "text", m, oov, pm)
+      .filter(col("score_micro") > thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === want)
+    assert(kept.nonEmpty && kept.size < docs.count())
+    // and it preserves the input schema (all columns flow through)
+    assert(QualityClassifier.nbFilter(docs, "text", m, oov, pm, thr)
+      .columns.toSeq === docs.columns.toSeq)
+  }
+
   test("nbScoreMap is a pure projection: zero exchanges in the plan") {
     val docs = Tables.documents(spark, sf())
     val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
