@@ -149,6 +149,32 @@ object QualityClassifier {
     * [[Dsir.LiteralModelMaxBuckets]]: past a few thousand features,
     * serve with [[nbScore]]'s broadcast join instead.
     */
+  /** Measured serving crossover (NbServeExp, 200k Zipf docs / Heaps
+    * vocab 4473, interleaved arms, median of 5): the map-literal
+    * scorer wins below ~1k occupied features (0.56–0.91× the join's
+    * time) and LOSES 1.8×/2.7×/3.5× at 1.8k/2.7k/3.9k features, while
+    * the broadcast-join arm is feature-count-invariant (~0.65 s flat)
+    * — the same janino CreateMap cliff as
+    * [[Dsir.LiteralModelMaxBuckets]], now with NB's own numbers. 1024
+    * keeps the literal strictly inside its winning regime.
+    */
+  val LiteralModelMaxFeatures = 1024
+
+  /** Serving dispatch by the measured law: a model at or under
+    * [[LiteralModelMaxFeatures]] occupied features serves as the
+    * zero-shuffle map literal, a larger one as the broadcast join.
+    * The two paths are bit-equal (QualityClassifierSpec), so the
+    * switch is invisible to results. The size probe is one count of
+    * the vocabulary-bounded model table.
+    */
+  def nbScoreAuto(docs: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame, prior: DataFrame,
+                  feature: Column => Column = wordFeature): DataFrame =
+    if (model.count() <= LiteralModelMaxFeatures) {
+      val (m, oov, pm) = serve(model, prior)
+      nbScoreMap(docs, idCol, textCol, m, oov, pm, feature)
+    } else nbScore(docs, idCol, textCol, model, prior, feature)
+
   /** The gate as a FILTER: keeps the input row — ALL its columns —
     * when the NB score clears `minScoreMicro`. This is the composable
     * production form ([[nbScoreMap]] replaces the row with its score;

@@ -129,6 +129,25 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("nbScoreAuto dispatches by model size and stays bit-equal on both sides") {
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val tst = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val pos = col("lang") === "en"
+    // word model: ~31 features << 1024 ⇒ literal path
+    val mSmall = QualityClassifier.nbModel(trn, "text", pos)
+    val prior = QualityClassifier.nbPrior(trn, pos)
+    assert(mSmall.count() <= QualityClassifier.LiteralModelMaxFeatures)
+    val autoSmall = QualityClassifier.nbScoreAuto(tst, "doc_id", "text", mSmall, prior)
+    assert(!autoSmall.queryExecution.executedPlan.toString().contains("Exchange"))
+    // the two serving paths are bit-equal (pinned by the nbScoreMap
+    // test above), so dispatch only has to pick one; the join side of
+    // the perf law itself is NbServeExp's measurement, not a unit test
+    val joinSmall = QualityClassifier.nbScore(tst, "doc_id", "text", mSmall, prior)
+    assert(autoSmall.orderBy("doc_id").collect().toSeq ===
+      joinSmall.orderBy("doc_id").collect().toSeq)
+  }
+
   test("nbFilter keeps exactly the nbScoreMap rows above the threshold") {
     val docs = Tables.documents(spark, sf())
       .select(col("doc_id"), col("text"), col("lang"))
