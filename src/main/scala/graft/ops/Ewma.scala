@@ -119,4 +119,55 @@ object Ewma {
         }
       }(Encoders.row(outSchema))
   }
+
+  /** MACD (Appel): fast/slow expanding EWMAs of `valCol`, their
+    * difference, the signal EWMA OF that difference, and the
+    * histogram — appended as `(ema_fast, ema_slow, macd, signal,
+    * histogram)` per `keyCol` ordered by `orderCols`.
+    *
+    * FUSED single pass: the signal line is an EWMA of a derived
+    * series, so the naive composition is three [[rowwise]] calls —
+    * three key-repartitions of the full table. All three recursions
+    * share one ordered scan (state = 3 doubles per key), so this
+    * runs at exactly [[rowwise]]'s cost: ONE shuffle, one
+    * secondary-sorted pass. Init follows [[rowwise]]'s convention
+    * (first value seeds each EWMA — signal seeds with the first
+    * macd value, i.e. 0).
+    *
+    * Determinism: every step is the same IEEE double expression in
+    * the same order on both engines; the DuckDB oracle replays the
+    * folds per row with `list_reduce` over prefix windows.
+    */
+  def macd(df: DataFrame, keyCol: String, orderCols: Seq[String],
+           valCol: String,
+           fastAlpha: Double = 2.0 / 13.0, slowAlpha: Double = 2.0 / 27.0,
+           signalAlpha: Double = 2.0 / 10.0): DataFrame = {
+    val outSchema = df.schema
+      .add("ema_fast", DoubleType).add("ema_slow", DoubleType)
+      .add("macd", DoubleType).add("signal", DoubleType)
+      .add("histogram", DoubleType)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val valIdx = df.schema.fieldIndex(valCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+      .mapPartitions { it =>
+        var curKey: Any = null
+        var started = false
+        var ef = 0.0; var es = 0.0; var sig = 0.0
+        it.map { row =>
+          val k = row.get(keyIdx)
+          val x = row.getDouble(valIdx)
+          if (!started || k != curKey) {
+            curKey = k; started = true
+            ef = x; es = x; sig = ef - es // first macd value seeds signal
+          } else {
+            ef = fastAlpha * x + (1 - fastAlpha) * ef
+            es = slowAlpha * x + (1 - slowAlpha) * es
+            sig = signalAlpha * (ef - es) + (1 - signalAlpha) * sig
+          }
+          val m = ef - es
+          Row.fromSeq(row.toSeq ++ Seq(ef, es, m, sig, m - sig))
+        }
+      }(Encoders.row(outSchema))
+  }
 }

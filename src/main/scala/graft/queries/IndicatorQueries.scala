@@ -778,7 +778,49 @@ object IndicatorQueries {
     """)
   )
 
+  /** MACD (Appel): fast/slow EWMAs, their difference, the signal
+    * EWMA of that difference, histogram — per instrument over the
+    * trade stream, as ONE fused ordered pass (`Ewma.macd`: the naive
+    * composition repartitions the table three times; the fused fold
+    * keeps 3 doubles of state and pays exactly `ewma_rowwise`'s one
+    * shuffle). The oracle replays all three recursions per row with
+    * prefix-window `list_reduce` folds — every step the same IEEE
+    * double expression in the same order on both engines (the
+    * ewma_rowwise determinism argument, chained).
+    */
+  val macdSignal: Q = Q(
+    "macd_signal",
+    (s, dir) => graft.ops.Ewma.macd(
+      events(s, dir).select("event_id", "user_id", "ts", "value"),
+      "user_id", Seq("ts"), "value"),
+    Some("""
+      WITH base AS (
+        SELECT event_id, user_id, ts, value,
+               list_reduce(list(value) OVER w,
+                 (acc, x) -> (2::DOUBLE / 13::DOUBLE) * x
+                           + (1::DOUBLE - 2::DOUBLE / 13::DOUBLE) * acc) AS ema_fast,
+               list_reduce(list(value) OVER w,
+                 (acc, x) -> (2::DOUBLE / 27::DOUBLE) * x
+                           + (1::DOUBLE - 2::DOUBLE / 27::DOUBLE) * acc) AS ema_slow
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      m AS (SELECT *, ema_fast - ema_slow AS macd FROM base),
+      sg AS (
+        SELECT *, list_reduce(list(macd) OVER w2,
+                    (acc, x) -> (2::DOUBLE / 10::DOUBLE) * x
+                              + (1::DOUBLE - 2::DOUBLE / 10::DOUBLE) * acc) AS signal
+        FROM m
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, ts, value, ema_fast, ema_slow, macd,
+             signal, macd - signal AS histogram
+      FROM sg
+    """)
+  )
+
   val all: Seq[Q] = Seq(vwapDaily, bollingerBands, drawdownSeries, rsiWilder,
     twapDaily, vpinToxicity, rangeVol, pairCorrelation, tcaSpread, feedHealth,
-    rollSpread, kyleLambda, amihudIlliq, bipowerVar, cusumMonitor, theilSenSlope)
+    rollSpread, kyleLambda, amihudIlliq, bipowerVar, cusumMonitor, theilSenSlope,
+    macdSignal)
 }

@@ -47,4 +47,32 @@ class EwmaSpec extends SparkSpec {
       .orderBy("event_id").collect().toSeq
     assert(a === b)
   }
+
+  test("fused macd equals the three-pass rowwise composition bit-exactly") {
+    val ev = Tables.events(spark, sf()).select(col("event_id"), col("user_id"),
+      col("ts"), col("value"))
+    val (af, as, asig) = (2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0)
+    val fused = Ewma.macd(ev, "user_id", Seq("ts"), "value", af, as, asig)
+      .orderBy("event_id").collect().toSeq
+    // naive composition: two EWMAs of value, then an EWMA of macd
+    val composed = Ewma.rowwise(
+        Ewma.rowwise(
+          Ewma.rowwise(ev, "user_id", Seq("ts"), "value", af, "ema_fast"),
+          "user_id", Seq("ts"), "value", as, "ema_slow")
+          .withColumn("macd", col("ema_fast") - col("ema_slow")),
+        "user_id", Seq("ts"), "macd", asig, "signal")
+      .withColumn("histogram", col("macd") - col("signal"))
+      .orderBy("event_id").collect().toSeq
+    assert(fused === composed)
+    assert(fused.nonEmpty)
+  }
+
+  test("macd pays a single shuffle (the fused-pass contract)") {
+    val ev = Tables.events(spark, sf()).select(col("event_id"), col("user_id"),
+      col("ts"), col("value"))
+    val plan = Ewma.macd(ev, "user_id", Seq("ts"), "value")
+      .queryExecution.executedPlan.toString()
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"fused macd must shuffle once:\n$plan")
+  }
 }
