@@ -46,6 +46,12 @@ ALLOWED = {
     "dup_ngram_pairs":    ("b", "verbatim-span pair output grows with dup mass"),
     "kcore_nodes":        ("b", "synchronous peeling, O(|E|) per unrolled round "
                                 "(r6 audit); edges 10x"),
+    "hard_negatives_scaled": ("c", "IS the label-family policy arm; the r7 "
+                                "decade law measures ~2.9-3.4x/decade "
+                                "(per-block occupancy under label+3-bit blocks)"),
+    "quantized_topk":     ("a", "SQ8 variant of the cosine_topk brute scan "
+                                "(quadratic over int8 codes; cheaper constant, "
+                                "same shape) — ANN arms are the scale path"),
     "label_communities":  ("b", "label-propagation rounds over 10x edges"),
     "value_quantiles":    ("b", "exact rank selection over 10x rows"),
 }
