@@ -43,6 +43,20 @@ object QualityClassifier {
 
   private def toks(textCol: Column): Column = words(lower(trim(textCol)))
 
+  /** Degenerate-document contract (uniform across [[nbScore]],
+    * [[nbScoreMap]], [[nbFilter]], and therefore [[nbScoreAuto]]):
+    * a NULL `text` is not a document — every serving path DROPS the
+    * row (r9 ADVICE: `nbScore`'s explode silently dropped it while
+    * `nbScoreMap` emitted NULL stats and `nbScoreAuto` made the
+    * output row set depend on model size). An EMPTY or
+    * whitespace-only text tokenizes to the single empty token `""`
+    * (Spark and DuckDB both split `''` to `['']`), which scores as
+    * one OOV occurrence on every path — already consistent, now
+    * spec-pinned (QualityClassifierSpec degenerate fixtures).
+    */
+  private def dropNullText(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+
   /** Identity features: the token itself (interpretable model). */
   val wordFeature: Column => Column = identity
 
@@ -86,14 +100,23 @@ object QualityClassifier {
   /** Class prior as one broadcastable row `(n_pos, n_neg,
     * prior_micro)` — `floor(ln(n_pos/n_neg)·1e6 + 0.5)` over TRAIN
     * document counts.
+    *
+    * Single-class guard (r9 ADVICE): `n_neg = 0` would give
+    * `ln(n_pos/0.0) = ln(Inf)`, whose non-ANSI long cast floors to
+    * `Long.MaxValue` and silently corrupts every downstream
+    * `score_micro` (`n_pos = 0` likewise via −Inf). A one-class
+    * training frame instead yields a NULL `prior_micro`, which
+    * [[serve]] rejects fast with the class counts in the message and
+    * [[nbScore]] propagates as NULL scores — visible, never garbage.
     */
   def nbPrior(train: DataFrame, posLabel: Column): DataFrame =
     train.agg(
         sum(when(posLabel, 1L).otherwise(0L)).as("n_pos"),
         sum(when(posLabel, 0L).otherwise(1L)).as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        floor(log(col("n_pos").cast("double") / col("n_neg").cast("double"))
-          * lit(1e6) + lit(0.5)).cast("long").as("prior_micro"))
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          floor(log(col("n_pos").cast("double") / col("n_neg").cast("double"))
+            * lit(1e6) + lit(0.5)).cast("long")).as("prior_micro"))
 
   /** Integer micro-nat smoothed LLR — quantize-before-sum (Registry
     * numeric policy): both engines compute `ln` on the IDENTICAL
@@ -135,8 +158,12 @@ object QualityClassifier {
       .select(llrMicro(lit(0L), lit(0L),
         col("tot_pos"), col("tot_neg"), col("vv")).as("oov_micro"))
       .collect().head.getLong(0)
-    val pm = prior.select(col("prior_micro")).collect().head.getLong(0)
-    (m, oov, pm)
+    val pr = prior.select(col("prior_micro"), col("n_pos"), col("n_neg"))
+      .collect().head
+    require(!pr.isNullAt(0),
+      s"nbPrior is NULL — single-class training data (n_pos=${pr.getLong(1)}, " +
+        s"n_neg=${pr.getLong(2)}); NB needs both classes represented")
+    (m, oov, pr.getLong(0))
   }
 
   /** Serving-side scorer: the model re-enters as a MAP LITERAL folded
@@ -166,14 +193,24 @@ object QualityClassifier {
     * The two paths are bit-equal (QualityClassifierSpec), so the
     * switch is invisible to results. The size probe is one count of
     * the vocabulary-bounded model table.
+    *
+    * The model is `localCheckpoint`ed first (r9 ADVICE): the size
+    * probe, [[serve]]'s map + OOV collects, and the serving plan
+    * itself would otherwise each replay the full train
+    * explode+groupBy — up to 3× — against the un-materialized model
+    * DAG. One eager materialization of the vocabulary-bounded table
+    * amortizes all of them (callers serving via [[nbScore]] directly
+    * should persist the model themselves for the same reason).
     */
   def nbScoreAuto(docs: DataFrame, idCol: String, textCol: String,
                   model: DataFrame, prior: DataFrame,
-                  feature: Column => Column = wordFeature): DataFrame =
-    if (model.count() <= LiteralModelMaxFeatures) {
-      val (m, oov, pm) = serve(model, prior)
+                  feature: Column => Column = wordFeature): DataFrame = {
+    val m0 = model.localCheckpoint()
+    if (m0.count() <= LiteralModelMaxFeatures) {
+      val (m, oov, pm) = serve(m0, prior)
       nbScoreMap(docs, idCol, textCol, m, oov, pm, feature)
-    } else nbScore(docs, idCol, textCol, model, prior, feature)
+    } else nbScore(docs, idCol, textCol, m0, prior, feature)
+  }
 
   /** The gate as a FILTER: keeps the input row — ALL its columns —
     * when the NB score clears `minScoreMicro`. This is the composable
@@ -192,7 +229,10 @@ object QualityClassifier {
     val f: Column => Column = w => feature(w).cast("string")
     val tokMicro: Column = aggregate(toks(col(textCol)), lit(0L),
       (acc, w) => acc + coalesce(element_at(m, f(w)), lit(oovMicro)))
-    docs.filter(lit(priorMicro) + tokMicro > lit(minScoreMicro))
+    // null-text rows are dropped explicitly (the uniform degenerate-doc
+    // contract), not left to NULL-predicate semantics
+    dropNullText(docs, textCol)
+      .filter(lit(priorMicro) + tokMicro > lit(minScoreMicro))
   }
 
   def nbScoreMap(docs: DataFrame, idCol: String, textCol: String,
@@ -204,7 +244,8 @@ object QualityClassifier {
       (acc, w) => acc + coalesce(element_at(m, f(w)), lit(oovMicro)))
     val oovCount: Column = aggregate(col("__ws"), lit(0L),
       (acc, w) => acc + when(element_at(m, f(w)).isNull, 1L).otherwise(0L))
-    docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ws"))
+    dropNullText(docs, textCol)
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ws"))
       .select(col("doc_id"),
         size(col("__ws")).cast("long").as("n_tokens"),
         oovCount.as("oov_tokens"),
@@ -253,7 +294,7 @@ object QualityClassifier {
         count(lit(1)).as("vv"))
       .select(llrMicro(lit(0L), lit(0L),
         col("tot_pos"), col("tot_neg"), col("vv")).as("oov_micro"))
-    docs
+    dropNullText(docs, textCol)
       .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("__w"))
       .select(col("doc_id"), feature(col("__w")).as("f"))
       .join(broadcast(model.select(col("f"), col("llr_micro"))), Seq("f"), "left")

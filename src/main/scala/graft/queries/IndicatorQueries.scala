@@ -792,7 +792,7 @@ object IndicatorQueries {
     "macd_signal",
     (s, dir) => graft.ops.Ewma.macd(
       events(s, dir).select("event_id", "user_id", "ts", "value"),
-      "user_id", Seq("ts"), "value"),
+      "user_id", Seq("ts", "event_id"), "value"),
     Some("""
       WITH base AS (
         SELECT event_id, user_id, ts, value,
@@ -803,7 +803,7 @@ object IndicatorQueries {
                  (acc, x) -> (2::DOUBLE / 27::DOUBLE) * x
                            + (1::DOUBLE - 2::DOUBLE / 27::DOUBLE) * acc) AS ema_slow
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       m AS (SELECT *, ema_fast - ema_slow AS macd FROM base),
       sg AS (
@@ -811,7 +811,7 @@ object IndicatorQueries {
                     (acc, x) -> (2::DOUBLE / 10::DOUBLE) * x
                               + (1::DOUBLE - 2::DOUBLE / 10::DOUBLE) * acc) AS signal
         FROM m
-        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT event_id, user_id, ts, value, ema_fast, ema_slow, macd,
              signal, macd - signal AS histogram

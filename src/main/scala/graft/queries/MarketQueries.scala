@@ -531,11 +531,14 @@ object MarketQueries {
     "ewma_rowwise",
     (s, dir) => Ewma
       .rowwise(events(s, dir).select("event_id", "user_id", "ts", "value"),
-        "user_id", Seq("ts"), "value", EwmaAlpha, "ewma")
+        "user_id", Seq("ts", "event_id"), "value", EwmaAlpha, "ewma")
       .select("event_id", "user_id", "ts", "value", "ewma"),
+    // event_id tie-breaks the fold order (r9 ADVICE on macd_signal): a
+    // duplicate (user_id, ts) would otherwise make the order-sensitive
+    // recursion nondeterministic on BOTH engines
     Some("""
       SELECT event_id, user_id, ts, value,
-             list_reduce(list(value) OVER (PARTITION BY user_id ORDER BY ts
+             list_reduce(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                          (acc, x) -> 0.8 * x + (1.0::DOUBLE - 0.8) * acc) AS ewma
       FROM events

@@ -184,6 +184,68 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"serving scorer must not shuffle:\n$plan")
   }
 
+  test("degenerate docs: every serving path drops null text, scores empty text as one OOV token") {
+    import spark.implicits._
+    val tr = train.toDF("doc_id", "text", "pos")
+    val model = QualityClassifier.nbModel(tr, "text", col("pos"))
+    val prior = QualityClassifier.nbPrior(tr, col("pos"))
+    val (m, oov, pm) = QualityClassifier.serve(model, prior)
+    val degenerate = (test ++ Seq(
+      (20L, null.asInstanceOf[String]), // null text: not a document
+      (21L, ""),                        // empty: one "" token, OOV
+      (22L, "   \t  ")))                // whitespace-only: same
+      .toDF("doc_id", "text")
+    val a = QualityClassifier.nbScore(degenerate, "doc_id", "text", model, prior)
+      .orderBy("doc_id").collect().toSeq
+    val b = QualityClassifier.nbScoreMap(degenerate, "doc_id", "text", m, oov, pm)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b) // bit-equal INCLUDING the degenerate rows
+    val ids = a.map(_.getLong(0))
+    assert(!ids.contains(20L), "null-text doc must be dropped by every path")
+    assert(ids.contains(21L) && ids.contains(22L))
+    // every token of a blank doc is the empty string ⇒ all OOV (trim
+    // strips spaces, not tabs, so doc 22 splits to TWO empty tokens —
+    // the invariant is n_tokens = oov_tokens, score = prior + n·oov)
+    Seq(21L, 22L).foreach { id =>
+      val r = a.find(_.getLong(0) == id).get
+      assert(r.getLong(1) >= 1L && r.getLong(2) === r.getLong(1), s"doc $id all-OOV")
+      assert(r.getLong(3) === pm + r.getLong(1) * oov, s"doc $id score = prior + n·oov")
+    }
+    // the filter gate agrees with score-then-filter on the same corpus
+    val thr = a.filter(r => Seq(21L, 22L).contains(r.getLong(0)))
+      .map(_.getLong(3)).min - 1 // blank docs clear it, so they must FLOW
+    val kept = QualityClassifier.nbFilter(degenerate, "text", m, oov, pm, thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = QualityClassifier.nbScoreMap(degenerate, "doc_id", "text", m, oov, pm)
+      .filter(col("score_micro") > thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === want)
+    assert(!kept.contains(20L) && kept.contains(21L) && kept.contains(22L))
+    // auto-dispatch output row set is independent of which path it picks
+    val auto = QualityClassifier.nbScoreAuto(degenerate, "doc_id", "text", model, prior)
+      .orderBy("doc_id").collect().toSeq
+    assert(auto === a)
+  }
+
+  test("single-class training data: NULL prior, serve fails fast, nbScore propagates NULL") {
+    import spark.implicits._
+    val tr = train.toDF("doc_id", "text", "pos")
+    val allPos = QualityClassifier.nbPrior(tr, lit(true))
+    assert(allPos.collect().head.isNullAt(2), "prior_micro must be NULL, not ±Inf garbage")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.serve(
+        QualityClassifier.nbModel(tr, "text", lit(true)), allPos)
+    }
+    assert(e.getMessage.contains("single-class"))
+    // the lazy join path cannot throw at build time; it must surface
+    // NULL scores (visible) rather than Long.MaxValue (garbage)
+    val te = test.toDF("doc_id", "text")
+    val scored = QualityClassifier.nbScore(te, "doc_id", "text",
+      QualityClassifier.nbModel(tr, "text", lit(true)), allPos).collect()
+    assert(scored.nonEmpty)
+    assert(scored.forall(_.isNullAt(3)), "score_micro must be NULL under a NULL prior")
+  }
+
   test("paretoSample keeps high scores a.s., low scores at the heavy tail, deterministically") {
     import spark.implicits._
     // p ≈ 1 ⇒ keep needs deviate > ~0 ⇒ every doc survives;

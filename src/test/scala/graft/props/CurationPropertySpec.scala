@@ -130,7 +130,10 @@ class CurationPropertySpec extends SparkSpec {
     // the integer micro-nat policy's whole point: identical bits under
     // any partitioning of BOTH the training and the scored corpus
     (70L to 72L).foreach { seed =>
-      val texts = sample(docGen, seed)
+      // degenerate docs ride along (r9 ADVICE): null text (dropped by
+      // contract), empty and whitespace-only (score as one OOV token)
+      val texts = sample(docGen, seed) ++
+        Seq(null.asInstanceOf[String], "", "  \t ")
       val df = texts.zipWithIndex.map { case (t, i) =>
         (i.toLong, t, i % 3 == 0) }.toDF("doc_id", "text", "pos")
       def run(d: org.apache.spark.sql.DataFrame) = {

@@ -10,8 +10,25 @@ FACTOR, computes the ambient factor as the median canary ratio, and
 reports per-query deltas divided by it — only normalized slowdowns
 beyond the threshold are flagged as suspected regressions.
 
+Min-confirmation rule (r9 finding, codified per the r9 verdict): the
+SHORT canary shapes normalize uniform ambience but cannot see
+per-query interference modes — `bm25_topk` at sf1 read
+[21.4, 82.2, 86.9] s in one capture and [23.3, 23.5, 103.9] in a
+SAME-CODE capture (canary factor 1.03, median moved 3.5x, min stable
+at ~22 s), and `bipower_var` moved 1.6x in median with its min at
+1.27x in the same pair. A median-only comparison re-litigates those by
+hand every round. So whenever BOTH records carry `runs_min_med_max`, a
+median exceedance alone is DISPERSION; the flag requires the
+canary-normalized MIN-column ratio to exceed the threshold too — the
+min is the least-interference observation of the same plan (the
+ratio_screen.py min-of-runs discipline), and a genuine code regression
+moves the min with the median while box interference moves only the
+upper runs. Records without `runs_min_med_max` (pre-r9) fall back to
+median-only with a warning.
+
 Usage: python3 tools/drift_check.py OLD.json NEW.json [threshold=1.5]
-Exit 1 if any query's canary-normalized slowdown exceeds threshold.
+Exit 1 if any query's canary-normalized slowdown exceeds threshold
+(min-confirmed where run triples are available).
 """
 import sys, json, statistics
 
@@ -37,25 +54,42 @@ def main(old_path, new_path, threshold=1.5):
     else:
         print(f"ambient factor (median canary ratio new/old): {fac:.3f}")
     qo, qn = old["queries"], new["queries"]
-    flagged, improved = [], []
+    ro = old.get("runs_min_med_max") or {}
+    rn = new.get("runs_min_med_max") or {}
+    flagged, dispersion, improved = [], [], []
     for name in sorted(set(qo) & set(qn)):
         if qo[name] <= 0.15:  # sub-noise-floor
             continue
         raw = qn[name] / qo[name]
         norm = raw / fac
         if norm > threshold:
-            flagged.append((norm, raw, name))
+            # confirm on the min column before calling it a regression
+            if name in ro and name in rn and ro[name][0] > 0:
+                min_norm = (rn[name][0] / ro[name][0]) / fac
+                if min_norm > threshold:
+                    flagged.append((norm, raw, min_norm, name))
+                else:
+                    dispersion.append((norm, raw, min_norm, name))
+            else:
+                if name not in ro or name not in rn:
+                    print(f"WARN: {name} exceeds threshold but a record lacks "
+                          "runs_min_med_max — median-only flag")
+                flagged.append((norm, raw, float("nan"), name))
         elif norm < 1.0 / threshold:
             improved.append((norm, raw, name))
-    for norm, raw, name in sorted(flagged, reverse=True):
-        print(f"  REGRESSION? {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x")
+    for norm, raw, mn, name in sorted(flagged, reverse=True):
+        extra = f"  min-normalized {mn:5.2f}x" if mn == mn else ""
+        print(f"  REGRESSION? {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x{extra}")
+    for norm, raw, mn, name in sorted(dispersion, reverse=True):
+        print(f"  dispersion  {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x"
+              f"  min-normalized {mn:5.2f}x (min stable)")
     for norm, raw, name in sorted(improved):
         print(f"  improved    {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x")
     only_new = sorted(set(qn) - set(qo))
     if only_new:
         print(f"  new queries (no old row): {', '.join(only_new)}")
-    print(f"\n{len(flagged)} suspected regressions, {len(improved)} improvements, "
-          f"threshold {threshold}x")
+    print(f"\n{len(flagged)} suspected regressions, {len(dispersion)} "
+          f"dispersion, {len(improved)} improvements, threshold {threshold}x")
     return 1 if flagged else 0
 
 
