@@ -255,12 +255,31 @@ object ScalePolicy {
     64 -> 0.147, 128 -> 0.223, 256 -> 0.301, 512 -> 0.374,
     1024 -> 0.423, 2048 -> 0.440)
 
+  /** The per-corpus anchors behind [[ShortlistRecall]] (the same r9
+    * sweep, SCALE_DECADES_r9 `recall_vs_shortlist`; policy planes +
+    * p4 probes at each decade). [[ShortlistRecall]] takes the MINIMUM
+    * of these at every width — the 60k corpus is the worst face
+    * throughout — so the law the refusal contract promises is
+    * conservative BY CONSTRUCTION: every measured corpus meets or
+    * exceeds the table's recall at each width (ScalePolicySpec pins
+    * the min-envelope identity against these anchors).
+    */
+  val ShortlistRecallByCorpus: Map[Long, Seq[(Int, Double)]] = Map(
+    20000L -> Seq(64 -> 0.193, 128 -> 0.272, 256 -> 0.355,
+      512 -> 0.423, 1024 -> 0.476, 2048 -> 0.479),
+    60000L -> Seq(64 -> 0.147, 128 -> 0.223, 256 -> 0.301,
+      512 -> 0.374, 1024 -> 0.423, 2048 -> 0.440),
+    200000L -> Seq(64 -> 0.243, 128 -> 0.276, 256 -> 0.335,
+      512 -> 0.385, 1024 -> 0.432, 2048 -> 0.450))
+
   /** Smallest measured shortlist width whose conservative recall
     * anchor meets `targetRecall` — the [[ShortlistRecall]] law as a
     * knob. Throws (with the measured ceiling in the message) for
     * targets past what the funnel can reach at any width, so the
     * recall budget is an explicit, refusable contract rather than a
-    * silent shortfall.
+    * silent shortfall. The promise is the worst measured corpus's
+    * ([[ShortlistRecallByCorpus]]): a returned width may over-deliver
+    * on other corpora, never under-deliver on a measured one.
     */
   def shortlistFor(targetRecall: Double): Int = {
     require(targetRecall > 0, s"targetRecall must be positive, got $targetRecall")

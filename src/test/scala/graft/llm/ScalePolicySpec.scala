@@ -183,6 +183,17 @@ class ScalePolicySpec extends SparkSpec {
     // the anchors are monotone in width (a law, not noise)
     assert(ScalePolicy.ShortlistRecall.map(_._2) ===
       ScalePolicy.ShortlistRecall.map(_._2).sorted)
+    // provably conservative: the promised anchor at each width is the
+    // MIN-envelope of the per-corpus measurements — every measured
+    // corpus meets or exceeds it, so a returned width can over-deliver
+    // but never under-deliver on a measured corpus
+    ScalePolicy.ShortlistRecall.foreach { case (w, promised) =>
+      val perCorpus = ScalePolicy.ShortlistRecallByCorpus.map {
+        case (corpus, anchors) => corpus -> anchors.toMap.apply(w) }
+      assert(promised === perCorpus.values.min, s"width $w not the min-envelope")
+      perCorpus.foreach { case (corpus, measured) =>
+        assert(measured >= promised, s"corpus $corpus under-delivers at width $w") }
+    }
     // hammingRerankAuto threads a recall target through to the funnel:
     // equal to the manual call at the derived shortlist
     val emb = graft.Tables.embeddings(spark, sf())
