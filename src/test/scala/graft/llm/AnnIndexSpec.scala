@@ -240,6 +240,87 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("full IVF lifecycle: build → probe → streamed drifted deltas → churn crosses 2x baseline → re-train restores it") {
+    // the runnable closed-loop shape of ivfChurn's scaladoc contract
+    // (r9 verdict #4): a user copies this end-to-end — persist the
+    // index, probe it, ingest a drifted delta stream via
+    // ivfAssignStream's exactly-once parquet append, watch the nightly
+    // churn observation cross the re-train threshold, re-train with
+    // buildIvf, and see the monitor read baseline again.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val emb = graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding"))
+    val dotF = Similarity.dotAdaptive(emb)(_, _)
+    def memberMeans(v: org.apache.spark.sql.DataFrame) = Similarity.cellCentroids(
+      v.select(col("corpus_id").as("id"), col("cell"), col("v")), dim = 64, dotF)
+
+    // BUILD: persist the index pair as production would
+    val dir = Files.createTempDirectory("graft_ivf_life").toString
+    val (vectors, cents, quant) = AnnIndex.buildIvf(emb, "vec_id", "embedding",
+      cells = 8, iters = 1)
+    vectors.write.parquet(s"$dir/vectors")
+    quant.write.parquet(s"$dir/quantizer")
+    val v0 = spark.read.parquet(s"$dir/vectors")
+    val q0 = spark.read.parquet(s"$dir/quantizer")
+    // baseline = member-mean churn right after the build (the
+    // borderline vectors a single Lloyd pass leaves astride two cells)
+    val baseline = AnnIndex.ivfChurn(v0, memberMeans(v0)).collect()(0).getDouble(2)
+    info(f"baseline churn after build: $baseline%.4f")
+
+    // PROBE: the index serves before any delta
+    assert(AnnIndex.ivfTopK(v0, cents,
+      emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      k = 5, nprobe = 2).count() > 0)
+
+    // DELTA: the arrival distribution drifts hard — 3x the corpus mass
+    // in negated and shifted positions (components are ~0.05 in this
+    // corpus, so a 0.1 shift relocates the mass), streamed through the
+    // map-side argmin into its own append-only delta table, which
+    // unions with the build's vectors (scaladoc)
+    val deltas = Seq[(Long, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        (1000000L, x => -x), (2000000L, x => x + lit(0.1)), (3000000L, x => x - lit(0.1)))
+      .flatMap { case (off, f) =>
+        emb.select((col("vec_id") + off).as("id"),
+            transform(Similarity.toDoubleVec(col("embedding")), f).as("emb"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      }
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(deltas)
+    val q = AnnIndex.ivfAssignStream(mem.toDF().toDF("id", "emb"),
+        "id", "emb", q0)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/deltas")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    val v1 = v0.union(spark.read.parquet(s"$dir/deltas"))
+    assert(v1.count() === 4 * emb.count())
+
+    // MONITOR: member means now sit between the old and drifted mass,
+    // the frozen-quantizer assignments don't — churn crosses the
+    // re-train-at-2x-baseline contract
+    val churn = AnnIndex.ivfChurn(v1, memberMeans(v1)).collect()(0).getDouble(2)
+    info(f"churn after drifted deltas: $churn%.4f (threshold ${2 * baseline}%.4f)")
+    assert(churn > 2 * baseline,
+      f"drifted deltas must trip the monitor: $churn%.4f <= ${2 * baseline}%.4f")
+
+    // RE-TRAIN: rebuild on the full corpus; the monitor reads a fresh
+    // single-Lloyd-pass baseline again, under the trip threshold
+    val full = emb.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("embedding"))
+      .union(deltas.toDF("vec_id", "embedding"))
+    val (v2, _, _) = AnnIndex.buildIvf(full, "vec_id", "embedding",
+      cells = 8, iters = 1)
+    val after = AnnIndex.ivfChurn(v2, memberMeans(v2)).collect()(0).getDouble(2)
+    info(f"churn after re-train: $after%.4f")
+    assert(after < churn / 2, "re-training must collapse the churn")
+    assert(after < 2 * baseline, "post-re-train churn must sit back under the trip threshold")
+  }
+
   test("disjoint external queries probe the index (no self-exclusion interference)") {
     // external ids far outside the corpus id space: every corpus
     // vector is a legal neighbor, and an exact copy surfaces at
