@@ -212,6 +212,59 @@ object QualityClassifier {
     } else nbScore(docs, idCol, textCol, m0, prior, feature)
   }
 
+  /** The trained model + prior collapsed into ONE broadcastable
+    * serving row `(__m: map<string,long>, __oov_micro, __prior_micro)`
+    * — the join-based serving form of [[nbScoreBroadcast]]. Unlike
+    * [[serve]]'s driver-side literal, the map never enters generated
+    * code: it arrives as broadcast DATA, so the janino CreateMap cliff
+    * that caps the literal path at [[LiteralModelMaxFeatures]] does
+    * not apply — this row serves a [[hashedFeature]] model at ANY
+    * bucket count. A NULL prior (single-class train, [[nbPrior]])
+    * propagates to NULL scores, the same visible failure as
+    * [[nbScore]].
+    */
+  def serveRow(model: DataFrame, prior: DataFrame): DataFrame =
+    model.agg(
+        map_from_entries(collect_list(
+          struct(col("f").cast("string"), col("llr_micro")))).as("__m"),
+        sum("c_pos").as("tot_pos"), sum("c_neg").as("tot_neg"),
+        count(lit(1)).as("vv"))
+      .select(col("__m"), llrMicro(lit(0L), lit(0L),
+        col("tot_pos"), col("tot_neg"), col("vv")).as("__oov_micro"))
+      .crossJoin(broadcast(prior.select(col("prior_micro").as("__prior_micro"))))
+
+  /** [[nbScoreMap]] semantics with the model entering as the ONE-row
+    * broadcast of [[serveRow]] instead of a codegen literal — the
+    * STREAM-legal join-based serving path past the literal ceiling.
+    * [[nbScore]]'s explode → join → groupBy(doc) re-aggregation is a
+    * STATEFUL streaming aggregation (every doc's partial sums live in
+    * the state store until the watermark closes), so it is the wrong
+    * serving shape for a stream even though its per-batch arithmetic
+    * is identical; here each arrival scores itself in one stream-static
+    * broadcast join + per-row integer fold — stateless, zero shuffle,
+    * exactly-once under the file sink, bit-equal to both other paths
+    * (QualityClassifierSpec). Same degenerate-doc contract: null text
+    * dropped, blank text scores all-OOV.
+    */
+  def nbScoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
+                       servingRow: DataFrame,
+                       feature: Column => Column = wordFeature): DataFrame = {
+    val f: Column => Column = w => feature(w).cast("string")
+    val tokMicro: Column = aggregate(col("__ws"), lit(0L),
+      (acc, w) => acc + coalesce(element_at(col("__m"), f(w)), col("__oov_micro")))
+    val oovCount: Column = aggregate(col("__ws"), lit(0L),
+      (acc, w) => acc + when(element_at(col("__m"), f(w)).isNull, 1L).otherwise(0L))
+    dropNullText(docs, textCol)
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ws"))
+      .crossJoin(broadcast(servingRow))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        oovCount.as("oov_tokens"),
+        (col("__prior_micro") + tokMicro).as("score_micro"))
+      .withColumn("pred_pos",
+        when(col("score_micro") > 0, 1).otherwise(0))
+  }
+
   /** The gate as a FILTER: keeps the input row — ALL its columns —
     * when the NB score clears `minScoreMicro`. This is the composable
     * production form ([[nbScoreMap]] replaces the row with its score;

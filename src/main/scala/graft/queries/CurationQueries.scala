@@ -1405,6 +1405,32 @@ object CurationQueries {
       "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
   )
 
+  /** The hashed model served through the ONE-row broadcast-map join
+    * (QualityClassifier.serveRow + nbScoreBroadcast) — the stream-legal
+    * join serving form past the map-literal ceiling: the 4096-bucket
+    * model collapses to a single map row broadcast against the scored
+    * corpus, per-row integer fold, zero shuffle on the doc side
+    * (QualityClassifierSpec plan contract). Same scores as
+    * nb_quality_hashed by construction, so the oracle restates the
+    * identical SQL — the query pins the PATH, the spec pins the
+    * bit-equality.
+    */
+  val nbQualityBcast: Q = Q(
+    "nb_quality_bcast",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val feat = QualityClassifier.hashedFeature(4096)
+      QualityClassifier.nbScoreBroadcast(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        QualityClassifier.serveRow(
+          QualityClassifier.nbModel(train, "text", nbPos, feat),
+          QualityClassifier.nbPrior(train, nbPos)), feat)
+    },
+    Some(nbScoreSql(
+      "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
+  )
+
   /** GPT-3's Pareto-sampled quality gate chained over the NB scorer
     * (QualityClassifier.paretoSample doc): kept docs + their quantized
     * keep-probability. The oracle restates the inverse-CDF deviate and
@@ -1512,6 +1538,6 @@ object CurationQueries {
     dsirWeightsQ, dsirResampleQ, gopherRulesQ, ccnetBucketsQ, dupSpansQ,
     wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
     winnowFingerprints, winnowPairs, lmKneserNey,
-    nbQualityModel, nbQualityScore, nbQualityHashed,
+    nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
     nbQualityPareto, nbQualityEval)
 }

@@ -170,6 +170,21 @@ object StreamBench {
       graft.llm.QualityClassifier.nbModel(nbTrain, "text", nbPos),
       graft.llm.QualityClassifier.nbPrior(nbTrain, nbPos))
     println(s"nb model features=${nbM.size}")
+    // hashed NB model at B=4096 — PAST the literal ceiling (1024), the
+    // regime where production serves by join. Two serving forms of the
+    // SAME model ride the stream A/B: the one-row broadcast-map join
+    // (nbScoreBroadcast — the stream-legal join path; the map arrives
+    // as broadcast data, no janino literal cliff) vs the map-literal
+    // fold forced past its measured ceiling.
+    val nbHashedFeat = graft.llm.QualityClassifier.hashedFeature(4096)
+    val nbHashedModel = graft.llm.QualityClassifier.nbModel(
+      nbTrain, "text", nbPos, nbHashedFeat).localCheckpoint()
+    val nbHashedPrior = graft.llm.QualityClassifier.nbPrior(nbTrain, nbPos)
+    val nbHashedRow = graft.llm.QualityClassifier.serveRow(
+      nbHashedModel, nbHashedPrior).localCheckpoint()
+    val (nbHm, nbHoov, nbHprior) = graft.llm.QualityClassifier.serve(
+      nbHashedModel, nbHashedPrior)
+    println(s"nb hashed model features=${nbHm.size} (B=4096)")
     // wordpiece vocab trained once on the batch corpus (8 BPE merges),
     // served as map literals — the tokenizer scorer is a stateless
     // pure projection on the stream
@@ -213,6 +228,16 @@ object StreamBench {
       // (QualityClassifier.nbScoreMap) — stateless, zero shuffle
       "nb_quality_score" -> (() => graft.llm.QualityClassifier.nbScoreMap(
         docSource(), "id", "text", nbM, nbOov, nbPrior)),
+      // THE 100 TB serving form past LiteralModelMaxFeatures: the
+      // B=4096 hashed model as a ONE-row stream-static broadcast join
+      // (stateless — nbScore's explode+groupBy re-aggregation would be
+      // a stateful streaming agg, the wrong serving shape)
+      "nb_quality_score_hashed" -> (() => graft.llm.QualityClassifier
+        .nbScoreBroadcast(docSource(), "id", "text", nbHashedRow, nbHashedFeat)),
+      // same model forced through the literal path — the stream side of
+      // NbServeExp's crossover table
+      "nb_quality_score_hashed_lit" -> (() => graft.llm.QualityClassifier
+        .nbScoreMap(docSource(), "id", "text", nbHm, nbHoov, nbHprior, nbHashedFeat)),
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
         buckets = 1024)),

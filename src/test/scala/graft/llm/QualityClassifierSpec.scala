@@ -184,6 +184,49 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"serving scorer must not shuffle:\n$plan")
   }
 
+  test("nbScoreBroadcast (one-row broadcast join serving) is bit-equal to nbScore and nbScoreMap, incl. degenerates") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val pos = col("source").isin("src0", "src1", "src2", "src3")
+    val degenerate = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900020L, null.asInstanceOf[String]), (900021L, ""))
+        .toDF("doc_id", "text"))
+    // word features AND the past-the-literal-ceiling hashed form this
+    // path exists for (B=4096 >> LiteralModelMaxFeatures)
+    for (feat <- Seq(QualityClassifier.wordFeature,
+                     QualityClassifier.hashedFeature(4096))) {
+      val model = QualityClassifier.nbModel(trn, "text", pos, feat)
+      val prior = QualityClassifier.nbPrior(trn, pos)
+      val row = QualityClassifier.serveRow(model, prior).localCheckpoint()
+      val bcast = QualityClassifier.nbScoreBroadcast(
+        degenerate, "doc_id", "text", row, feat)
+      val join = QualityClassifier.nbScore(
+        degenerate, "doc_id", "text", model, prior, feat)
+      assert(bcast.columns.toSeq === join.columns.toSeq)
+      // nbScore's explode drops ALL-null-token docs too; compare on the
+      // shared contract (null dropped) via the map-literal reference
+      val (m, oov, pm) = QualityClassifier.serve(model, prior)
+      val lit0 = QualityClassifier.nbScoreMap(
+        degenerate, "doc_id", "text", m, oov, pm, feat)
+      val b = bcast.orderBy("doc_id").collect().toSeq
+      assert(b === lit0.orderBy("doc_id").collect().toSeq)
+      assert(b === join.orderBy("doc_id").collect().toSeq)
+      assert(b.nonEmpty && !b.exists(_.getLong(0) == 900020L))
+      assert(b.exists(_.getLong(0) == 900021L))
+      // stateless join shape: broadcast, and no Exchange on the doc side
+      val plan = bcast.queryExecution.executedPlan.toString()
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+        s"serving row must broadcast:\n$plan")
+      // the one Exchange is the 1-row BroadcastExchange of the serving
+      // row; any shuffle (hash/single-partition Exchange) is a bug
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")),
+        s"doc side must not shuffle:\n$plan")
+    }
+  }
+
   test("degenerate docs: every serving path drops null text, scores empty text as one OOV token") {
     import spark.implicits._
     val tr = train.toDF("doc_id", "text", "pos")
