@@ -216,12 +216,20 @@ object QualityClassifier {
     * serving row `(__m: map<string,long>, __oov_micro, __prior_micro)`
     * — the join-based serving form of [[nbScoreBroadcast]]. Unlike
     * [[serve]]'s driver-side literal, the map never enters generated
-    * code: it arrives as broadcast DATA, so the janino CreateMap cliff
-    * that caps the literal path at [[LiteralModelMaxFeatures]] does
-    * not apply — this row serves a [[hashedFeature]] model at ANY
-    * bucket count. A NULL prior (single-class train, [[nbPrior]])
-    * propagates to NULL scores, the same visible failure as
-    * [[nbScore]].
+    * code: it arrives as broadcast DATA, so the compile-time literal
+    * ceiling does not apply. MEASURED honest negative (NbServeExp r10,
+    * 40k Zipf docs, interleaved arms): the runtime cost is WORSE than
+    * the literal at every B — the broadcast join copies the whole map
+    * into each joined row and `element_at(map, k)` is a linear key
+    * scan, so the arm reads 0.95/2.9/6.3/8.7 s at 256/1k/4k/16k
+    * buckets (1.4×→14× the shuffle join's flat ~0.6 s in the 4-arm
+    * run). Use this form only for WORD-feature models a stream must
+    * serve past the literal ceiling; a [[hashedFeature]] model should
+    * serve through [[serveDense]]'s O(1) array literals instead —
+    * measured flat at ~0.21 s across every B, the fastest arm
+    * outright. A NULL prior
+    * (single-class train, [[nbPrior]]) propagates to NULL scores, the
+    * same visible failure as [[nbScore]].
     */
   def serveRow(model: DataFrame, prior: DataFrame): DataFrame =
     model.agg(
@@ -244,7 +252,9 @@ object QualityClassifier {
     * broadcast join + per-row integer fold — stateless, zero shuffle,
     * exactly-once under the file sink, bit-equal to both other paths
     * (QualityClassifierSpec). Same degenerate-doc contract: null text
-    * dropped, blank text scores all-OOV.
+    * dropped, blank text scores all-OOV. See [[serveRow]] for the
+    * measured per-row map-copy cost — prefer [[nbScoreDense]] whenever
+    * the features are hashed.
     */
   def nbScoreBroadcast(docs: DataFrame, idCol: String, textCol: String,
                        servingRow: DataFrame,
@@ -261,6 +271,57 @@ object QualityClassifier {
         size(col("__ws")).cast("long").as("n_tokens"),
         oovCount.as("oov_tokens"),
         (col("__prior_micro") + tokMicro).as("score_micro"))
+      .withColumn("pred_pos",
+        when(col("score_micro") > 0, 1).otherwise(0))
+  }
+
+  /** Dense O(1) serving of a [[hashedFeature]] model: the B-bounded
+    * model unpacked into two length-`buckets` ARRAY literals (llr per
+    * bucket with the OOV mass pre-filled, plus occupancy for the OOV
+    * count). `element_at(array, i)` is an O(1) index, and a literal
+    * array is ONE expression node — so per-token cost is flat in B,
+    * unlike every alternative. MEASURED (NbServeExp r10 4-arm run,
+    * 40k Zipf docs scored, 160k trained, interleaved arms, median of
+    * 5): dense holds 0.21–0.29 s at EVERY B from 256 to 16384
+    * (dense/join 0.33–0.34 flat) while the map literal climbs
+    * 0.44→1.83 s (linear key scan per lookup), the shuffle join sits
+    * at its flat ~0.6 s (stream-illegal: stateful re-aggregation),
+    * and the one-row broadcast map climbs 1.2→8.3 s (map copied into
+    * every joined row — 14× the join at B=16k). Driver memory is
+    * `buckets` longs — the same B-bounded ceiling as the model table
+    * itself. This is THE serving form for hashed models at any B,
+    * batch or stream: stateless, zero shuffle, O(1) lookups, and
+    * faster than every other arm at every measured width.
+    */
+  def serveDense(model: DataFrame, prior: DataFrame,
+                 buckets: Int): (IndexedSeq[Long], IndexedSeq[Boolean], Long) = {
+    val (m, oov, pm) = serve(model, prior)
+    (IndexedSeq.tabulate(buckets)(i => m.getOrElse(i.toString, oov)),
+      IndexedSeq.tabulate(buckets)(i => m.contains(i.toString)), pm)
+  }
+
+  /** [[nbScoreMap]] semantics for a [[hashedFeature]]`(buckets)` model
+    * served from [[serveDense]] arrays — bit-equal to every other
+    * serving path (QualityClassifierSpec), same degenerate-doc
+    * contract, flat in B.
+    */
+  def nbScoreDense(docs: DataFrame, idCol: String, textCol: String,
+                   llr: IndexedSeq[Long], occ: IndexedSeq[Boolean],
+                   priorMicro: Long, buckets: Int): DataFrame = {
+    val llrLit = typedlit(llr)
+    val occLit = typedlit(occ)
+    val idx: Column => Column = w =>
+      (hashedFeature(buckets)(w) + lit(1L)).cast("int")
+    val tokMicro: Column = aggregate(col("__ws"), lit(0L),
+      (acc, w) => acc + element_at(llrLit, idx(w)))
+    val oovCount: Column = aggregate(col("__ws"), lit(0L),
+      (acc, w) => acc + when(element_at(occLit, idx(w)), 0L).otherwise(1L))
+    dropNullText(docs, textCol)
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        oovCount.as("oov_tokens"),
+        (lit(priorMicro) + tokMicro).as("score_micro"))
       .withColumn("pred_pos",
         when(col("score_micro") > 0, 1).otherwise(0))
   }

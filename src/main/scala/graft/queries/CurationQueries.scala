@@ -1431,6 +1431,32 @@ object CurationQueries {
       "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
   )
 
+  /** The hashed model served through the dense O(1) array-literal form
+    * (QualityClassifier.serveDense + nbScoreDense) — the flat-in-B
+    * stream serving shape NbServeExp r10 measured as the winner for
+    * hashed features (map lookups are linear key scans; the broadcast
+    * map row additionally copies the model into every joined row).
+    * Same scores as nb_quality_hashed by construction; the oracle
+    * restates the identical SQL — the query pins the PATH under the
+    * driver's hash gate, the spec pins the bit-equality.
+    */
+  val nbQualityDense: Q = Q(
+    "nb_quality_dense",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val feat = QualityClassifier.hashedFeature(4096)
+      val model = QualityClassifier.nbModel(train, "text", nbPos, feat)
+      val prior = QualityClassifier.nbPrior(train, nbPos)
+      val (llr, occ, pm) = QualityClassifier.serveDense(model, prior, 4096)
+      QualityClassifier.nbScoreDense(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        llr, occ, pm, 4096)
+    },
+    Some(nbScoreSql(
+      "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
+  )
+
   /** GPT-3's Pareto-sampled quality gate chained over the NB scorer
     * (QualityClassifier.paretoSample doc): kept docs + their quantized
     * keep-probability. The oracle restates the inverse-CDF deviate and
@@ -1539,5 +1565,6 @@ object CurationQueries {
     wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
     winnowFingerprints, winnowPairs, lmKneserNey,
     nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
+    nbQualityDense,
     nbQualityPareto, nbQualityEval)
 }

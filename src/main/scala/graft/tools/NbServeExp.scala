@@ -59,11 +59,33 @@ object NbServeExp {
       def joinArm() = QualityClassifier
         .nbScore(score, "doc_id", "text", model, prior, feat)
         .agg(sum("score_micro")).collect().head.getLong(0)
+      // third arm (r10): the ONE-row broadcast-map serving form — the
+      // stream-legal join path (serveRow + nbScoreBroadcast); the map
+      // is broadcast DATA, so like the shuffle join it should be
+      // feature-count-invariant, without the doc-side shuffle
+      val servingRow = QualityClassifier.serveRow(model, prior).localCheckpoint()
+      def bcastArm() = QualityClassifier
+        .nbScoreBroadcast(score, "doc_id", "text", servingRow, feat)
+        .agg(sum("score_micro")).collect().head.getLong(0)
+      // fourth arm (r10): dense O(1) array-literal serving of the
+      // hashed model — flat in B by construction (element_at on an
+      // array literal is an index, not the map forms' linear key scan)
+      val (dl, docc, dpm) = QualityClassifier.serveDense(model, prior, b)
+      def denseArm() = QualityClassifier
+        .nbScoreDense(score, "doc_id", "text", dl, docc, dpm, b)
+        .agg(sum("score_micro")).collect().head.getLong(0)
       require(litArm() == joinArm(), s"arms diverge at B=$b") // also warms both
-      val (ts1, ts2) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
-      for (_ <- 1 to runs) { ts1 += time(litArm()); ts2 += time(joinArm()) }
-      val (l, j) = (med(ts1.result()), med(ts2.result()))
-      println(f"B=$b%6d features=${m.size}%6d literal=$l%7.3f s  join=$j%7.3f s  literal/join=${l / j}%5.2f")
+      require(bcastArm() == litArm(), s"bcast arm diverges at B=$b")
+      require(denseArm() == litArm(), s"dense arm diverges at B=$b")
+      val (ts1, ts2, ts3, ts4) = (Seq.newBuilder[Double], Seq.newBuilder[Double],
+        Seq.newBuilder[Double], Seq.newBuilder[Double])
+      for (_ <- 1 to runs) {
+        ts1 += time(litArm()); ts2 += time(joinArm())
+        ts3 += time(bcastArm()); ts4 += time(denseArm())
+      }
+      val (l, j, bc, de) = (med(ts1.result()), med(ts2.result()),
+        med(ts3.result()), med(ts4.result()))
+      println(f"B=$b%6d features=${m.size}%6d literal=$l%7.3f s  join=$j%7.3f s  bcast=$bc%7.3f s  dense=$de%7.3f s  literal/join=${l / j}%5.2f  bcast/join=${bc / j}%5.2f  dense/join=${de / j}%5.2f")
     }
     spark.stop()
   }

@@ -184,6 +184,8 @@ object StreamBench {
       nbHashedModel, nbHashedPrior).localCheckpoint()
     val (nbHm, nbHoov, nbHprior) = graft.llm.QualityClassifier.serve(
       nbHashedModel, nbHashedPrior)
+    val (nbDllr, nbDocc, nbDprior) = graft.llm.QualityClassifier.serveDense(
+      nbHashedModel, nbHashedPrior, 4096)
     println(s"nb hashed model features=${nbHm.size} (B=4096)")
     // wordpiece vocab trained once on the batch corpus (8 BPE merges),
     // served as map literals — the tokenizer scorer is a stateless
@@ -238,6 +240,11 @@ object StreamBench {
       // NbServeExp's crossover table
       "nb_quality_score_hashed_lit" -> (() => graft.llm.QualityClassifier
         .nbScoreMap(docSource(), "id", "text", nbHm, nbHoov, nbHprior, nbHashedFeat)),
+      // dense O(1) array-literal serving of the same hashed model —
+      // flat in B (NbServeExp r10), the winning stream form for hashed
+      // features at any bucket count
+      "nb_quality_score_hashed_dense" -> (() => graft.llm.QualityClassifier
+        .nbScoreDense(docSource(), "id", "text", nbDllr, nbDocc, nbDprior, 4096)),
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
         buckets = 1024)),

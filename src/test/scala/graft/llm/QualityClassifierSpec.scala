@@ -227,6 +227,37 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("nbScoreDense (O(1) array-literal serving) is bit-equal on hashed models, incl. degenerates, zero exchange") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val pos = col("source").isin("src0", "src1", "src2", "src3")
+    val degenerate = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900030L, null.asInstanceOf[String]), (900031L, ""))
+        .toDF("doc_id", "text"))
+    for (b <- Seq(64, 4096)) {
+      val feat = QualityClassifier.hashedFeature(b)
+      val model = QualityClassifier.nbModel(trn, "text", pos, feat)
+      val prior = QualityClassifier.nbPrior(trn, pos)
+      val (m, oov, pm) = QualityClassifier.serve(model, prior)
+      val (llr, occ, dpm) = QualityClassifier.serveDense(model, prior, b)
+      assert(llr.size === b && occ.size === b && dpm === pm)
+      // every unoccupied bucket carries the OOV mass
+      assert(llr.zip(occ).forall { case (v, o) => o || v == oov })
+      val dense = QualityClassifier.nbScoreDense(
+        degenerate, "doc_id", "text", llr, occ, pm, b)
+      val ref = QualityClassifier.nbScoreMap(
+        degenerate, "doc_id", "text", m, oov, pm, feat)
+      val d = dense.orderBy("doc_id").collect().toSeq
+      assert(d === ref.orderBy("doc_id").collect().toSeq)
+      assert(d.nonEmpty && !d.exists(_.getLong(0) == 900030L))
+      assert(d.exists(_.getLong(0) == 900031L))
+      val plan = dense.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"dense scorer must not shuffle:\n$plan")
+    }
+  }
+
   test("degenerate docs: every serving path drops null text, scores empty text as one OOV token") {
     import spark.implicits._
     val tr = train.toDF("doc_id", "text", "pos")
