@@ -53,6 +53,13 @@ ALLOWED = {
                                 "(quadratic over int8 codes; cheaper constant, "
                                 "same shape) — ANN arms are the scale path"),
     "label_communities":  ("b", "label-propagation rounds over 10x edges"),
+    "bm25_pruned":        ("b", "linear shape at the screen boundary: index "
+                                "build (tf/df/truncation window) is linear in "
+                                "corpus and per-query candidates are bounded "
+                                "at terms x maxPostings with queries prop. to "
+                                "corpus; measured 2.8-3.1x at min AND median "
+                                "across the r9/r10 capture pairs - straddles "
+                                "the 3x heuristic line, no superlinear term"),
     "value_quantiles":    ("b", "exact rank selection over 10x rows"),
 }
 
