@@ -147,6 +147,50 @@ object Dsir {
           .otherwise(lit(0.0)))
   }
 
+  /** [[scoreWith]] semantics with the model as ONE dense length-
+    * `buckets` ARRAY literal (`defaultMicro` pre-filled into unseen
+    * buckets) instead of a map literal. DSIR buckets are already
+    * dense ints in [0, buckets), so `element_at(array, b+1)` is an
+    * O(1) index where the map literal's `element_at(map, k)` is a
+    * LINEAR key scan — the NbServeExp r10 4-arm law (map literal
+    * climbs 0.44→1.83 s from 256 to 16k keys while the dense array
+    * holds ~0.21 s flat; identical expression shapes here). Bit-equal
+    * to [[scoreWith]] and the shuffled join (DsirSpec): same integer
+    * adds in the same fold. Zero shuffle, stream-legal, and — being
+    * one Literal node rather than a 2·buckets-child CreateMap — free
+    * of the [[LiteralModelMaxBuckets]] janino concern (the remaining
+    * array ceiling is driver/task memory: 8·buckets bytes).
+    */
+  def scoreDense(df: DataFrame, idCol: String, textCol: String,
+                 lr: IndexedSeq[Long], buckets: Int): DataFrame = {
+    val m = typedlit(lr)
+    val (uni, bi) = featureArrays(textCol, buckets)
+    val score: Column => Column = arr =>
+      aggregate(arr, lit(0L),
+        (acc, b) => acc + element_at(m, (b + lit(1L)).cast("int")))
+    df.select(col(idCol).as("doc_id"), uni.as("__u"), bi.as("__b"))
+      .select(col("doc_id"),
+        (size(col("__u")) + size(col("__b"))).cast("long").as("n_feats"),
+        (score(col("__u")) + score(col("__b"))).as("w_micro"))
+      .withColumn("avg_w",
+        when(col("n_feats") > 0,
+          col("w_micro").cast("double") /
+            (col("n_feats").cast("double") * lit(1e6)))
+          .otherwise(lit(0.0)))
+  }
+
+  /** [[scoreDense]]'s serving arrays from a trained bucket model:
+    * `lr_micro` per bucket with `defaultMicro` filling unseen buckets
+    * — bounded driver metadata (`buckets` longs, the model's own
+    * ceiling).
+    */
+  def denseModel(model: DataFrame, buckets: Int,
+                 defaultMicro: Long = 0L): IndexedSeq[Long] = {
+    val m = model.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro")).toMap
+    IndexedSeq.tabulate(buckets)(b => m.getOrElse(b.toLong, defaultMicro))
+  }
+
   /** Per-document DSIR importance weight:
     * `(doc_id, n_feats, w_micro, avg_w)` where `w_micro` =
     * Σ_b m_b · (ln p̂_target(b) − ln p̂_raw(b)) in integer micro-nats
@@ -177,16 +221,17 @@ object Dsir {
       // Fit the buckets-bounded model (two bucket-count aggregations,
       // shuffles carry ≤ partitions x buckets rows), collect it
       // (≤buckets rows — bounded driver metadata, the kmeans-centroid
-      // budget), and score MAP-SIDE via the literal-model projection:
-      // zero doc-proportional shuffles end to end. defaultMicro is never
+      // budget), and score MAP-SIDE via the dense array-literal
+      // projection (r10: O(1) indexed lookups where the map literal
+      // scans keys linearly — the NbServeExp law): zero
+      // doc-proportional shuffles end to end. defaultMicro is never
       // consulted scoring the training corpus itself — every bucket a
       // scored document hashes into was, by construction, counted into
-      // the raw model (DsirSpec pins bit-equality to the shuffled form
-      // with a poisoned sentinel default).
-      val model = bucketModel(df, idCol, textCol, targetPred, buckets)
-        .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro"))
-        .toMap
-      scoreWith(df, idCol, textCol, model, defaultMicro = 0L, buckets)
+      // the raw model (DsirSpec pins bit-equality of BOTH literal forms
+      // to the shuffled form with a poisoned sentinel default).
+      val lr = denseModel(
+        bucketModel(df, idCol, textCol, targetPred, buckets), buckets)
+      scoreDense(df, idCol, textCol, lr, buckets)
     }
 
   /** The shuffled reference form of [[importanceWeights]]: the

@@ -192,7 +192,10 @@ object QualityClassifier {
     * zero-shuffle map literal, a larger one as the broadcast join.
     * The two paths are bit-equal (QualityClassifierSpec), so the
     * switch is invisible to results. The size probe is one count of
-    * the vocabulary-bounded model table.
+    * the vocabulary-bounded model table. This dispatch is for
+    * WORD-feature models (unbounded key space); a [[hashedFeature]]
+    * model should skip it and serve through [[serveDense]] /
+    * [[nbScoreDense]], the measured winner at every bucket count.
     *
     * The model is `localCheckpoint`ed first (r9 ADVICE): the size
     * probe, [[serve]]'s map + OOV collects, and the serving plan

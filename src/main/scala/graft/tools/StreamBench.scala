@@ -248,6 +248,13 @@ object StreamBench {
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
         buckets = 1024)),
+      // same model as a dense O(1) array literal (r10, the NbServeExp
+      // law applied to DSIR) — the production path importanceWeights
+      // now serves below the ceiling
+      "dsir_score_dense" -> (() => graft.llm.Dsir.scoreDense(
+        docSource(), "id", "text",
+        IndexedSeq.tabulate(1024)(b => dsirModel.getOrElse(b.toLong, 0L)),
+        buckets = 1024)),
       "sketch_quantiles" -> (() => Streams.windowedSketch(
         source(), "ts", "key", "price", "tsUs", k = 64,
         windowDur = "10 minutes", delay = "5 seconds")),

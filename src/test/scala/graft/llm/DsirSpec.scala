@@ -90,6 +90,30 @@ class DsirSpec extends SparkSpec {
     assert(mapSide === joined)
   }
 
+  test("dense array-literal scorer is bit-equal to the map literal and the join form, zero exchanges") {
+    val docs = Tables.documents(spark, sf())
+    val tgt = col("source").isin("src0", "src1")
+    val modelDf = Dsir.bucketModel(docs, "doc_id", "text", tgt, buckets = 1024)
+      .localCheckpoint()
+    val model = modelDf.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("lr_micro")).toMap
+    // poisoned default: consulted ⇒ equality breaks (same sentinel
+    // discipline as the map-literal test)
+    val lr = Dsir.denseModel(modelDf, 1024, defaultMicro = Long.MinValue / 4)
+    assert(lr.size === 1024)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"),
+          r.getAs[Double]("avg_w"))).toMap
+    val dense = Dsir.scoreDense(docs, "doc_id", "text", lr, 1024)
+    assert(key(dense) === key(Dsir.scoreWith(docs, "doc_id", "text", model,
+      defaultMicro = Long.MinValue / 4, buckets = 1024)))
+    assert(key(dense) === key(
+      Dsir.importanceWeightsShuffled(docs, "doc_id", "text", tgt, 1024)))
+    val plan = dense.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"dense scorer must not shuffle:\n$plan")
+  }
+
   test("production map-side weights are bit-equal to the shuffled reference form") {
     val docs = Tables.documents(spark, sf())
     val tgt = col("source").isin("src0", "src1")
