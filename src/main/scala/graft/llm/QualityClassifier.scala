@@ -352,6 +352,25 @@ object QualityClassifier {
       .filter(lit(priorMicro) + tokMicro > lit(minScoreMicro))
   }
 
+  /** [[nbFilter]] over [[serveDense]] arrays — the gate form for a
+    * [[hashedFeature]]`(buckets)` model: same row-preserving contract
+    * (kept set ≡ `nbScoreDense(...).filter(score_micro > min)`,
+    * spec-pinned; null-text rows dropped), with the per-token lookup
+    * on the O(1) dense array instead of the linear map literal. The
+    * production 100 TB gate for hashed models, batch or stream.
+    */
+  def nbFilterDense(docs: DataFrame, textCol: String,
+                    llr: IndexedSeq[Long], priorMicro: Long,
+                    minScoreMicro: Long, buckets: Int): DataFrame = {
+    val llrLit = typedlit(llr)
+    val idx: Column => Column = w =>
+      (hashedFeature(buckets)(w) + lit(1L)).cast("int")
+    val tokMicro: Column = aggregate(toks(col(textCol)), lit(0L),
+      (acc, w) => acc + element_at(llrLit, idx(w)))
+    dropNullText(docs, textCol)
+      .filter(lit(priorMicro) + tokMicro > lit(minScoreMicro))
+  }
+
   def nbScoreMap(docs: DataFrame, idCol: String, textCol: String,
                  model: Map[String, Long], oovMicro: Long, priorMicro: Long,
                  feature: Column => Column = wordFeature): DataFrame = {

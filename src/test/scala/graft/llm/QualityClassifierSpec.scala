@@ -255,6 +255,19 @@ class QualityClassifierSpec extends SparkSpec {
       assert(d.exists(_.getLong(0) == 900031L))
       val plan = dense.queryExecution.executedPlan.toString()
       assert(!plan.contains("Exchange"), s"dense scorer must not shuffle:\n$plan")
+      // the dense GATE keeps exactly the dense scorer's above-threshold
+      // rows, preserves all input columns, and drops null text
+      val thr = -1600000L
+      val kept = QualityClassifier.nbFilterDense(
+        degenerate, "text", llr, pm, thr, b)
+      assert(kept.columns.toSeq === degenerate.columns.toSeq)
+      val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = QualityClassifier.nbScoreDense(
+          degenerate, "doc_id", "text", llr, occ, pm, b)
+        .filter(col("score_micro") > thr)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptIds === want)
+      assert(!keptIds.contains(900030L))
     }
   }
 
