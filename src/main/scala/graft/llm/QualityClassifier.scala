@@ -49,10 +49,12 @@ object QualityClassifier {
     * row (r9 ADVICE: `nbScore`'s explode silently dropped it while
     * `nbScoreMap` emitted NULL stats and `nbScoreAuto` made the
     * output row set depend on model size). An EMPTY or
-    * whitespace-only text tokenizes to the single empty token `""`
-    * (Spark and DuckDB both split `''` to `['']`), which scores as
-    * one OOV occurrence on every path — already consistent, now
-    * spec-pinned (QualityClassifierSpec degenerate fixtures).
+    * whitespace-only text tokenizes to one or more EMPTY tokens
+    * (Spark and DuckDB both split `''` to `['']`; `trim` strips
+    * spaces but not tabs, so a tab-bearing blank splits to several),
+    * every one of which scores OOV on every path — the pinned
+    * invariant is `n_tokens >= 1` and `n_tokens = oov_tokens`
+    * (QualityClassifierSpec degenerate fixtures).
     */
   private def dropNullText(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
@@ -197,22 +199,89 @@ object QualityClassifier {
     * model should skip it and serve through [[serveDense]] /
     * [[nbScoreDense]], the measured winner at every bucket count.
     *
-    * The model is `localCheckpoint`ed first (r9 ADVICE): the size
-    * probe, [[serve]]'s map + OOV collects, and the serving plan
-    * itself would otherwise each replay the full train
+    * The model is `persist`ed first (r9 ADVICE, reworked per the r10
+    * one): the size probe, [[serve]]'s map + OOV collects, and the
+    * serving plan itself would otherwise each replay the full train
     * explode+groupBy — up to 3× — against the un-materialized model
-    * DAG. One eager materialization of the vocabulary-bounded table
-    * amortizes all of them (callers serving via [[nbScore]] directly
-    * should persist the model themselves for the same reason).
+    * DAG. A lazy cache of the vocabulary-bounded table amortizes all
+    * of them (r9 used `localCheckpoint`, which turned plan
+    * CONSTRUCTION into eager Spark jobs, truncated lineage — no
+    * recovery on executor loss — and leaked untracked blocks across
+    * calls; `persist` has none of those and the first collect still
+    * materializes once). CACHE LIFETIME: the literal route drops its
+    * own cache before returning (the model lives in the returned
+    * plan's map literal); the join route's returned plan READS the
+    * cached table, so it stays cached while the result lives — pass
+    * an already-persisted `model` to manage the lifetime yourself
+    * (detected; never re-persisted or dropped by this call).
     */
   def nbScoreAuto(docs: DataFrame, idCol: String, textCol: String,
                   model: DataFrame, prior: DataFrame,
-                  feature: Column => Column = wordFeature): DataFrame = {
-    val m0 = model.localCheckpoint()
-    if (m0.count() <= LiteralModelMaxFeatures) {
-      val (m, oov, pm) = serve(m0, prior)
-      nbScoreMap(docs, idCol, textCol, m, oov, pm, feature)
-    } else nbScore(docs, idCol, textCol, m0, prior, feature)
+                  feature: Column => Column = wordFeature): DataFrame =
+    nbServeAuto(docs, idCol, textCol, model, prior, feature)
+
+  /** ONE serving entry point that picks the measured winner (r10
+    * verdict #1 — the serving law is complete but callers had to know
+    * it): routes by model family and size to the fastest bit-equal
+    * serving form, so `nbServeAuto(docs, …, model, prior, feat,
+    * buckets)` is all a pipeline needs to write.
+    *
+    *  - `buckets = Some(b)` (a [[hashedFeature]]`(b)` model): the
+    *    dense O(1) array-literal path ([[serveDense]] +
+    *    [[nbScoreDense]]) — the NbServeExp 4-arm winner at EVERY
+    *    measured width (flat 0.21–0.29 s from B=256 to 16384, and
+    *    flat through the r11 ceiling sweep widths), stateless,
+    *    zero-shuffle, stream-legal.
+    *  - word model with ≤ [[LiteralModelMaxFeatures]] occupied
+    *    features: the zero-shuffle map literal ([[serve]] +
+    *    [[nbScoreMap]]) — the measured winner below the janino
+    *    CreateMap cliff.
+    *  - larger word model, batch input: the broadcast-join scorer
+    *    [[nbScore]] (feature-count-invariant ~0.6 s flat).
+    *  - larger word model, STREAMING input: [[nbScore]]'s
+    *    groupBy(doc) re-aggregation would be stateful on a stream, so
+    *    the route is the one-row broadcast-map form ([[serveRow]] +
+    *    [[nbScoreBroadcast]]) — the only stream-legal form past the
+    *    literal ceiling for an unbounded key space (measured slower
+    *    than dense, which is why hashed features + `buckets` is the
+    *    production recommendation at scale).
+    *
+    * All four routes are bit-equal under the shared degenerate-doc
+    * contract (null text dropped, blank text all-OOV) —
+    * QualityClassifierSpec pins every route against the same
+    * reference. Materialization discipline (see [[nbScoreAuto]]'s
+    * doc): an un-cached `model` is lazily `persist`ed for the probe +
+    * collects and the cache is dropped before returning on the
+    * literal/dense routes (the returned plan carries the model as
+    * literals); on the join routes the cached table IS the serving
+    * relation and stays cached while the result lives. A
+    * caller-persisted `model` is detected and left alone.
+    * `maxLiteralFeatures` exists for tests and tuning; production
+    * callers leave the measured default.
+    */
+  def nbServeAuto(docs: DataFrame, idCol: String, textCol: String,
+                  model: DataFrame, prior: DataFrame,
+                  feature: Column => Column = wordFeature,
+                  buckets: Option[Int] = None,
+                  maxLiteralFeatures: Int = LiteralModelMaxFeatures): DataFrame = {
+    val preMaterialized =
+      model.storageLevel.useMemory || model.storageLevel.useDisk
+    val m0 = if (preMaterialized) model else model.persist()
+    def dropOurCache(): Unit = if (!preMaterialized) { m0.unpersist(); () }
+    buckets match {
+      case Some(b) =>
+        val (llr, occ, pm) = serveDense(m0, prior, b)
+        dropOurCache()
+        nbScoreDense(docs, idCol, textCol, llr, occ, pm, b)
+      case None if m0.count() <= maxLiteralFeatures =>
+        val (m, oov, pm) = serve(m0, prior)
+        dropOurCache()
+        nbScoreMap(docs, idCol, textCol, m, oov, pm, feature)
+      case None if docs.isStreaming =>
+        nbScoreBroadcast(docs, idCol, textCol, serveRow(m0, prior), feature)
+      case None =>
+        nbScore(docs, idCol, textCol, m0, prior, feature)
+    }
   }
 
   /** The trained model + prior collapsed into ONE broadcastable
@@ -224,9 +293,9 @@ object QualityClassifier {
     * 40k Zipf docs, interleaved arms): the runtime cost is WORSE than
     * the literal at every B — the broadcast join copies the whole map
     * into each joined row and `element_at(map, k)` is a linear key
-    * scan, so the arm reads 0.95/2.9/6.3/8.7 s at 256/1k/4k/16k
+    * scan, so the arm reads 1.2/2.9/6.5/8.3 s at 256/1k/4k/16k
     * buckets (1.4×→14× the shuffle join's flat ~0.6 s in the 4-arm
-    * run). Use this form only for WORD-feature models a stream must
+    * run — the NOTES_r10 table). Use this form only for WORD-feature models a stream must
     * serve past the literal ceiling; a [[hashedFeature]] model should
     * serve through [[serveDense]]'s O(1) array literals instead —
     * measured flat at ~0.21 s across every B, the fastest arm

@@ -1457,6 +1457,30 @@ object CurationQueries {
       "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
   )
 
+  /** The ONE-call serving surface (QualityClassifier.nbServeAuto, r11):
+    * the caller hands over docs + model + prior (+ buckets for a
+    * hashed model) and the dispatcher picks the measured winner — here
+    * the hashed 4096-bucket model routes to the dense O(1)
+    * array-literal path automatically. Same scores as
+    * nb_quality_hashed by construction (every route is bit-equal,
+    * QualityClassifierSpec); the query pins the AUTO surface
+    * end-to-end under the driver's hash gate.
+    */
+  val nbQualityAuto: Q = Q(
+    "nb_quality_auto",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val feat = QualityClassifier.hashedFeature(4096)
+      QualityClassifier.nbServeAuto(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+        QualityClassifier.nbModel(train, "text", nbPos, feat),
+        QualityClassifier.nbPrior(train, nbPos), feat, buckets = Some(4096))
+    },
+    Some(nbScoreSql(
+      "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
+  )
+
   /** GPT-3's Pareto-sampled quality gate chained over the NB scorer
     * (QualityClassifier.paretoSample doc): kept docs + their quantized
     * keep-probability. The oracle restates the inverse-CDF deviate and
@@ -1565,6 +1589,6 @@ object CurationQueries {
     wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
     winnowFingerprints, winnowPairs, lmKneserNey,
     nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
-    nbQualityDense,
+    nbQualityDense, nbQualityAuto,
     nbQualityPareto, nbQualityEval)
 }

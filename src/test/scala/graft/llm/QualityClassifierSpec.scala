@@ -148,6 +148,95 @@ class QualityClassifierSpec extends SparkSpec {
       joinSmall.orderBy("doc_id").collect().toSeq)
   }
 
+  test("nbServeAuto picks the measured winner per route and every route is bit-equal, incl. degenerates") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val pos = col("source").isin("src0", "src1", "src2", "src3")
+    val degenerate = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900040L, null.asInstanceOf[String]), (900041L, ""),
+        (900042L, "   \t  ")).toDF("doc_id", "text"))
+
+    // route 1: hashed model + buckets ⇒ dense array literal, zero Exchange
+    val featH = QualityClassifier.hashedFeature(4096)
+    val mH = QualityClassifier.nbModel(trn, "text", pos, featH)
+    val prior = QualityClassifier.nbPrior(trn, pos)
+    val dense = QualityClassifier.nbServeAuto(degenerate, "doc_id", "text",
+      mH, prior, featH, buckets = Some(4096))
+    val (hm, hoov, hpm) = QualityClassifier.serve(mH.localCheckpoint(), prior)
+    val refH = QualityClassifier.nbScoreMap(
+      degenerate, "doc_id", "text", hm, hoov, hpm, featH)
+    assert(dense.orderBy("doc_id").collect().toSeq ===
+      refH.orderBy("doc_id").collect().toSeq)
+    assert(!dense.queryExecution.executedPlan.toString().contains("Exchange"),
+      "hashed route must serve dense: zero Exchange")
+
+    // route 2: small word model ⇒ map literal, zero Exchange
+    val mW = QualityClassifier.nbModel(trn, "text", pos)
+    assert(mW.count() <= QualityClassifier.LiteralModelMaxFeatures)
+    val litR = QualityClassifier.nbServeAuto(degenerate, "doc_id", "text", mW, prior)
+    val refW = QualityClassifier.nbScore(degenerate, "doc_id", "text", mW, prior)
+    val litRows = litR.orderBy("doc_id").collect().toSeq
+    assert(litRows === refW.orderBy("doc_id").collect().toSeq)
+    assert(!litR.queryExecution.executedPlan.toString().contains("Exchange"),
+      "small word route must serve as map literal: zero Exchange")
+    // shared degenerate contract on the auto surface itself
+    assert(!litRows.exists(_.getLong(0) == 900040L), "null text dropped")
+    Seq(900041L, 900042L).foreach { id =>
+      val r = litRows.find(_.getLong(0) == id).get
+      assert(r.getLong(1) >= 1L && r.getLong(2) === r.getLong(1), s"doc $id all-OOV")
+    }
+
+    // route 3: word model past the literal ceiling, batch ⇒ broadcast join
+    val joinR = QualityClassifier.nbServeAuto(degenerate, "doc_id", "text",
+      mW, prior, maxLiteralFeatures = 1)
+    assert(joinR.orderBy("doc_id").collect().toSeq === litRows)
+    val joinPlan = joinR.queryExecution.executedPlan.toString()
+    assert(joinPlan.contains("BroadcastHashJoin") ||
+      joinPlan.contains("BroadcastNestedLoopJoin"),
+      s"large word route must broadcast-join the model:\n$joinPlan")
+
+    // route 4: word model past the ceiling, STREAMING ⇒ one-row
+    // broadcast-map form (nbScore's groupBy(doc) would be stateful)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(degenerate.collect().toSeq.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))))
+    val streamed = QualityClassifier.nbServeAuto(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      mW, prior, maxLiteralFeatures = 1)
+    assert(streamed.isStreaming, "stream route must stay a streaming plan")
+    val q = streamed.writeStream.format("memory")
+      .queryName("nb_auto_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("nb_auto_stream").orderBy("doc_id").collect().toSeq
+    assert(got === litRows, "stream route bit-equal to the batch routes")
+  }
+
+  test("nbServeAuto leaves a caller's own cached model cached, drops its own checkpoint on literal routes") {
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val tst = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val pos = col("lang") === "en"
+    val prior = QualityClassifier.nbPrior(trn, pos)
+    // caller-persisted model: the auto must NOT unpersist it
+    val mine = QualityClassifier.nbModel(trn, "text", pos).persist()
+    mine.count()
+    QualityClassifier.nbServeAuto(tst, "doc_id", "text", mine, prior).count()
+    assert(mine.storageLevel.useMemory, "caller's cache must survive")
+    mine.unpersist()
+    // un-cached model through the literal route: no lingering blocks
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val auto = QualityClassifier.nbServeAuto(tst, "doc_id", "text",
+      QualityClassifier.nbModel(trn, "text", pos), prior)
+    auto.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"literal route must drop its checkpoint blocks: $leaked")
+  }
+
   test("nbFilter keeps exactly the nbScoreMap rows above the threshold") {
     val docs = Tables.documents(spark, sf())
       .select(col("doc_id"), col("text"), col("lang"))
