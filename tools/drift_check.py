@@ -74,6 +74,10 @@ def main(old_path, new_path, threshold=1.5):
                 if name not in ro or name not in rn:
                     print(f"WARN: {name} exceeds threshold but a record lacks "
                           "runs_min_med_max — median-only flag")
+                else:
+                    print(f"WARN: {name} exceeds threshold but the old min is "
+                          f"non-positive ({ro[name][0]}) — median-only flag, "
+                          "min-confirmation unavailable")
                 flagged.append((norm, raw, float("nan"), name))
         elif norm < 1.0 / threshold:
             improved.append((norm, raw, name))

@@ -12,22 +12,40 @@ query is only a hard violation if its MIN ratio also exceeds 3x
 (min-of-3 is the record's stable column; a median-only exceedance is
 reported as dispersion, not structure).
 
-Materiality floor (r10): the screen hunts SCALE-KILLERS - operators
-whose growth would dominate a 100 TB run. A query whose sf1 median is
-under MATERIAL_SEC cannot be one: its ratio is a fixed-overhead noise
-quotient over a sub-second denominator (measured: cdc_apply /
-token_count / value_buckets bounce 2.0-3.9x between SAME-CODE r10
-capture pairs while their sf1 absolute cost stays ~1-2.6 s). Such
-exceedances are reported as immaterial warns with the absolute sf1
-cost printed, not violations. Structural offenders read 5-90 s at sf1
-and are unaffected by the floor.
+Materiality floor (r10, DERIVED from the record since r11): the screen
+hunts SCALE-KILLERS - operators whose growth would dominate a 100 TB
+run. A query whose sf1 median is under the floor cannot be one: its
+ratio is a fixed-overhead noise quotient over a small denominator
+(measured: cdc_apply / token_count / value_buckets bounce 2.0-3.9x
+between SAME-CODE r10 capture pairs while their sf1 absolute cost
+stays ~1-2.6 s). The floor is computed from the sf1 capture's own
+control shapes: 4 x the canary_join median - the join canary is the
+largest of the three controls, so the floor reads "a query whose whole
+sf1 run costs less than four control joins is inside the fixed-overhead
+regime". Calibration: the measured same-code noise cohort sits at
+1.2-3.0 join-units absolute, so 4 units covers it with one unit of
+margin (r10 record: 4 x 0.86 = 3.44 s, reproducing the r10 verdicts);
+the floor scales with the box instead of hard-coding this one's noise.
+Records without canaries fall back to the r10 constant 3.0 s.
+Structural offenders read 5-90 s at sf1 and are unaffected.
 
-Usage: python3 tools/ratio_screen.py BENCH_SF01_rN.json BENCH_SF1_rN.json
+Repeat-warn ledger (r10 ADVICE): an immaterial-but-min-confirmed
+exceedance is waved through only while it stays cheap. Each such warn
+is recorded in a history file (default RATIO_WARNS.json beside the
+records) keyed by query with the first-seen sf1 MIN cost; if the same
+query warns again with its min cost grown >= GROWTH_FAIL x the
+first-seen value, the screen FAILS it - a genuinely superlinear
+operator surfaces as soon as it starts getting expensive instead of
+warning indefinitely.
+
+Usage: python3 tools/ratio_screen.py BENCH_SF01_rN.json BENCH_SF1_rN.json [warns.json]
 Exit 1 on violations.
 """
-import sys, json
+import sys, json, os, statistics
 
-MATERIAL_SEC = 3.0
+FALLBACK_MATERIAL_SEC = 3.0  # pre-canary records only
+CANARY_UNITS = 4.0           # floor = 4 x canary_join median (see module doc)
+GROWTH_FAIL = 1.5            # repeat immaterial warn fails once min cost grows 1.5x
 
 # name -> (rule clause, one-line reason)  [COVERAGE.md discharge table]
 ALLOWED = {
@@ -82,12 +100,30 @@ ALLOWED = {
     "value_quantiles":    ("b", "exact rank selection over 10x rows"),
 }
 
-def main(sf01_path, sf1_path):
+def derived_floor(sf1_record):
+    canaries = sf1_record.get("canary_runs_sec")
+    if not canaries or "canary_join" not in canaries:
+        print(f"materiality floor: {FALLBACK_MATERIAL_SEC:.2f} s "
+              "(record lacks canaries — r10 fallback constant)")
+        return FALLBACK_MATERIAL_SEC
+    unit = statistics.median(canaries["canary_join"])
+    floor = CANARY_UNITS * unit
+    print(f"materiality floor: {floor:.2f} s "
+          f"(= {CANARY_UNITS:.0f} x canary_join median {unit:.3f} s at sf1)")
+    return floor
+
+
+def main(sf01_path, sf1_path, warns_path=None):
     a = json.load(open(sf01_path))
     b = json.load(open(sf1_path))
     qa, qb = a["queries"], b["queries"]
     ta = a.get("runs_min_med_max", {})
     tb = b.get("runs_min_med_max", {})
+    material_sec = derived_floor(b)
+    if warns_path is None:
+        warns_path = os.path.join(os.path.dirname(os.path.abspath(sf1_path)),
+                                  "RATIO_WARNS.json")
+    history = json.load(open(warns_path)) if os.path.exists(warns_path) else {}
     violations, dispersion, discharged = [], [], []
     for name in sorted(qa):
         if name not in qb or qa[name] <= 0.15:  # sub-noise-floor queries
@@ -102,15 +138,39 @@ def main(sf01_path, sf1_path):
             discharged.append(f"  ok   {name:24s} med {med:5.1f}x min {mn:5.1f}x  ({clause}) {why}")
         elif mn <= 3.0:
             dispersion.append(f"  warn {name:24s} med {med:5.1f}x min {mn:5.1f}x  median-only exceedance (dispersion)")
-        elif qb[name] < MATERIAL_SEC:
-            dispersion.append(f"  warn {name:24s} med {med:5.1f}x min {mn:5.1f}x  immaterial at sf1 ({qb[name]:.2f} s absolute < {MATERIAL_SEC:.0f} s) — noise quotient, not a scale-killer")
+        elif qb[name] < material_sec:
+            cur_min = tb[name][0] if name in tb else qb[name]
+            h = history.get(name)
+            if h and cur_min >= GROWTH_FAIL * h["first_min_sf1_sec"]:
+                violations.append(
+                    f"  FAIL {name:24s} med {med:5.1f}x min {mn:5.1f}x  repeat immaterial warn with GROWN cost: "
+                    f"sf1 min {cur_min:.2f} s >= {GROWTH_FAIL}x first-seen {h['first_min_sf1_sec']:.2f} s "
+                    f"(warned {h['warn_count']}x before) — no longer noise, discharge or fix it")
+            else:
+                # idempotent per record: re-screening the same capture
+                # (judge re-runs, dev iterations) must not inflate the count
+                rec = os.path.basename(sf1_path)
+                seen = h.get("records", []) if h else []
+                if rec not in seen:
+                    seen = seen + [rec]
+                count = len(seen)
+                first = h["first_min_sf1_sec"] if h else cur_min
+                history[name] = {"first_min_sf1_sec": first,
+                                 "warn_count": count, "records": seen}
+                dispersion.append(
+                    f"  warn {name:24s} med {med:5.1f}x min {mn:5.1f}x  immaterial at sf1 ({qb[name]:.2f} s absolute < "
+                    f"{material_sec:.2f} s floor) — noise quotient, not a scale-killer "
+                    f"[warn #{count}; fails if sf1 min grows {GROWTH_FAIL}x over {first:.2f} s]")
         else:
             violations.append(f"  FAIL {name:24s} med {med:5.1f}x min {mn:5.1f}x  undischarged — add a baseline label, output-growth note, or policy arm")
     for line in discharged + dispersion + violations:
         print(line)
+    with open(warns_path, "w") as f:
+        json.dump(history, f, indent=1, sort_keys=True)
     print(f"\n{len(discharged)} discharged, {len(dispersion)} dispersion-only, "
-          f"{len(violations)} violations")
+          f"{len(violations)} violations  [warn ledger: {warns_path}]")
     return 1 if violations else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
