@@ -163,7 +163,11 @@ object Dsir {
     */
   def scoreDense(df: DataFrame, idCol: String, textCol: String,
                  lr: IndexedSeq[Long], buckets: Int): DataFrame = {
-    val m = typedlit(lr)
+    // UnsafeArrayData literal ([[DenseLit]]): the boxed typedlit
+    // encoding re-serializes per action and grows with buckets (the
+    // r11 ceiling finding) — at DSIR's production 10k default the
+    // difference is small, at fasttext-gate widths (1–10M) decisive
+    val m = DenseLit.longs(lr.toArray)
     val (uni, bi) = featureArrays(textCol, buckets)
     val score: Column => Column = arr =>
       aggregate(arr, lit(0L),
@@ -199,23 +203,39 @@ object Dsir {
     * `df` itself (production: a separate curated corpus — identical
     * join shape).
     */
-  /** Bucket-count ceiling for the literal-model scoring path: a
+  /** Bucket-count ceiling for the MAP-literal scoring path: a
     * typedlit map is a ~2·buckets-child CreateMap expression per
     * scoring projection, and past a few thousand children janino can
     * fall back to interpreted eval (64 KB method limit) — exactly the
     * regime where the broadcast-join form scales cleanly. 2048 keeps
-    * the literal comfortably inside one compiled method.
+    * the literal comfortably inside one compiled method. (The DENSE
+    * array literal is one expression node and does not share this
+    * ceiling — see [[DenseModelMaxBuckets]].)
     */
   val LiteralModelMaxBuckets = 2048
 
+  /** Measured ceiling of the DENSE array-literal serving path
+    * (r10 verdict #2 → r11 DenseCeilingExp): with the
+    * [[DenseLit]] UnsafeArrayData encoding the dense NB scorer is
+    * FLAT — 0.18/0.16/0.20/0.24 s at B = 16k/64k/256k/1M (join arm
+    * 0.24–0.35 s at every width) — so the constant sits at the
+    * largest MEASURED width, 1M buckets (a 9.4 MB taskBinary
+    * broadcast per action; 8·B bytes is the only resource that grows,
+    * and linearly). The sweep also caught why a ceiling was ever
+    * visible: the boxed `typedlit` encoding re-serialized an object
+    * graph per action and read 0.28 → 2.34 s over the same widths —
+    * an encoding artifact, not a lookup law ([[DenseLit]] doc).
+    * Covers DSIR's production default (10k) and fasttext-gate widths
+    * up to 1M; past it, the shuffled broadcast-join form serves.
+    */
+  val DenseModelMaxBuckets = 1 << 20
+
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         targetPred: Column, buckets: Int): DataFrame =
-    if (buckets > LiteralModelMaxBuckets)
-      // Production bucket counts (e.g. 10k hash buckets) would inline a
-      // ~20k-child CreateMap per projection — janino method-size
-      // fallback territory. Above the ceiling, route to the broadcast
-      // scoring join, which carries the same model as a ≤buckets-row
-      // broadcast relation instead of an expression tree.
+    if (buckets > DenseModelMaxBuckets)
+      // Past the measured dense width, route to the broadcast scoring
+      // join, which carries the model as a ≤buckets-row broadcast
+      // relation instead of a task-broadcast literal.
       importanceWeightsShuffled(df, idCol, textCol, targetPred, buckets)
     else {
       // Fit the buckets-bounded model (two bucket-count aggregations,

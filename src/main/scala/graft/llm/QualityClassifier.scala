@@ -359,11 +359,17 @@ object QualityClassifier {
     * 0.44→1.83 s (linear key scan per lookup), the shuffle join sits
     * at its flat ~0.6 s (stream-illegal: stateful re-aggregation),
     * and the one-row broadcast map climbs 1.2→8.3 s (map copied into
-    * every joined row — 14× the join at B=16k). Driver memory is
-    * `buckets` longs — the same B-bounded ceiling as the model table
-    * itself. This is THE serving form for hashed models at any B,
-    * batch or stream: stateless, zero shuffle, O(1) lookups, and
-    * faster than every other arm at every measured width.
+    * every joined row — 14× the join at B=16k). The r11 ceiling sweep
+    * (DenseCeilingExp) extends the law to production widths:
+    * 0.18/0.16/0.20/0.24 s at B = 16k/64k/256k/1M — flat to 1M under
+    * the [[DenseLit]] UnsafeArrayData encoding (the boxed typedlit
+    * encoding grew to 2.34 s at 1M from per-action object-graph
+    * serialization; [[Dsir.DenseModelMaxBuckets]] records the
+    * measured bound). Driver memory is `buckets` longs (8 MB at 1M)
+    * — the same B-bounded ceiling as the model table itself. This is
+    * THE serving form for hashed models at any measured B, batch or
+    * stream: stateless, zero shuffle, O(1) lookups, and faster than
+    * every other arm at every measured width.
     */
   def serveDense(model: DataFrame, prior: DataFrame,
                  buckets: Int): (IndexedSeq[Long], IndexedSeq[Boolean], Long) = {
@@ -380,8 +386,12 @@ object QualityClassifier {
   def nbScoreDense(docs: DataFrame, idCol: String, textCol: String,
                    llr: IndexedSeq[Long], occ: IndexedSeq[Boolean],
                    priorMicro: Long, buckets: Int): DataFrame = {
-    val llrLit = typedlit(llr)
-    val occLit = typedlit(occ)
+    // UnsafeArrayData literals, not typedlit: the boxed encoding
+    // re-serializes an object graph per action and grows with B
+    // (2.3 s at B=1M); the flat byte region is a memcpy — the r11
+    // ceiling finding ([[DenseLit]]). Values bit-identical.
+    val llrLit = DenseLit.longs(llr.toArray)
+    val occLit = DenseLit.booleans(occ.toArray)
     val idx: Column => Column = w =>
       (hashedFeature(buckets)(w) + lit(1L)).cast("int")
     val tokMicro: Column = aggregate(col("__ws"), lit(0L),
@@ -431,7 +441,7 @@ object QualityClassifier {
   def nbFilterDense(docs: DataFrame, textCol: String,
                     llr: IndexedSeq[Long], priorMicro: Long,
                     minScoreMicro: Long, buckets: Int): DataFrame = {
-    val llrLit = typedlit(llr)
+    val llrLit = DenseLit.longs(llr.toArray) // flat-in-B encoding ([[DenseLit]])
     val idx: Column => Column = w =>
       (hashedFeature(buckets)(w) + lit(1L)).cast("int")
     val tokMicro: Column = aggregate(toks(col(textCol)), lit(0L),

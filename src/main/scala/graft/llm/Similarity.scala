@@ -331,7 +331,7 @@ object Similarity {
     * [[ivfTopK]], factored out so [[AnnIndex.buildIvf]] persists the
     * IDENTICAL table (bit-equal folds: members summed in id order).
     */
-  private[llm] def cellCentroids(base: DataFrame, dim: Int,
+  private[graft] def cellCentroids(base: DataFrame, dim: Int,
                                  dotF: (Column, Column) => Column): DataFrame =
     base.groupBy("cell")
       .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("lst"),

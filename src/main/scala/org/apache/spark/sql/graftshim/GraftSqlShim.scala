@@ -16,4 +16,15 @@ object GraftSqlShim {
 
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** Wrap a raw Catalyst Expression as a Column (the classic-API
+    * `ExpressionUtils.column` is `private[sql]`). Needed for literals
+    * the public `typedlit` cannot build efficiently — e.g. a dense
+    * model as ONE `UnsafeArrayData` literal over a primitive array,
+    * which serializes as a flat byte region instead of a boxed
+    * object-graph walk (see `graft.llm.DenseLit`).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

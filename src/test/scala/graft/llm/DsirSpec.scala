@@ -126,20 +126,31 @@ class DsirSpec extends SparkSpec {
     assert(prod === ref)
   }
 
-  test("above the literal-model bucket ceiling, weights route to the broadcast-join form") {
-    // r7 ADVICE low: a 10k-bucket literal model is a ~20k-child
-    // CreateMap per projection — janino method-size fallback territory.
-    // The routed plan must carry the model as a join, not a literal,
-    // and values must agree with the explicit shuffled call.
+  test("above the dense-model bucket ceiling, weights route to the broadcast-join form") {
+    // r11: the dense UnsafeArrayData literal is measured flat to 1M
+    // buckets (DenseCeilingExp), so the dispatch ceiling moved from
+    // the janino map-literal bound (2048) to the measured dense width
+    // (DenseModelMaxBuckets = 1M). Past it the plan must carry the
+    // model as a join, not a literal; at DSIR's production 10k — the
+    // width r7 routed to the join — it now stays a joinless dense
+    // projection, and values must agree with the explicit shuffled
+    // call at both widths.
     val docs = Tables.documents(spark, sf())
     val tgt = col("source").isin("src0", "src1")
-    val buckets = Dsir.LiteralModelMaxBuckets * 2
+    val buckets = Dsir.DenseModelMaxBuckets * 2
     val routed = Dsir.importanceWeights(docs, "doc_id", "text", tgt, buckets)
     assert(routed.queryExecution.sparkPlan.toString.contains("Join"),
       "above the ceiling the scoring path must be the broadcast join")
-    val under = Dsir.importanceWeights(docs, "doc_id", "text", tgt, 1024)
-    assert(!under.queryExecution.sparkPlan.toString.contains("Join"),
-      "at or under the ceiling the literal-model projection stays joinless")
+    for (b <- Seq(1024, 10000)) {
+      val under = Dsir.importanceWeights(docs, "doc_id", "text", tgt, b)
+      assert(!under.queryExecution.sparkPlan.toString.contains("Join"),
+        s"at or under the ceiling (B=$b) the literal-model projection stays joinless")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"))).toMap
+      assert(key(under) ===
+        key(Dsir.importanceWeightsShuffled(docs, "doc_id", "text", tgt, b)))
+    }
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_feats"), r.getAs[Long]("w_micro"))).toMap
