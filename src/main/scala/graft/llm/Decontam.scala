@@ -226,7 +226,13 @@ object Decontam {
     val banned = heldout
       .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
       .localCheckpoint(true)
-    val bitmap = typedlit(bloomBuild(banned, "g", mBits, k))
+    // DenseLit, not typedlit: the bitmap IS a dense long array, and
+    // the boxed encoding re-serializes mBits/64 boxed longs into the
+    // taskBinary per action — at the "too large to broadcast" eval
+    // sizes this method exists for (mBits in the 2^27 range, millions
+    // of longs) that alone costs seconds (the r11 encoding law,
+    // DenseLit doc); the unsafe region is a memcpy at any width
+    val bitmap = DenseLit.longs(bloomBuild(banned, "g", mBits, k))
     val trainG = train.select(col(idCol).as("doc_id"),
       gramHashes(col(textCol), n).as("grams"))
     val candidates = trainG

@@ -187,6 +187,16 @@ object StreamBench {
     val (nbDllr, nbDocc, nbDprior) = graft.llm.QualityClassifier.serveDense(
       nbHashedModel, nbHashedPrior, 4096)
     println(s"nb hashed model features=${nbHm.size} (B=4096)")
+    // r11 (verdict #6): the same gate a DECADE past where the map
+    // literal cliffed — B=65536, inside the DenseCeilingExp
+    // measured-flat band. Throughput must hold ~flat vs the 4096 row
+    // (the 0.5 MB UnsafeArrayData literal is one memcpy per action).
+    val nbHashed64kModel = graft.llm.QualityClassifier.nbModel(
+      nbTrain, "text", nbPos,
+      graft.llm.QualityClassifier.hashedFeature(65536)).localCheckpoint()
+    val (nbD64llr, nbD64occ, nbD64prior) = graft.llm.QualityClassifier
+      .serveDense(nbHashed64kModel, nbHashedPrior, 65536)
+    println(s"nb hashed 64k model occupied=${nbHashed64kModel.count()} (B=65536)")
     // wordpiece vocab trained once on the batch corpus (8 BPE merges),
     // served as map literals — the tokenizer scorer is a stateless
     // pure projection on the stream
@@ -245,6 +255,12 @@ object StreamBench {
       // features at any bucket count
       "nb_quality_score_hashed_dense" -> (() => graft.llm.QualityClassifier
         .nbScoreDense(docSource(), "id", "text", nbDllr, nbDocc, nbDprior, 4096)),
+      // production width: the dense gate at B=65536 (state_rows must
+      // stay 0 and rows/s within ~15% of the 4096 row — the flat-in-B
+      // law at a width where the map literal would long have cliffed)
+      "nb_quality_score_hashed_dense_64k" -> (() => graft.llm.QualityClassifier
+        .nbScoreDense(docSource(), "id", "text", nbD64llr, nbD64occ,
+          nbD64prior, 65536)),
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
         buckets = 1024)),
