@@ -26,9 +26,22 @@ moves the min with the median while box interference moves only the
 upper runs. Records without `runs_min_med_max` (pre-r9) fall back to
 median-only with a warning.
 
-Usage: python3 tools/drift_check.py OLD.json NEW.json [threshold=1.5]
+Grandparent check (r11 finding, codified): min-confirmation assumes
+the OLD capture's min is a stable floor, but a min can itself be the
+lucky draw — `tfidf_top_terms` read in-suite mins of 3.23 / 2.54 /
+3.92 s across three same-code rounds, so the r10→r11 comparison
+min-confirmed a "regression" that the r9→r11 comparison (1.21x) and a
+standalone rerun (steady state BELOW every in-suite min) both refute.
+When a GRANDPARENT record (the round before OLD) is supplied, a
+flagged query whose canary-normalized min ratio vs the grandparent is
+under threshold is downgraded to dispersion with an "old-min outlier"
+note — two independent baselines must agree before the tool calls a
+regression.
+
+Usage: python3 tools/drift_check.py OLD.json NEW.json [threshold=1.5] [GRANDPARENT.json]
 Exit 1 if any query's canary-normalized slowdown exceeds threshold
-(min-confirmed where run triples are available).
+(min-confirmed where run triples are available; grandparent-refuted
+flags are dispersion).
 """
 import sys, json, statistics
 
@@ -43,7 +56,7 @@ def canary_factor(old, new):
     return statistics.median(ratios) if ratios else None
 
 
-def main(old_path, new_path, threshold=1.5):
+def main(old_path, new_path, threshold=1.5, gp_path=None):
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     fac = canary_factor(old, new)
@@ -53,6 +66,12 @@ def main(old_path, new_path, threshold=1.5):
         fac = 1.0
     else:
         print(f"ambient factor (median canary ratio new/old): {fac:.3f}")
+    gp, gp_fac, rg = None, None, {}
+    if gp_path:
+        gp = json.load(open(gp_path))
+        gp_fac = canary_factor(gp, new) or 1.0
+        rg = gp.get("runs_min_med_max") or {}
+        print(f"grandparent: {gp_path} (ambient factor vs new: {gp_fac:.3f})")
     qo, qn = old["queries"], new["queries"]
     ro = old.get("runs_min_med_max") or {}
     rn = new.get("runs_min_med_max") or {}
@@ -67,7 +86,17 @@ def main(old_path, new_path, threshold=1.5):
             if name in ro and name in rn and ro[name][0] > 0:
                 min_norm = (rn[name][0] / ro[name][0]) / fac
                 if min_norm > threshold:
-                    flagged.append((norm, raw, min_norm, name))
+                    # second baseline: a flag the grandparent refutes is
+                    # an old-min outlier, not a regression
+                    if name in rg and rg[name][0] > 0 and \
+                       (rn[name][0] / rg[name][0]) / gp_fac <= threshold:
+                        gp_norm = (rn[name][0] / rg[name][0]) / gp_fac
+                        print(f"  note: {name} min-confirmed vs OLD but "
+                              f"grandparent-stable ({gp_norm:.2f}x) — "
+                              "old min was the outlier; dispersion")
+                        dispersion.append((norm, raw, min_norm, name))
+                    else:
+                        flagged.append((norm, raw, min_norm, name))
                 else:
                     dispersion.append((norm, raw, min_norm, name))
             else:
@@ -99,4 +128,5 @@ def main(old_path, new_path, threshold=1.5):
 
 if __name__ == "__main__":
     t = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    sys.exit(main(sys.argv[1], sys.argv[2], t))
+    gp = sys.argv[4] if len(sys.argv) > 4 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], t, gp))
