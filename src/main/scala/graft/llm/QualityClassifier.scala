@@ -226,12 +226,16 @@ object QualityClassifier {
     * serving form, so `nbServeAuto(docs, …, model, prior, feat,
     * buckets)` is all a pipeline needs to write.
     *
-    *  - `buckets = Some(b)` (a [[hashedFeature]]`(b)` model): the
-    *    dense O(1) array-literal path ([[serveDense]] +
+    *  - `buckets = Some(b)` with `b ≤` [[Dsir.DenseModelMaxBuckets]]
+    *    (a [[hashedFeature]]`(b)` model inside the measured dense
+    *    width): the dense O(1) array-literal path ([[serveDense]] +
     *    [[nbScoreDense]]) — the NbServeExp 4-arm winner at EVERY
     *    measured width (flat 0.21–0.29 s from B=256 to 16384, and
-    *    flat through the r11 ceiling sweep widths), stateless,
-    *    zero-shuffle, stream-legal.
+    *    flat to B=1M in the r11 ceiling sweep under the [[DenseLit]]
+    *    encoding), stateless, zero-shuffle, stream-legal. Past the
+    *    measured width the dispatcher refuses to allocate an
+    *    unmeasured 8·b-byte literal and serves through the join forms
+    *    below (the model TABLE is vocabulary-bounded regardless of b).
     *  - word model with ≤ [[LiteralModelMaxFeatures]] occupied
     *    features: the zero-shuffle map literal ([[serve]] +
     *    [[nbScoreMap]]) — the measured winner below the janino
@@ -269,10 +273,21 @@ object QualityClassifier {
     val m0 = if (preMaterialized) model else model.persist()
     def dropOurCache(): Unit = if (!preMaterialized) { m0.unpersist(); () }
     buckets match {
-      case Some(b) =>
+      // hashed model inside the MEASURED dense width (DenseCeilingExp,
+      // flat to 1M): the dense array-literal winner
+      case Some(b) if b <= Dsir.DenseModelMaxBuckets =>
         val (llr, occ, pm) = serveDense(m0, prior, b)
         dropOurCache()
         nbScoreDense(docs, idCol, textCol, llr, occ, pm, b)
+      // hashed model PAST the measured width (e.g. a 16M-bucket
+      // fasttext-scale gate): don't allocate an unmeasured 8·B-byte
+      // literal — the model table is still ≤corpus-vocabulary rows, so
+      // the join forms serve it (stream: the one-row broadcast map;
+      // batch: the broadcast join) exactly as for large word models
+      case Some(_) if docs.isStreaming =>
+        nbScoreBroadcast(docs, idCol, textCol, serveRow(m0, prior), feature)
+      case Some(_) =>
+        nbScore(docs, idCol, textCol, m0, prior, feature)
       case None if m0.count() <= maxLiteralFeatures =>
         val (m, oov, pm) = serve(m0, prior)
         dropOurCache()

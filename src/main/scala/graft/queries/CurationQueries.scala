@@ -1481,6 +1481,38 @@ object CurationQueries {
       "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096"))
   )
 
+  /** The gate as a FILTER (QualityClassifier.nbFilterDense): held-out
+    * docs whose dense-served NB score clears the threshold flow
+    * through with ALL their columns — the composable production stage
+    * (score-then-replace forms emit score rows; a pipeline wants the
+    * document to continue to dedup/tokenize/sink). Zero shuffle,
+    * stream-legal; the kept set is provably
+    * `nbScoreDense(...).filter(score > thr)` (spec), which is exactly
+    * what the oracle restates: the score CTEs of nb_quality_hashed
+    * re-joined to the documents table as a WHERE clause.
+    */
+  val nbQualityGate: Q = Q(
+    "nb_quality_gate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val model = QualityClassifier.nbModel(train, "text", nbPos,
+        QualityClassifier.hashedFeature(4096))
+      val (llr, _, pm) = QualityClassifier.serveDense(
+        model, QualityClassifier.nbPrior(train, nbPos), 4096)
+      QualityClassifier.nbFilterDense(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        "text", llr, pm, minScoreMicro = -1600000L, 4096)
+    },
+    Some(s"""
+      WITH sc AS (${nbScoreSql(
+        "('0x' || substr(md5('nbq:' || w), 1, 8))::BIGINT % 4096")})
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+      FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+      WHERE sc.score_micro > -1600000
+    """)
+  )
+
   /** GPT-3's Pareto-sampled quality gate chained over the NB scorer
     * (QualityClassifier.paretoSample doc): kept docs + their quantized
     * keep-probability. The oracle restates the inverse-CDF deviate and
@@ -1589,6 +1621,6 @@ object CurationQueries {
     wordpieceEncode, unigramVocab, unigramEncode, fuzzyWordPairs,
     winnowFingerprints, winnowPairs, lmKneserNey,
     nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
-    nbQualityDense, nbQualityAuto,
+    nbQualityDense, nbQualityAuto, nbQualityGate,
     nbQualityPareto, nbQualityEval)
 }

@@ -215,6 +215,46 @@ class QualityClassifierSpec extends SparkSpec {
     assert(got === litRows, "stream route bit-equal to the batch routes")
   }
 
+  test("nbServeAuto refuses an unmeasured dense width: past-ceiling hashed models route to the join forms") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val tst = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val pos = col("source").isin("src0", "src1", "src2", "src3")
+    // a hashed width past the measured dense bound; the model TABLE is
+    // still vocabulary-bounded (~dozens of occupied rows here), so the
+    // join forms serve it without ever tabulating B entries
+    val b = graft.llm.Dsir.DenseModelMaxBuckets * 2
+    val feat = QualityClassifier.hashedFeature(b)
+    val model = QualityClassifier.nbModel(trn, "text", pos, feat)
+    val prior = QualityClassifier.nbPrior(trn, pos)
+    val batch = QualityClassifier.nbServeAuto(tst, "doc_id", "text",
+      model, prior, feat, buckets = Some(b))
+    val plan = batch.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"past-ceiling hashed batch route must broadcast-join the model:\n$plan")
+    // bit-equal to the map-literal reference at the same width
+    val (m, oov, pm) = QualityClassifier.serve(model.localCheckpoint(), prior)
+    val ref = QualityClassifier.nbScoreMap(tst, "doc_id", "text", m, oov, pm, feat)
+    assert(batch.orderBy("doc_id").collect().toSeq ===
+      ref.orderBy("doc_id").collect().toSeq)
+    // streaming input past the ceiling: the one-row broadcast-map form
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(tst.collect().toSeq.map(r => (r.getLong(0), r.getString(1))))
+    val streamed = QualityClassifier.nbServeAuto(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      model, prior, feat, buckets = Some(b))
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory")
+      .queryName("nb_auto_ceiling_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("nb_auto_ceiling_stream").orderBy("doc_id").collect().toSeq
+      === ref.orderBy("doc_id").collect().toSeq)
+  }
+
   test("nbServeAuto leaves a caller's own cached model cached, drops its own checkpoint on literal routes") {
     val docs = Tables.documents(spark, sf())
     val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
