@@ -38,10 +38,24 @@ under threshold is downgraded to dispersion with an "old-min outlier"
 note — two independent baselines must agree before the tool calls a
 regression.
 
+Materiality floor (r11, same derivation as ratio_screen.py): canary
+normalization assumes a query's cost scales with ambient box speed,
+which holds for data-bound work but NOT for the fixed per-query
+overheads (planning, codegen, driver round-trips, GC) that dominate
+sub-second queries — on a 25%-faster box those queries read as
+"canary-normalized regressions" because their floor cost did not
+shrink with the canaries (`pipeline_metrics`: in-suite min 1.06 s vs
+0.79 on a slower box, standalone steady state 0.52-0.86 s, sf0.1 row
+IMPROVED on the same code). A flagged query whose NEW absolute median
+is under 4 x the new record's canary_join median is therefore
+reported as immaterial drift (dispersion), UNLESS its raw ratio is
+>= 3x — a genuine order-of-magnitude blowup of a formerly-tiny query
+must still flag.
+
 Usage: python3 tools/drift_check.py OLD.json NEW.json [threshold=1.5] [GRANDPARENT.json]
 Exit 1 if any query's canary-normalized slowdown exceeds threshold
 (min-confirmed where run triples are available; grandparent-refuted
-flags are dispersion).
+and sub-floor immaterial flags are dispersion).
 """
 import sys, json, statistics
 
@@ -75,13 +89,25 @@ def main(old_path, new_path, threshold=1.5, gp_path=None):
     qo, qn = old["queries"], new["queries"]
     ro = old.get("runs_min_med_max") or {}
     rn = new.get("runs_min_med_max") or {}
+    ncan = new.get("canary_runs_sec") or {}
+    floor = 4.0 * statistics.median(ncan["canary_join"]) \
+        if "canary_join" in ncan else 0.0
+    if floor:
+        print(f"materiality floor: {floor:.2f} s "
+              "(fixed-overhead regime; sub-floor flags downgrade unless raw >= 3x)")
     flagged, dispersion, improved = [], [], []
     for name in sorted(set(qo) & set(qn)):
         if qo[name] <= 0.15:  # sub-noise-floor
             continue
         raw = qn[name] / qo[name]
         norm = raw / fac
-        if norm > threshold:
+        if norm > threshold and qn[name] < floor and raw < 3.0:
+            print(f"  note: {name} canary-normalized {norm:.2f}x but "
+                  f"absolute cost {qn[name]:.2f} s is under the "
+                  f"{floor:.2f} s fixed-overhead floor (raw {raw:.2f}x) — "
+                  "immaterial drift; dispersion")
+            dispersion.append((norm, raw, float("nan"), name))
+        elif norm > threshold:
             # confirm on the min column before calling it a regression
             if name in ro and name in rn and ro[name][0] > 0:
                 min_norm = (rn[name][0] / ro[name][0]) / fac
@@ -114,8 +140,9 @@ def main(old_path, new_path, threshold=1.5, gp_path=None):
         extra = f"  min-normalized {mn:5.2f}x" if mn == mn else ""
         print(f"  REGRESSION? {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x{extra}")
     for norm, raw, mn, name in sorted(dispersion, reverse=True):
-        print(f"  dispersion  {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x"
-              f"  min-normalized {mn:5.2f}x (min stable)")
+        tail = f"  min-normalized {mn:5.2f}x (min stable)" if mn == mn \
+            else "  (immaterial: under the fixed-overhead floor)"
+        print(f"  dispersion  {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x{tail}")
     for norm, raw, name in sorted(improved):
         print(f"  improved    {name:26s} raw {raw:5.2f}x  canary-normalized {norm:5.2f}x")
     only_new = sorted(set(qn) - set(qo))
