@@ -95,6 +95,10 @@ object CuratePipeline {
       .select(col("doc_id"), col("text"), col("quality_score"),
         col("re_tokens"), col("__cum").cast("long").as("cum_tokens"))
     kept.write.mode("overwrite").parquet(s"$outDir/curated")
+    // the curated slice is on disk now — drop the pipeline's own
+    // caches so repeated runs in one session don't accumulate blocks
+    // (the QualityClassifier.nbServeAuto cache-lifetime discipline)
+    surv.unpersist(); exact.unpersist(); scored.unpersist()
     val curated = spark.read.parquet(s"$outDir/curated")
     out += Stage("budget", curated.count(),
       Some(curated.agg(coalesce(max("cum_tokens"), lit(0L)))

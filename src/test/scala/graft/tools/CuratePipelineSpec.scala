@@ -30,9 +30,18 @@ class CuratePipelineSpec extends SparkSpec {
     assert(byStage("budget").tokens.get <= budget)
     val maxCum = curated.agg(max("cum_tokens")).collect()(0).getLong(0)
     assert(maxCum <= budget)
-    // deterministic: a second run yields the identical kept id set
+    // deterministic: a second run yields the identical kept id set —
+    // and drops its OWN three caches (the nbServeAuto lifetime
+    // discipline). Known library internals that legitimately outlive
+    // the call: PrefixSum's plan-referenced sorted cache and Dedup's
+    // persisted band index — so the bound is 2; the pipeline's own
+    // scored/exact/surv persists would push it to 5
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val dir2 = Files.createTempDirectory("graft_curate2").toString
     CuratePipeline.run(spark, docs, "doc_id", "text", dir2, budget)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"pipeline must drop its own caches (library internals excepted): $leaked")
     val a = curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val b = spark.read.parquet(s"$dir2/curated")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
