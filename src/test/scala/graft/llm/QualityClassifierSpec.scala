@@ -268,13 +268,17 @@ class QualityClassifierSpec extends SparkSpec {
     QualityClassifier.nbServeAuto(tst, "doc_id", "text", mine, prior).count()
     assert(mine.storageLevel.useMemory, "caller's cache must survive")
     mine.unpersist()
-    // un-cached model through the literal route: no lingering blocks
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    val auto = QualityClassifier.nbServeAuto(tst, "doc_id", "text",
-      QualityClassifier.nbModel(trn, "text", pos), prior)
+    // un-cached model through the literal route: the dispatcher's own
+    // persist must be released. The CacheManager is keyed by analyzed
+    // plan, so the caller's handle reads the internal cache's state —
+    // a deterministic probe (a global getPersistentRDDs diff races
+    // concurrently-running suites on the shared session)
+    val m2 = QualityClassifier.nbModel(trn, "text", pos)
+    assert(m2.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    val auto = QualityClassifier.nbServeAuto(tst, "doc_id", "text", m2, prior)
     auto.count()
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"literal route must drop its checkpoint blocks: $leaked")
+    assert(m2.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "literal route must drop the cache it created on the model plan")
   }
 
   test("nbFilter keeps exactly the nbScoreMap rows above the threshold") {
