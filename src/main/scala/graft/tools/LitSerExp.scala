@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
 object LitSerExp {
   def main(args: Array[String]): Unit = {
     val runs = args.headOption.map(_.toInt).getOrElse(5)
+    val widths = args.lift(1)
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(16384, 65536, 262144, 1048576))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,7 +37,7 @@ object LitSerExp {
     }
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    for (b <- Seq(16384, 65536, 262144, 1048576)) {
+    for (b <- widths) {
       val arr = Array.tabulate(b)(i => (i * 7L) % 1000L)
       val boxed = typedlit(arr.toIndexedSeq)
       val unsafe = GraftSqlShim.column(Literal(
