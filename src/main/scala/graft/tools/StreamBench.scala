@@ -197,6 +197,16 @@ object StreamBench {
     val (nbD64llr, nbD64occ, nbD64prior) = graft.llm.QualityClassifier
       .serveDense(nbHashed64kModel, nbHashedPrior, 65536)
     println(s"nb hashed 64k model occupied=${nbHashed64kModel.count()} (B=65536)")
+    // and at the full measured bound — B = DenseModelMaxBuckets (1M),
+    // fasttext-gate width: a 9 MB UnsafeArrayData literal riding every
+    // micro-batch's taskBinary; the ceiling sweep says the per-action
+    // cost stays sub-second, this row says the stream agrees
+    val nbHashed1mModel = graft.llm.QualityClassifier.nbModel(
+      nbTrain, "text", nbPos,
+      graft.llm.QualityClassifier.hashedFeature(1 << 20)).localCheckpoint()
+    val (nbD1mllr, nbD1mocc, nbD1mprior) = graft.llm.QualityClassifier
+      .serveDense(nbHashed1mModel, nbHashedPrior, 1 << 20)
+    println(s"nb hashed 1m model occupied=${nbHashed1mModel.count()} (B=1048576)")
     // wordpiece vocab trained once on the batch corpus (8 BPE merges),
     // served as map literals — the tokenizer scorer is a stateless
     // pure projection on the stream
@@ -261,6 +271,10 @@ object StreamBench {
       "nb_quality_score_hashed_dense_64k" -> (() => graft.llm.QualityClassifier
         .nbScoreDense(docSource(), "id", "text", nbD64llr, nbD64occ,
           nbD64prior, 65536)),
+      // the full measured dense bound on the stream (B=1M)
+      "nb_quality_score_hashed_dense_1m" -> (() => graft.llm.QualityClassifier
+        .nbScoreDense(docSource(), "id", "text", nbD1mllr, nbD1mocc,
+          nbD1mprior, 1 << 20)),
       "dsir_score" -> (() => graft.llm.Dsir.scoreWith(
         docSource(), "id", "text", dsirModel, defaultMicro = 0L,
         buckets = 1024)),
