@@ -258,16 +258,28 @@ object QualityClassifier {
     * collects and the cache is dropped before returning on the
     * literal/dense routes (the returned plan carries the model as
     * literals); on the join routes the cached table IS the serving
-    * relation and stays cached while the result lives. A
-    * caller-persisted `model` is detected and left alone.
-    * `maxLiteralFeatures` exists for tests and tuning; production
-    * callers leave the measured default.
+    * relation and stays cached while the result lives — the
+    * CacheManager is plan-keyed, so `model.unpersist()` on the
+    * caller's original DataFrame releases that entry once the result
+    * is no longer needed. A caller-persisted `model` is detected and
+    * left alone.
+    *
+    * Feature contract: `buckets = Some(b)` DECLARES the model was
+    * trained with [[hashedFeature]]`(b)` — every `Some(b)` route
+    * (dense literal AND the past-ceiling join forms) derives that
+    * feature internally and ignores the `feature` param, so a caller
+    * who forgets to pass `feature = hashedFeature(b)` cannot get
+    * silent all-OOV scores. `feature` applies only to word models
+    * (`buckets = None`). `maxLiteralFeatures` / `denseMaxBuckets`
+    * exist for tests and tuning; production callers leave the
+    * measured defaults.
     */
   def nbServeAuto(docs: DataFrame, idCol: String, textCol: String,
                   model: DataFrame, prior: DataFrame,
                   feature: Column => Column = wordFeature,
                   buckets: Option[Int] = None,
-                  maxLiteralFeatures: Int = LiteralModelMaxFeatures): DataFrame = {
+                  maxLiteralFeatures: Int = LiteralModelMaxFeatures,
+                  denseMaxBuckets: Int = Dsir.DenseModelMaxBuckets): DataFrame = {
     val preMaterialized =
       model.storageLevel.useMemory || model.storageLevel.useDisk
     val m0 = if (preMaterialized) model else model.persist()
@@ -275,7 +287,7 @@ object QualityClassifier {
     buckets match {
       // hashed model inside the MEASURED dense width (DenseCeilingExp,
       // flat to 1M): the dense array-literal winner
-      case Some(b) if b <= Dsir.DenseModelMaxBuckets =>
+      case Some(b) if b <= denseMaxBuckets =>
         val (llr, occ, pm) = serveDense(m0, prior, b)
         dropOurCache()
         nbScoreDense(docs, idCol, textCol, llr, occ, pm, b)
@@ -283,11 +295,18 @@ object QualityClassifier {
       // fasttext-scale gate): don't allocate an unmeasured 8·B-byte
       // literal — the model table is still ≤corpus-vocabulary rows, so
       // the join forms serve it (stream: the one-row broadcast map;
-      // batch: the broadcast join) exactly as for large word models
-      case Some(_) if docs.isStreaming =>
-        nbScoreBroadcast(docs, idCol, textCol, serveRow(m0, prior), feature)
-      case Some(_) =>
-        nbScore(docs, idCol, textCol, m0, prior, feature)
+      // batch: the broadcast join) exactly as for large word models.
+      // `buckets = Some(b)` is a CONTRACT that the model was trained
+      // with [[hashedFeature]]`(b)`, so these routes derive that
+      // feature themselves — exactly as the dense route does — rather
+      // than trusting the `feature` param (a caller leaving the
+      // default `wordFeature` would otherwise score every token OOV,
+      // silently)
+      case Some(b) if docs.isStreaming =>
+        nbScoreBroadcast(docs, idCol, textCol, serveRow(m0, prior),
+          hashedFeature(b))
+      case Some(b) =>
+        nbScore(docs, idCol, textCol, m0, prior, hashedFeature(b))
       case None if m0.count() <= maxLiteralFeatures =>
         val (m, oov, pm) = serve(m0, prior)
         dropOurCache()

@@ -46,7 +46,7 @@ object AnnLifecycle {
                          note: String) {
     def json: String = {
       val c = churn.map(v => f""","churn":$v%.4f""").getOrElse("")
-      s"""{"stage":"$stage","vectors":$vectors$c,"note":"$note"}"""
+      s"""{"stage":"${Json.esc(stage)}","vectors":$vectors$c,"note":"${Json.esc(note)}"}"""
     }
   }
 
@@ -89,14 +89,18 @@ object AnnLifecycle {
 
     // 3. DELTA ingest through the frozen quantizer + churn monitor
     delta.foreach { d =>
+      // overwrite, not append: a re-run against an existing indexDir
+      // must not union stale deltas from prior runs into the churn
+      // measurement (the build stage above already overwrote the index
+      // triple — the deltas dir has to reset with it)
       AnnIndex.ivfAssignStream(d, idCol, vecCol, q0)
-        .write.mode("append").parquet(s"$indexDir/deltas")
+        .write.mode("overwrite").parquet(s"$indexDir/deltas")
       val v1 = v0.union(spark.read.parquet(s"$indexDir/deltas"))
       val n1 = v1.count()
       val churn = churnOf(v1)
       val trip = retrainFactor * baseline
       out += Stage("delta", n1, Some(churn),
-        f"deltas appended; re-train trips at $trip%.4f (${retrainFactor}%.1fx baseline)")
+        f"deltas ingested; re-train trips at $trip%.4f (${retrainFactor}%.1fx baseline)")
 
       // 4. conditional RE-TRAIN
       if (churn > trip) {

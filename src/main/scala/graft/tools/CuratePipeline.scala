@@ -44,7 +44,7 @@ object CuratePipeline {
                          note: String) {
     def json: String = {
       val t = tokens.map(v => s""","tokens":$v""").getOrElse("")
-      s"""{"stage":"$stage","docs":$docs$t,"note":"$note"}"""
+      s"""{"stage":"${Json.esc(stage)}","docs":$docs$t,"note":"${Json.esc(note)}"}"""
     }
   }
 
@@ -61,7 +61,10 @@ object CuratePipeline {
       .select(col("doc_id"), col("text"), col("quality_score"), col("re_tokens"))
       .persist() // feeds exact dedup AND the survivor rejoin below
     out += Stage("quality", scored.count(),
-      Some(scored.agg(sum("re_tokens")).collect()(0).getLong(0)),
+      // coalesce: sum over zero survivors is NULL, and getLong would
+      // throw (the budget stage below already guards the same way)
+      Some(scored.agg(coalesce(sum("re_tokens"), lit(0L)))
+        .collect()(0).getLong(0)),
       "heuristic gate (length/word-length/digit-ratio) + regex token counts")
 
     // 3. exact dedup: min-id representative per normalized-text group

@@ -255,6 +255,53 @@ class QualityClassifierSpec extends SparkSpec {
       === ref.orderBy("doc_id").collect().toSeq)
   }
 
+  test("nbServeAuto Some(b) routes derive hashedFeature(b) themselves: default feature is bit-equal to dense") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+    val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val tst = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("text"))
+    val pos = col("source").isin("src0", "src1", "src2", "src3")
+    val b = 4096 // a fully-measured dense width
+    val model = QualityClassifier.nbModel(trn, "text", pos,
+      QualityClassifier.hashedFeature(b))
+    val prior = QualityClassifier.nbPrior(trn, pos)
+    // the dense reference at the same width — `feature` left at its
+    // DEFAULT wordFeature on purpose: Some(b) is the contract
+    val denseRows = QualityClassifier.nbServeAuto(tst, "doc_id", "text",
+        model, prior, buckets = Some(b))
+      .orderBy("doc_id").collect().toSeq
+    // sanity: scores are NOT all-OOV (some tokens hit the model) —
+    // the r11 footgun scored every token OOV on the join routes
+    assert(denseRows.exists(r => r.getLong(2) < r.getLong(1)),
+      "fixture must have in-vocabulary tokens for the footgun to matter")
+    // force the past-ceiling JOIN route at the same measured width via
+    // the test override, still with the DEFAULT feature param
+    val joined = QualityClassifier.nbServeAuto(tst, "doc_id", "text",
+      model, prior, buckets = Some(b), denseMaxBuckets = b - 1)
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"override must force the join route:\n$plan")
+    assert(joined.orderBy("doc_id").collect().toSeq === denseRows,
+      "past-ceiling join route with the default feature must derive hashedFeature(b)")
+    // and the past-ceiling STREAM route (one-row broadcast map)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(tst.collect().toSeq.map(r => (r.getLong(0), r.getString(1))))
+    val streamed = QualityClassifier.nbServeAuto(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      model, prior, buckets = Some(b), denseMaxBuckets = b - 1)
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory")
+      .queryName("nb_auto_derive_stream").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("nb_auto_derive_stream").orderBy("doc_id")
+      .collect().toSeq === denseRows,
+      "past-ceiling stream route with the default feature must derive hashedFeature(b)")
+  }
+
   test("nbServeAuto leaves a caller's own cached model cached, drops its own checkpoint on literal routes") {
     val docs = Tables.documents(spark, sf())
     val trn = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)

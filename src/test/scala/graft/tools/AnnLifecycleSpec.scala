@@ -50,6 +50,28 @@ class AnnLifecycleSpec extends SparkSpec {
     assert(byStage("probe").note.contains("rows"))
   }
 
+  test("AnnLifecycle.run is idempotent against an existing indexDir: no stale deltas union in") {
+    // r11 ADVICE: deltas used to write with mode("append"), so a second
+    // run against the same indexDir unioned the first run's deltas into
+    // the churn measurement — inflated counts, spuriously tripped
+    // re-train. Two identical runs must now report identical series.
+    val dir = Files.createTempDirectory("graft_lifecycle_rerun").toString
+    val emb = graft.Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding"))
+    val delta = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    def go() = AnnLifecycle.run(spark, emb, "vec_id", "embedding",
+      dir, cells = 8, delta = Some(delta))
+    val first = go()
+    val second = go()
+    assert(second.map(s => (s.stage, s.vectors)) ===
+      first.map(s => (s.stage, s.vectors)),
+      "re-running against the same indexDir must not change vector counts")
+    val deltaStage = second.find(_.stage == "delta").get
+    assert(deltaStage.vectors === 2 * emb.count(),
+      "delta stage must count exactly corpus + this run's delta")
+  }
+
   test("AnnLifecycle.run without a delta stops after probe and keeps the index") {
     val dir = Files.createTempDirectory("graft_lifecycle_nodelta").toString
     val emb = graft.Tables.embeddings(spark, sf())

@@ -38,6 +38,16 @@ first-seen value, the screen FAILS it - a genuinely superlinear
 operator surfaces as soon as it starts getting expensive instead of
 warning indefinitely.
 
+Growth-gate normalization (r11 ADVICE): the raw-seconds comparison
+would flip every repeat warn into a FAIL on a ~1.5x slower box - the
+exact cross-box artifact the canary-derived floor absorbs. So the
+first-seen min is stored (and compared) in CANARY_JOIN UNITS
+(min / the capture's own canary_join median), scaling the growth test
+with the box like the floor does. Ledger entries written before the
+units field are backfilled from their first-seen record's canaries
+when that record sits beside the ledger; failing that, the raw-seconds
+comparison applies (better a false fail than a silent superlinear op).
+
 Usage: python3 tools/ratio_screen.py BENCH_SF01_rN.json BENCH_SF1_rN.json [warns.json]
 Exit 1 on violations.
 """
@@ -100,17 +110,42 @@ ALLOWED = {
     "value_quantiles":    ("b", "exact rank selection over 10x rows"),
 }
 
-def derived_floor(sf1_record):
-    canaries = sf1_record.get("canary_runs_sec")
+def canary_unit(record):
+    """canary_join median of a capture, or None (pre-canary record)."""
+    canaries = record.get("canary_runs_sec")
     if not canaries or "canary_join" not in canaries:
+        return None
+    return statistics.median(canaries["canary_join"])
+
+
+def derived_floor(sf1_record):
+    unit = canary_unit(sf1_record)
+    if unit is None:
         print(f"materiality floor: {FALLBACK_MATERIAL_SEC:.2f} s "
               "(record lacks canaries — r10 fallback constant)")
         return FALLBACK_MATERIAL_SEC
-    unit = statistics.median(canaries["canary_join"])
     floor = CANARY_UNITS * unit
     print(f"materiality floor: {floor:.2f} s "
           f"(= {CANARY_UNITS:.0f} x canary_join median {unit:.3f} s at sf1)")
     return floor
+
+
+def first_min_units(h, unit, ledger_dir):
+    """First-seen min in canary_join units, backfilling pre-units ledger
+    entries from their first-seen record when it sits beside the ledger.
+    Returns None when no units basis exists (caller falls back to raw)."""
+    if h is None or unit is None:
+        return None
+    if "first_min_units" in h:
+        return h["first_min_units"]
+    for rec in h.get("records", [])[:1]:
+        p = os.path.join(ledger_dir, rec)
+        if os.path.exists(p):
+            u0 = canary_unit(json.load(open(p)))
+            if u0:
+                h["first_min_units"] = round(h["first_min_sf1_sec"] / u0, 4)
+                return h["first_min_units"]
+    return None
 
 
 def main(sf01_path, sf1_path, warns_path=None):
@@ -120,9 +155,11 @@ def main(sf01_path, sf1_path, warns_path=None):
     ta = a.get("runs_min_med_max", {})
     tb = b.get("runs_min_med_max", {})
     material_sec = derived_floor(b)
+    unit = canary_unit(b)
     if warns_path is None:
         warns_path = os.path.join(os.path.dirname(os.path.abspath(sf1_path)),
                                   "RATIO_WARNS.json")
+    ledger_dir = os.path.dirname(os.path.abspath(warns_path))
     history = json.load(open(warns_path)) if os.path.exists(warns_path) else {}
     violations, dispersion, discharged = [], [], []
     for name in sorted(qa):
@@ -141,10 +178,24 @@ def main(sf01_path, sf1_path, warns_path=None):
         elif qb[name] < material_sec:
             cur_min = tb[name][0] if name in tb else qb[name]
             h = history.get(name)
-            if h and cur_min >= GROWTH_FAIL * h["first_min_sf1_sec"]:
+            # growth gate in canary_join units when a units basis exists
+            # (r11 ADVICE: raw seconds would fail every repeat warn on a
+            # ~1.5x slower box); raw-seconds fallback otherwise
+            fm_units = first_min_units(h, unit, ledger_dir)
+            if fm_units is not None:
+                grown = (cur_min / unit) >= GROWTH_FAIL * fm_units
+                grown_msg = (f"sf1 min {cur_min / unit:.2f} cu >= {GROWTH_FAIL}x "
+                             f"first-seen {fm_units:.2f} cu (canary_join units)")
+            elif h is not None:
+                grown = cur_min >= GROWTH_FAIL * h["first_min_sf1_sec"]
+                grown_msg = (f"sf1 min {cur_min:.2f} s >= {GROWTH_FAIL}x "
+                             f"first-seen {h['first_min_sf1_sec']:.2f} s (raw — no canary basis)")
+            else:
+                grown, grown_msg = False, ""
+            if grown:
                 violations.append(
                     f"  FAIL {name:24s} med {med:5.1f}x min {mn:5.1f}x  repeat immaterial warn with GROWN cost: "
-                    f"sf1 min {cur_min:.2f} s >= {GROWTH_FAIL}x first-seen {h['first_min_sf1_sec']:.2f} s "
+                    f"{grown_msg} "
                     f"(warned {h['warn_count']}x before) — no longer noise, discharge or fix it")
             else:
                 # idempotent per record: re-screening the same capture
@@ -155,12 +206,19 @@ def main(sf01_path, sf1_path, warns_path=None):
                     seen = seen + [rec]
                 count = len(seen)
                 first = h["first_min_sf1_sec"] if h else cur_min
-                history[name] = {"first_min_sf1_sec": first,
-                                 "warn_count": count, "records": seen}
+                entry = {"first_min_sf1_sec": first,
+                         "warn_count": count, "records": seen}
+                if fm_units is not None:
+                    entry["first_min_units"] = fm_units
+                elif h is None and unit is not None:
+                    entry["first_min_units"] = round(cur_min / unit, 4)
+                history[name] = entry
+                basis = (f"{entry['first_min_units']:.2f} cu"
+                         if "first_min_units" in entry else f"{first:.2f} s")
                 dispersion.append(
                     f"  warn {name:24s} med {med:5.1f}x min {mn:5.1f}x  immaterial at sf1 ({qb[name]:.2f} s absolute < "
                     f"{material_sec:.2f} s floor) — noise quotient, not a scale-killer "
-                    f"[warn #{count}; fails if sf1 min grows {GROWTH_FAIL}x over {first:.2f} s]")
+                    f"[warn #{count}; fails if sf1 min grows {GROWTH_FAIL}x over {basis}]")
         else:
             violations.append(f"  FAIL {name:24s} med {med:5.1f}x min {mn:5.1f}x  undischarged — add a baseline label, output-growth note, or policy arm")
     for line in discharged + dispersion + violations:
