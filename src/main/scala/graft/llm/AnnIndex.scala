@@ -278,10 +278,21 @@ object AnnIndex {
   }
 
   /** Map-side nearest-centroid cell: `array_min` over (dist, cell)
-    * structs built from the collected centroid table as ONE array
-    * literal — struct ordering is (dist asc, cell asc), the exact
+    * structs — struct ordering is (dist asc, cell asc), the exact
     * batch-assignment tie rule; `dist = ‖v‖² + ‖c‖² − 2·v·c` at the
     * same `dotAdaptive` IEEE fold. Zero shuffle, stream-legal.
+    *
+    * The centroid table rides the plan as THREE flat primitive
+    * [[DenseLit]] literals (cv packed row-major k×dim, cn, cell ids)
+    * with O(1) offset arithmetic, not one boxed
+    * `typedLit(array<struct<int,array<double>,double>>)`: the nested
+    * encoding is an object graph the JavaSerializer re-walks into the
+    * taskBinary per MICRO-BATCH on the streaming ingest path, and its
+    * curve is heap-hostile as k grows ~√N (the r11/r12 encoding law;
+    * CentLitExp A/B at 32k/256k elements). The per-cell `slice` hands
+    * the native dot kernel the identical dim values in the identical
+    * order, so assignments stay bit-equal to [[ivfAssign]]
+    * (AnnIndexSpec's zero-flips pin is unchanged).
     */
   private def argminCell(df: DataFrame, centroids: DataFrame,
                          vec: Column, nrm: Column): Column = {
@@ -291,12 +302,17 @@ object AnnIndex {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, "centroid table is empty")
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim), "ragged centroid table")
     val dotF = Similarity.dotAdaptive(df)(_, _)
-    val centArr = typedLit(cents) // array<struct<_1:int,_2:array<double>,_3:double>>
-    array_min(transform(centArr, c =>
-      struct((nrm + c.getField("_3") -
-        lit(2.0) * dotF(vec, c.getField("_2"))).as("dist"),
-        c.getField("_1").as("cell"))))
+    val cvFlat = DenseLit.doubles(cents.flatMap(_._2).toArray)
+    val cnLit = DenseLit.doubles(cents.map(_._3).toArray)
+    val cellLit = DenseLit.longs(cents.map(_._1.toLong).toArray)
+    array_min(transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      struct((nrm + element_at(cnLit, i + 1) -
+        lit(2.0) * dotF(vec, slice(cvFlat, i * lit(dim) + lit(1), lit(dim))))
+          .as("dist"),
+        element_at(cellLit, i + 1).cast("int").as("cell"))))
       .getField("cell")
   }
 

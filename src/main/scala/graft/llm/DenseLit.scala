@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeArrayData}
 import org.apache.spark.sql.graftshim.GraftSqlShim
-import org.apache.spark.sql.types.{ArrayType, BooleanType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, LongType}
 
 /** Dense model arrays as UNSAFE array literals — the encoding that
   * makes dense serving flat in B all the way to 1M buckets.
@@ -40,4 +40,19 @@ object DenseLit {
     GraftSqlShim.column(Literal(
       UnsafeArrayData.fromPrimitiveArray(a),
       ArrayType(BooleanType, containsNull = false)))
+
+  /** `array<double not null>` literal over a primitive double array —
+    * the flat encoding for STRUCT-SHAPED model constants (PQ codebooks
+    * m×codes×sub, IVF centroids k×dim): pack row-major into one
+    * primitive array and index with O(1) offset arithmetic instead of
+    * nesting `typedlit(Seq[Seq[Double]])` (boxed object graph, the same
+    * heap-hostile curve the r11 16M probe OOMed on — production cells
+    * grow as √N, so the nested widths won't stay small). Values are
+    * bit-identical; only the wire encoding and the lookup arithmetic
+    * change (specs pin equality per consumer).
+    */
+  def doubles(a: Array[Double]): Column =
+    GraftSqlShim.column(Literal(
+      UnsafeArrayData.fromPrimitiveArray(a),
+      ArrayType(DoubleType, containsNull = false)))
 }

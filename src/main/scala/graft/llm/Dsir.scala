@@ -214,19 +214,27 @@ object Dsir {
     */
   val LiteralModelMaxBuckets = 2048
 
-  /** Measured ceiling of the DENSE array-literal serving path
-    * (r10 verdict #2 → r11 DenseCeilingExp): with the
-    * [[DenseLit]] UnsafeArrayData encoding the dense NB scorer is
-    * FLAT — 0.18/0.16/0.20/0.24 s at B = 16k/64k/256k/1M (join arm
-    * 0.24–0.35 s at every width) — so the constant sits at the
-    * largest MEASURED width, 1M buckets (a 9.4 MB taskBinary
-    * broadcast per action; 8·B bytes is the only resource that grows,
-    * and linearly). The sweep also caught why a ceiling was ever
-    * visible: the boxed `typedlit` encoding re-serialized an object
-    * graph per action and read 0.28 → 2.34 s over the same widths —
-    * an encoding artifact, not a lookup law ([[DenseLit]] doc).
-    * Covers DSIR's production default (10k) and fasttext-gate widths
-    * up to 1M; past it, the shuffled broadcast-join form serves.
+  /** Measured CROSSOVER of the DENSE array-literal serving path
+    * (r10 verdict #2 → r11 DenseCeilingExp → r12 extended sweep):
+    * with the [[DenseLit]] UnsafeArrayData encoding the dense NB
+    * scorer is FLAT to 1M buckets — 0.18/0.16/0.20/0.24 s at
+    * B = 16k/64k/256k/1M vs a 0.24–0.35 s join arm — and the r12
+    * sweep two decades PAST the bound (4M and 16M, bit-equality
+    * asserted per width, repeated at a 40× larger corpus) shows the
+    * unsafe arm keeps serving without OOM (the boxed encoding OOMed
+    * at 16M) but stops WINNING: at B=4M the 38 MB per-action
+    * taskBinary broadcast alone (~0.5–0.8 s; 151 MB / ~2 s at 16M)
+    * exceeds the join arm's entire width-invariant cost
+    * (dense/join = 1.35–2.44 at 4M, 3.7–6.9 at 16M, across both
+    * corpus sizes). Serialization is a memcpy at every width — the
+    * binding term past 1M is BROADCAST SHIPPING, which the join form
+    * avoids by carrying only the ≤vocabulary-row model relation. So
+    * the constant stays at the crossover: dense serves up to 1M
+    * (DSIR's 10k production default, fasttext-gate widths), the
+    * broadcast-join form serves past it — on measurement in both
+    * directions (SCALE_DECADES_r12). At a per-action corpus large
+    * enough that per-row cost dominates the fixed broadcast, a wider
+    * dense literal can win again; re-measure before moving this.
     */
   val DenseModelMaxBuckets = 1 << 20
 

@@ -67,17 +67,29 @@ object Pq {
     (books, encoded)
   }
 
-  /** The hoisted per-query ADC distance-table column (see pqTopK). */
+  /** The hoisted per-query ADC distance-table column (see pqTopK).
+    *
+    * The codebook rides the plan as ONE row-major primitive-double
+    * [[DenseLit]] literal — `(s, c, d) → s·codes·sub + c·sub + d` with
+    * O(1) offset arithmetic — not a nested `typedlit(Seq[Seq[Seq[_]]])`:
+    * the boxed object graph re-serializes per action and its curve is
+    * heap-hostile as codebooks grow (the r11/r12 encoding law; PqSpec
+    * pins bit-equality of the flat form against the boxed reference).
+    * Each squared-diff term and its fold order are operand-identical
+    * to the old `slice`+`zip_with` form, so values are bit-identical.
+    */
   private def dtColumn(qv: Column, books: Seq[Seq[(Int, Seq[Double])]],
                        m: Int, codes: Int, sub: Int): Column = {
-    val cent = typedlit(books.map(_.sortBy(_._1).map(_._2)))
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+    val flat = DenseLit.doubles(
+      books.flatMap(_.sortBy(_._1).flatMap(_._2)).toArray)
     transform(sequence(lit(0), lit(m - 1)), s =>
       transform(sequence(lit(0), lit(codes - 1)), c =>
-        sqd(slice(qv, s * lit(sub) + lit(1), lit(sub)),
-          element_at(element_at(cent, s + 1), c + 1))))
+        aggregate(sequence(lit(0), lit(sub - 1)), lit(0.0), (acc, d) => {
+          val x = element_at(qv, (s * lit(sub) + d + 1).cast("int")) -
+            element_at(flat,
+              (s * lit(codes * sub) + c * lit(sub) + d + 1).cast("int"))
+          acc + x * x
+        })))
   }
 
   /** adist = Σ_s dt[s][codes[s]] — fixed fold order, init 0.0. */

@@ -36,12 +36,17 @@ import graft.llm.QualityClassifier
   * whether plan build, task-binary broadcast, or constant-folding
   * overheads introduce a SOFT ceiling before driver memory does.
   *
-  * Usage: tools/run.sh graft.tools.DenseCeilingExp [sfDir] [runs]
+  * Usage: tools/run.sh graft.tools.DenseCeilingExp [sfDir] [runs] [widths]
+  * (widths comma-separated; default sweeps 16k → 4M. r12 extended the
+  * default one decade past r11's 1M bound on the LitSerExp 4M probe.)
   */
 object DenseCeilingExp {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val runs = args.lift(1).map(_.toInt).getOrElse(5)
+    val widths = args.lift(2)
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(16384, 65536, 262144, 1048576, 4194304))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -63,7 +68,7 @@ object DenseCeilingExp {
     }
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-    for (b <- Seq(16384, 65536, 262144, 1048576)) {
+    for (b <- widths) {
       val feat = QualityClassifier.hashedFeature(b)
       val model = QualityClassifier.nbModel(train, "text", col("pos"), feat)
         .localCheckpoint()
