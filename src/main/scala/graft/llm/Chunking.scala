@@ -66,10 +66,22 @@ object Chunking {
     * are engine-exact.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    seqLen: Int): DataFrame = {
+                    seqLen: Int): DataFrame =
+    packByCounts(df.select(col(idCol),
+      size(words(col(textCol))).as("__pack_tok")), idCol, "__pack_tok", seqLen)
+
+  /** [[packSequences]] generalized to CALLER-SUPPLIED token counts —
+    * the form a real pipeline needs once a trained tokenizer (BPE /
+    * WordPiece) replaces the whitespace regex: pack by the counts the
+    * training run will actually see. Same distributed PrefixSum
+    * machinery, same output contract; `packSequences` is the
+    * regex-count special case.
+    */
+  def packByCounts(df: DataFrame, idCol: String, countCol: String,
+                   seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val base = df.select(col(idCol).as("doc_id"),
-        size(words(col(textCol))).as("n_tok"))
+        col(countCol).cast("int").as("n_tok"))
       .withColumn("__tok", col("n_tok").cast(org.apache.spark.sql.types.DecimalType(20, 0)))
       .withColumn("__g", lit(0))
     val cum = graft.ops.PrefixSum.withRunningSum(base, "__g", Seq("doc_id"),

@@ -24,12 +24,35 @@ import graft.stream.{StatefulFeatures, StreamDedup, Streams}
   * close, and state eviction actually runs, unlike a single all-data
   * batch. Sink is `noop` (operator cost, not sink materialization).
   *
+  * Noise discipline (r11 verdict #4 — the batch records' canary/min
+  * machinery applied here): three same-code captures moved ±40%
+  * absolute in r11 with every relative claim stable, so a single-run
+  * single-capture record cannot support cross-round comparison. Each
+  * capture now (a) runs every operator [[Reps]] times on fresh
+  * checkpoints, publishing all reps and headlining the max rows/s (the
+  * stable column — interference only slows a replay down), and (b)
+  * embeds two FROZEN canary shapes at head and tail (stateless
+  * projection + watermarked tumbling agg) whose ratio across captures
+  * is the box/ambience factor. `tools/stream_drift.py` consumes two
+  * records, normalizes per-op by the canary factor, and mechanically
+  * re-checks the record's relative claims (dense ≥ other serving
+  * forms, no B-trend, native ≥ HOF, stateless ⇒ state_rows = 0,
+  * stateful bounds).
+  *
   * Usage: tools/run.sh graft.tools.StreamBench [sfDir] [replicas] [outJson]
   */
 object StreamBench {
 
   private val Chunks = 40
   private val FilesPerTrigger = 2
+
+  /** Per-op repetitions (fresh checkpoint each) — the stream analog of
+    * the batch records' min-of-3: ±40% same-code ambience was measured
+    * between single captures (NOTES_r11), so the record publishes every
+    * rep and headlines the MAX rows/s (the stable column — interference
+    * only ever slows a replay down). Override: SPARK_GRAFT_STREAM_REPS.
+    */
+  private val Reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -219,8 +242,28 @@ object StreamBench {
       StructField("ts", TimestampType), StructField("k", StringType),
       StructField("side", StringType), StructField("v", DoubleType)))
 
+    // ---- frozen canary shapes (r11 verdict #4) ----
+    // The control instruments of the batch records, stream form: two
+    // FROZEN shapes whose cost is code-independent — a stateless
+    // projection (scan+project floor) and a watermarked tumbling agg
+    // (shuffle+state floor). They run at the HEAD and TAIL of every
+    // capture (each with the same reps as the ops), so the record
+    // carries its own ambience measurement: cross-capture comparisons
+    // normalize per-op rows/s by the canary ratio
+    // (tools/stream_drift.py), and the head/tail spread bounds
+    // intra-capture interference. Do not edit these shapes — their
+    // value is being identical in every record from r12 on.
+    val canaryProject: () => DataFrame = () => source()
+      .select(col("key"), (col("price") * 2).as("p2"), col("tsUs"))
+    val canaryWindow: () => DataFrame = () => source()
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("key"))
+      .agg(sum("price").as("sp"), count(lit(1)).as("cnt"))
+
     // ---- operators under test ----
     val ops: Seq[(String, () => DataFrame)] = Seq(
+      "canary_project" -> canaryProject,
+      "canary_window" -> canaryWindow,
       "candle_features" -> (() => Streams.candleFeatures(source(), candleSchema,
         "ts", "k", "v", "side", "ASK", "1 minute", "10 minutes")),
       "stateful_ewma_ofi" -> (() => StatefulFeatures(source(), alpha = 0.8)),
@@ -322,7 +365,11 @@ object StreamBench {
           .select(col("id"),
             graft.llm.Wordpiece.tokenCountCol(col("text"), wpVocab,
               col("__im"), col("__cm")).as("wp_tokens"))
-      }))
+      }),
+      // tail canaries: the same frozen shapes again at capture end —
+      // the head/tail delta is the capture's own ambience reading
+      "canary_project_tail" -> canaryProject,
+      "canary_window_tail" -> canaryWindow)
 
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) 0.0
@@ -330,8 +377,13 @@ object StreamBench {
     def r1(v: Double) = math.rint(v * 10) / 10
     def r3(v: Double) = math.rint(v * 1000) / 1000
 
+    final case class Rep(wall: Double, rows: Long, nTriggers: Int,
+                         trigMs: Seq[Double], rowsPerSec: Seq[Double],
+                         stateRows: Seq[Long], stateBytes: Seq[Long]) {
+      def rps: Double = if (wall > 0) rows / wall else 0.0
+    }
+
     val results = ops.map { case (name, mk) =>
-      val ckpt = new java.io.File(work, s"ckpt-$name").getPath
       // transformWithState requires the RocksDB provider (multiple
       // column families); the others run on the default HDFS-backed
       // store so their state_bytes are comparable with each other
@@ -340,33 +392,41 @@ object StreamBench {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       else
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      val t0 = System.nanoTime()
-      val q: StreamingQuery = mk().writeStream
-        .format("noop")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .start()
-      q.processAllAvailable()
-      val wall = (System.nanoTime() - t0) / 1e9
-      val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
-      q.stop()
-      val trigMs = progress.map(_.durationMs.get("triggerExecution").toDouble)
-      val rowsPerSec = progress.map(p =>
-        p.numInputRows / (p.durationMs.get("triggerExecution").toDouble / 1000))
-      val stateRows = progress.map(
-        _.stateOperators.map(_.numRowsTotal).sum)
-      val stateBytes = progress.map(
-        _.stateOperators.map(_.memoryUsedBytes).sum)
-      val rows = progress.map(_.numInputRows).sum
+      // Reps repetitions per op, fresh checkpoint each (the file-source
+      // offsets live in the checkpoint — reusing one would replay
+      // nothing). Headline = the MAX-rows/s rep; every rep published.
+      val reps = (1 to Reps).map { r =>
+        val ckpt = new java.io.File(work, s"ckpt-$name-$r").getPath
+        val t0 = System.nanoTime()
+        val q: StreamingQuery = mk().writeStream
+          .format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        q.stop()
+        Rep(wall,
+          progress.map(_.numInputRows).sum,
+          progress.size,
+          progress.map(_.durationMs.get("triggerExecution").toDouble),
+          progress.map(p =>
+            p.numInputRows / (p.durationMs.get("triggerExecution").toDouble / 1000)),
+          progress.map(_.stateOperators.map(_.numRowsTotal).sum),
+          progress.map(_.stateOperators.map(_.memoryUsedBytes).sum))
+      }
+      val best = reps.maxBy(_.rps)
       val line = Seq(
-        s""""rows":$rows""",
-        s""""wall_sec":${r3(wall)}""",
-        s""""rows_per_sec_overall":${r1(rows / wall)}""",
-        s""""n_triggers":${progress.size}""",
-        s""""trigger_ms":{"p50":${r1(pct(trigMs, 0.5))},"p95":${r1(pct(trigMs, 0.95))},"max":${r1(if (trigMs.isEmpty) 0 else trigMs.max)}}""",
-        s""""rows_per_sec_per_trigger_p50":${r1(pct(rowsPerSec, 0.5))}""",
-        s""""state_rows":{"first":${stateRows.headOption.getOrElse(0L)},"max":${if (stateRows.isEmpty) 0L else stateRows.max},"last":${stateRows.lastOption.getOrElse(0L)}}""",
-        s""""state_bytes_max":${if (stateBytes.isEmpty) 0L else stateBytes.max}"""
+        s""""rows":${best.rows}""",
+        s""""wall_sec":${r3(best.wall)}""",
+        s""""rows_per_sec_overall":${r1(best.rps)}""",
+        s""""rows_per_sec_runs":${reps.map(r => r1(r.rps)).mkString("[", ",", "]")}""",
+        s""""n_triggers":${best.nTriggers}""",
+        s""""trigger_ms":{"p50":${r1(pct(best.trigMs, 0.5))},"p95":${r1(pct(best.trigMs, 0.95))},"max":${r1(if (best.trigMs.isEmpty) 0 else best.trigMs.max)}}""",
+        s""""rows_per_sec_per_trigger_p50":${r1(pct(best.rowsPerSec, 0.5))}""",
+        s""""state_rows":{"first":${best.stateRows.headOption.getOrElse(0L)},"max":${if (best.stateRows.isEmpty) 0L else best.stateRows.max},"last":${best.stateRows.lastOption.getOrElse(0L)}}""",
+        s""""state_bytes_max":${if (best.stateBytes.isEmpty) 0L else best.stateBytes.max}"""
       ).mkString("{", ",", "}")
       println(s"$name $line")
       s""""$name":$line"""
@@ -374,7 +434,7 @@ object StreamBench {
 
     val doc =
       s"""{"sf":"$sfDir","replicas":$replicas,"input_rows":$n,"chunks":$Chunks,""" +
-        s""""files_per_trigger":$FilesPerTrigger,"cpus":$cpus,""" +
+        s""""files_per_trigger":$FilesPerTrigger,"cpus":$cpus,"reps":$Reps,""" +
         s""""operators":${results.mkString("{", ",", "}")}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       (doc + "\n").getBytes("UTF-8"))
