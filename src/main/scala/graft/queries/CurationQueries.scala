@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -136,45 +137,61 @@ object CurationQueries {
     * `Window.orderBy` would serialize the whole surviving corpus into
     * one task at 100 TB.
     */
-  val curationPipeline: Q = Q(
-    "curation_pipeline",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val scored = TextStats.withTokenCounts(
-          TextStats.withQuality(docs, "text"), "text")
-        .filter(col("pass_filter"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-          col("quality_score"), col("re_tokens"))
-      // exact-dedup: keep the min doc_id of each normalized-text group
-      // persist: exact feeds BOTH the near-dup clustering and the
-      // survivor rejoin — its quality/token-count/window chain is the
-      // pipeline's dominant map-side cost and must not run twice
-      val exact = scored
-        .withColumn("__th", md5(TextHash.normalize(col("text"))))
-        .withColumn("__rep0", min("doc_id").over(Window.partitionBy("__th")))
-        .filter(col("doc_id") === col("__rep0"))
-        .drop("__th", "__rep0")
-        .persist()
-      // near-dup clusters among the remaining; keep representatives
-      val reps = Dedup.minHashClusters(exact, "doc_id", "text",
-          numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64)
-        .filter(col("doc_id") === col("rep_id"))
-        .select("doc_id")
-      val surv = exact.join(reps, "doc_id")
-        .select(col("doc_id"), col("lang"), col("quality_score"),
-          col("re_tokens"),
-          // descending-quality order as an ascending sort key (exact:
-          // IEEE negation) so the range partitioner sees plain asc
-          (-col("quality_score")).as("__negq"),
-          col("re_tokens").cast(DecimalType(20, 0)).as("__tok"),
-          lit(0).as("__g"))
-      val cum = PrefixSum.withRunningSum(surv, "__g",
-        Seq("__negq", "doc_id"), "__tok", "__cum")
-      cum.filter(col("__cum") <= TokenBudget)
-        .select(col("doc_id"), col("lang"), col("quality_score"),
-          col("re_tokens"), col("__cum").cast("long").as("cum_tokens"))
-    },
-    Some(s"""
+  /** The curated slice shared by `curation_pipeline` and
+    * `training_shards` (r12): the same gate → exact dedup → LSH
+    * representatives → quality-desc PrefixSum budget cut;
+    * `keepText` threads the text column through the cut for the
+    * downstream tokenizer (curation_pipeline leaves it out so its
+    * measured shuffle payload is unchanged).
+    */
+  private[queries] def curatedFrame(s: SparkSession, dir: String,
+                                    keepText: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val textCols = if (keepText) Seq(col("text")) else Seq.empty
+    val scored = TextStats.withTokenCounts(
+        TextStats.withQuality(docs, "text"), "text")
+      .filter(col("pass_filter"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        col("quality_score"), col("re_tokens"))
+    // exact-dedup: keep the min doc_id of each normalized-text group
+    // persist: exact feeds BOTH the near-dup clustering and the
+    // survivor rejoin — its quality/token-count/window chain is the
+    // pipeline's dominant map-side cost and must not run twice
+    val exact = scored
+      .withColumn("__th", md5(TextHash.normalize(col("text"))))
+      .withColumn("__rep0", min("doc_id").over(Window.partitionBy("__th")))
+      .filter(col("doc_id") === col("__rep0"))
+      .drop("__th", "__rep0")
+      .persist()
+    // near-dup clusters among the remaining; keep representatives
+    val reps = Dedup.minHashClusters(exact, "doc_id", "text",
+        numPerm = 16, bands = 4, tau = 0.85, maxBucket = 64)
+      .filter(col("doc_id") === col("rep_id"))
+      .select("doc_id")
+    val surv = exact.join(reps, "doc_id")
+      .select(Seq(col("doc_id"), col("lang"), col("quality_score"),
+        col("re_tokens")) ++ textCols ++ Seq(
+        // descending-quality order as an ascending sort key (exact:
+        // IEEE negation) so the range partitioner sees plain asc
+        (-col("quality_score")).as("__negq"),
+        col("re_tokens").cast(DecimalType(20, 0)).as("__tok"),
+        lit(0).as("__g")): _*)
+    val cum = PrefixSum.withRunningSum(surv, "__g",
+      Seq("__negq", "doc_id"), "__tok", "__cum")
+    cum.filter(col("__cum") <= TokenBudget)
+      .select(Seq(col("doc_id"), col("lang"), col("quality_score"),
+        col("re_tokens")) ++ textCols :+
+        col("__cum").cast("long").as("cum_tokens"): _*)
+  }
+
+  /** The curation chain as a reusable CTE body ending at `curated`
+    * (r12): curation_pipeline selects it directly; training_shards
+    * stacks the BPE/WordPiece/packing CTEs on top of it.
+    */
+  private def curationCtes(keepText: Boolean): String = {
+    val kText = if (keepText) ", k.text" else ""
+    val cText = if (keepText) ", text" else ""
+    s"""
       WITH RECURSIVE q0 AS (
         SELECT doc_id, lang, n_chars, text,
                list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
@@ -208,14 +225,23 @@ object CurationQueries {
       ${LlmQueries.minhashPairCteBody("kept")},
       ${LlmQueries.componentCtes},
       surv AS (
-        SELECT k.doc_id, k.lang, k.quality_score, k.re_tokens
+        SELECT k.doc_id, k.lang, k.quality_score, k.re_tokens$kText
         FROM kept k JOIN comp c ON c.doc_id = k.doc_id AND c.rep_id = k.doc_id),
       ranked AS (
         SELECT *, CAST(sum(re_tokens) OVER (ORDER BY quality_score DESC, doc_id)
                        AS BIGINT) AS cum
-        FROM surv)
-      SELECT doc_id, lang, quality_score, re_tokens, cum::BIGINT AS cum_tokens
-      FROM ranked WHERE cum <= $TokenBudget
+        FROM surv),
+      curated AS (
+        SELECT doc_id, lang, quality_score, re_tokens$cText,
+               cum::BIGINT AS cum_tokens
+        FROM ranked WHERE cum <= $TokenBudget)"""
+  }
+
+  val curationPipeline: Q = Q(
+    "curation_pipeline",
+    (s, dir) => curatedFrame(s, dir, keepText = false),
+    Some(curationCtes(keepText = false) + """
+      SELECT doc_id, lang, quality_score, re_tokens, cum_tokens FROM curated
     """)
   )
 
@@ -262,30 +288,38 @@ object CurationQueries {
     * table, a 1-row (count DESC, a, b) argmax, and a literal replace
     * of `" a b "` → `" ab "`.
     */
-  private def bpeCtes(k: Int): String = {
+  /** `src` / `pfx` / `withClause` exist for COMPOSITION (r12,
+    * training_shards): train the replayed BPE on a prior CTE's slice
+    * instead of the raw table, with every CTE name prefixed so the
+    * body coexists with the curation chain's names (`m1`, `d`, …)
+    * in one statement. Defaults reproduce the standalone oracles
+    * byte-for-byte.
+    */
+  private def bpeCtes(k: Int, src: String = "documents",
+                      pfx: String = "", withClause: Boolean = true): String = {
+    val head = if (withClause) "\n      WITH " else ",\n      "
     val sb = new StringBuilder(
-      """
-      WITH w0 AS MATERIALIZED (
+      s"""$head${pfx}w0 AS MATERIALIZED (
         SELECT word, count(*) AS cnt,
                ' ' || array_to_string(list_filter(string_split(word, ''), c -> c <> ''), ' ') AS s
-        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word FROM $src)
         GROUP BY 1)""")
     for (i <- 1 to k) sb.append(s""",
-      p$i AS MATERIALIZED (
+      ${pfx}p$i AS MATERIALIZED (
         SELECT (p).a AS a, (p).b AS b, CAST(sum(cnt) AS BIGINT) AS n
         FROM (SELECT cnt,
                 unnest(list_transform(range(1, len(l)),
                   j -> struct_pack(a := l[j], b := l[j + 1]))) AS p
               FROM (SELECT cnt, list_filter(string_split(s, ' '), x -> x <> '') AS l
-                    FROM w${i - 1}))
+                    FROM ${pfx}w${i - 1}))
         GROUP BY 1, 2),
-      m$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-      w$i AS MATERIALIZED (SELECT word, cnt,
+      ${pfx}m$i AS MATERIALIZED (SELECT a, b, n FROM ${pfx}p$i ORDER BY n DESC, a, b LIMIT 1),
+      ${pfx}w$i AS MATERIALIZED (SELECT word, cnt,
                 list_reduce(
                   list_prepend('', list_filter(string_split(s, ' '), x -> x <> '')),
                   (acc, t) -> CASE WHEN ends_with(acc, ' ' || a) AND t = b
                                    THEN acc || b ELSE acc || ' ' || t END) AS s
-              FROM w${i - 1} CROSS JOIN m$i)""")
+              FROM ${pfx}w${i - 1} CROSS JOIN ${pfx}m$i)""")
     sb.toString
   }
 
@@ -1022,30 +1056,32 @@ object CurationQueries {
     * of ≤ maxLen chars) while the Spark fold is char-indexed — both
     * compute "repeatedly consume the longest matching prefix".
     */
-  private def wordpieceCtes(k: Int, maxLen: Int): String = {
-    val sb = new StringBuilder(bpeCtes(k))
+  private def wordpieceCtes(k: Int, maxLen: Int, src: String = "documents",
+                            pfx: String = "",
+                            withClause: Boolean = true): String = {
+    val sb = new StringBuilder(bpeCtes(k, src, pfx, withClause))
     sb.append(s""",
-      vocab AS MATERIALIZED (
+      ${pfx}vocab AS MATERIALIZED (
         SELECT DISTINCT (p).piece AS piece, (p).cont AS cont
         FROM (SELECT unnest(list_transform(range(1, len(l) + 1),
                 j -> struct_pack(piece := l[j], cont := j > 1))) AS p
               FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS l
-                    FROM w$k))),
-      st0 AS (SELECT word, 1 AS pos, 0 AS toks,
+                    FROM ${pfx}w$k))),
+      ${pfx}st0 AS (SELECT word, 1 AS pos, 0 AS toks,
                      (length(word) > $maxLen OR length(word) = 0) AS unk
-              FROM w0)""")
+              FROM ${pfx}w0)""")
     for (i <- 1 to maxLen) sb.append(s""",
-      mt$i AS MATERIALIZED (SELECT s.word, max(length(v.piece)) AS l
-               FROM st${i - 1} s JOIN vocab v
+      ${pfx}mt$i AS MATERIALIZED (SELECT s.word, max(length(v.piece)) AS l
+               FROM ${pfx}st${i - 1} s JOIN ${pfx}vocab v
                  ON v.cont = (s.pos > 1)
                 AND substr(s.word, s.pos, length(v.piece)) = v.piece
                WHERE NOT s.unk AND s.pos <= length(s.word)
                GROUP BY 1),
-      st$i AS MATERIALIZED (SELECT s.word,
+      ${pfx}st$i AS MATERIALIZED (SELECT s.word,
                 CASE WHEN m.l IS NOT NULL THEN s.pos + m.l ELSE s.pos END AS pos,
                 CASE WHEN m.l IS NOT NULL THEN s.toks + 1 ELSE s.toks END AS toks,
                 s.unk OR (s.pos <= length(s.word) AND m.l IS NULL) AS unk
-               FROM st${i - 1} s LEFT JOIN mt$i m USING (word))""")
+               FROM ${pfx}st${i - 1} s LEFT JOIN ${pfx}mt$i m USING (word))""")
     sb.toString
   }
 
@@ -1074,6 +1110,55 @@ object CurationQueries {
              CAST(sum(wp.toks) AS BIGINT) AS wp_tokens,
              CAST(sum(CASE WHEN wp.unk THEN 1 ELSE 0 END) AS BIGINT) AS unk_words
       FROM d JOIN wp USING (word) GROUP BY 1
+    """)
+  )
+
+  private val ShardSeqLen = 256
+  private val ShardSeqsPerShard = 4
+
+  /** The TrainShards runner's composition as ONE oracle-anchored query
+    * (r12): curate (the curation_pipeline chain, text kept) → BPE
+    * merges trained ON the curated slice → WordPiece per-doc counts
+    * under that vocabulary → PrefixSum packing by the TRAINED
+    * tokenizer's counts → shard assignment
+    * (`shard = seq_id div $ShardSeqsPerShard`). Every stage is an
+    * already-oracled operator; this row pins their COMPOSITION — the
+    * oracle stacks the BPE/WordPiece CTEs (ts_-prefixed, trained on
+    * the `curated` CTE, not the raw table) onto the curation chain
+    * and replays the pack as a running sum in doc-id order, exactly
+    * `Chunking.packByCounts`. `tools.TrainShards` writes this same
+    * shape to a partitioned store; the CLI's disk layout is
+    * TrainShardsSpec's job, the values are this oracle's.
+    */
+  val trainingShards: Q = Q(
+    "training_shards",
+    (s, dir) => {
+      val curated = curatedFrame(s, dir, keepText = true)
+      val model = Bpe.train(curated, "text", BpeMerges)
+      val counts = Wordpiece.encodeCounts(curated, "doc_id", "text", model,
+        maxWordLen = WpMaxWordLen)
+      Chunking.packByCounts(counts, "doc_id", "wp_tokens", ShardSeqLen)
+        .withColumn("shard", expr(s"seq_id div $ShardSeqsPerShard"))
+    },
+    Some(curationCtes(keepText = true) +
+      wordpieceCtes(BpeMerges, WpMaxWordLen, src = "curated", pfx = "ts_",
+        withClause = false) + s""",
+      ts_tok AS (SELECT word, CASE WHEN unk THEN 1 ELSE toks END AS toks
+                 FROM ts_st$WpMaxWordLen),
+      ts_doc AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                 FROM curated),
+      ts_counts AS (SELECT d.doc_id, CAST(sum(t.toks) AS BIGINT) AS wp_tokens
+                    FROM ts_doc d JOIN ts_tok t USING (word) GROUP BY 1),
+      ts_packed AS (SELECT doc_id, wp_tokens,
+                      CAST(sum(wp_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+                    FROM ts_counts)
+      SELECT doc_id, wp_tokens::INT AS n_tok, cum::BIGINT AS cum_tokens,
+             ((cum - wp_tokens) // $ShardSeqLen)::BIGINT AS seq_id,
+             ((cum - wp_tokens) % $ShardSeqLen)::BIGINT AS seq_off,
+             ((cum - 1) // $ShardSeqLen - (cum - wp_tokens) // $ShardSeqLen + 1)::BIGINT AS n_seqs,
+             (((cum - wp_tokens) // $ShardSeqLen) // $ShardSeqsPerShard)::BIGINT AS shard
+      FROM ts_packed
     """)
   )
 
@@ -1622,5 +1707,5 @@ object CurationQueries {
     winnowFingerprints, winnowPairs, lmKneserNey,
     nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
     nbQualityDense, nbQualityAuto, nbQualityGate,
-    nbQualityPareto, nbQualityEval)
+    nbQualityPareto, nbQualityEval, trainingShards)
 }
