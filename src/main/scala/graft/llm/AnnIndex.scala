@@ -278,21 +278,29 @@ object AnnIndex {
   }
 
   /** Map-side nearest-centroid cell: `array_min` over (dist, cell)
-    * structs — struct ordering is (dist asc, cell asc), the exact
+    * structs built from the collected centroid table as ONE array
+    * literal — struct ordering is (dist asc, cell asc), the exact
     * batch-assignment tie rule; `dist = ‖v‖² + ‖c‖² − 2·v·c` at the
     * same `dotAdaptive` IEEE fold. Zero shuffle, stream-legal.
     *
-    * The centroid table rides the plan as THREE flat primitive
-    * [[DenseLit]] literals (cv packed row-major k×dim, cn, cell ids)
-    * with O(1) offset arithmetic, not one boxed
-    * `typedLit(array<struct<int,array<double>,double>>)`: the nested
-    * encoding is an object graph the JavaSerializer re-walks into the
-    * taskBinary per MICRO-BATCH on the streaming ingest path, and its
-    * curve is heap-hostile as k grows ~√N (the r11/r12 encoding law;
-    * CentLitExp A/B at 32k/256k elements). The per-cell `slice` hands
-    * the native dot kernel the identical dim values in the identical
-    * order, so assignments stay bit-equal to [[ivfAssign]]
-    * (AnnIndexSpec's zero-flips pin is unchanged).
+    * Encoding: the BOXED struct-array `typedLit` — kept ON MEASUREMENT
+    * after the r12 flat re-encode was tried and reverted (ArgminLitExp,
+    * 200k rows × dim 64, three bit-equal arms): the per-cell vector
+    * here is accessed by REFERENCE (`getField`, no copy), so the boxed
+    * arm reads 0.51/1.45/6.3 s at k = 64/256/1024, while the flat
+    * [[DenseLit.doubles]] form pays a per-ROW `slice` copy of dim
+    * doubles per (row, cell) — 2.9/10.6/42.7 s, ~6× at every k — and
+    * k separate per-cell literals cross a codegen-breadth boundary
+    * (48 s at k=64 in one giant compiled method, 2.5 s at k=1024 after
+    * fallback — non-monotone, not a servable law). The boxed per-ACTION
+    * serialization tax this encoding pays is trivial at quantizer
+    * widths (k·dim ≤ 32k elements sits on the flat part of the
+    * CentLitExp curve, ~0.24 s/action; SCALE_DECADES_r12) — the
+    * streaming ingest path pays it once per micro-batch against
+    * thousands of per-row dots. Flat DenseLit encodings stay where
+    * access is O(1)-INDEXED rather than whole-vector (NB/DSIR dense
+    * arrays, the bloom bitmap, [[Pq.dtColumn]]'s codebook) — the law
+    * is access-pattern-specific, not one-encoding-fits-all.
     */
   private def argminCell(df: DataFrame, centroids: DataFrame,
                          vec: Column, nrm: Column): Column = {
@@ -302,17 +310,12 @@ object AnnIndex {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq, r.getDouble(2)))
       .sortBy(_._1).toSeq
     require(cents.nonEmpty, "centroid table is empty")
-    val dim = cents.head._2.length
-    require(cents.forall(_._2.length == dim), "ragged centroid table")
     val dotF = Similarity.dotAdaptive(df)(_, _)
-    val cvFlat = DenseLit.doubles(cents.flatMap(_._2).toArray)
-    val cnLit = DenseLit.doubles(cents.map(_._3).toArray)
-    val cellLit = DenseLit.longs(cents.map(_._1.toLong).toArray)
-    array_min(transform(sequence(lit(0), lit(cents.size - 1)), i =>
-      struct((nrm + element_at(cnLit, i + 1) -
-        lit(2.0) * dotF(vec, slice(cvFlat, i * lit(dim) + lit(1), lit(dim))))
-          .as("dist"),
-        element_at(cellLit, i + 1).cast("int").as("cell"))))
+    val centArr = typedLit(cents) // array<struct<_1:int,_2:array<double>,_3:double>>
+    array_min(transform(centArr, c =>
+      struct((nrm + c.getField("_3") -
+        lit(2.0) * dotF(vec, c.getField("_2"))).as("dist"),
+        c.getField("_1").as("cell"))))
       .getField("cell")
   }
 
