@@ -424,6 +424,84 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): for each query vector,
+    * the k corpus vectors maximizing the RAW dot product — the
+    * retrieval objective of recommender/two-tower models, where the
+    * learned item norm IS part of the score and cosine's
+    * normalization would erase it. Same inherent-cost baseline shape
+    * as [[bruteTopK]] (query sample × corpus, sequential-fold dots,
+    * deterministic (dot desc, id) ties); [[mipsLshTopK]] is the scale
+    * arm.
+    */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String,
+               queryPred: Column, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+    val q = base.filter(queryPred).select(col("id").as("query_id"), col("v").as("qv"))
+    val scored = q.join(base, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        dotAdaptive(df)(col("qv"), col("v")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot", "rank")
+  }
+
+  /** [[mipsTopK]]'s scale arm: MIPS reduced to sign-LSH over
+    * AUGMENTED vectors (Bachrach et al., RecSys'14 / Neyshabur &
+    * Srebro, ICML'15). Sign-LSH buckets angles, but MIPS order is not
+    * an angular order — a long vector beats a well-aligned short one
+    * — so the corpus is lifted one dimension to
+    * `x̂ = [x, sqrt(m² − ‖x‖²)]` (m² the max corpus squared norm),
+    * making every `‖x̂‖` equal m, and the query to `q̂ = [q, 0]`: then
+    * `cos(q̂, x̂) ∝ q·x`, so angular buckets over the lifted vectors
+    * ARE inner-product buckets. Candidates share a lifted bucket in
+    * ≥1 plane group (+ optional Hamming-1 probes, as [[lshTopK]]),
+    * then exact 64-dim dots verify — identical output schema to the
+    * brute form, per-query work = bucket occupancy instead of |C|.
+    *
+    * Determinism/oracle: m² is a max (no float-sum ambiguity), the
+    * lift component is `sqrt(greatest(0, m² − ‖x‖²))` restated
+    * verbatim in DuckDB, planes are [[md5Planes]] at dim+1, and the
+    * query lift appends a literal 0.0 so both engines fold the same
+    * 65 terms. Scale: the max-norm scalar is a broadcast (one row),
+    * buckets are map-side, and only (grp, bucket) joins shuffle —
+    * the lshTopK recipe with bits/group growing as log₂(corpus).
+    */
+  def mipsLshTopK(df: DataFrame, idCol: String, vecCol: String,
+                  queryPred: Column, k: Int,
+                  planes: Seq[Seq[Seq[Double]]], probes: Int = 0): DataFrame = {
+    val dotF = dotAdaptive(df)(_, _)
+    val base0 = withNorm(df.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), "v")
+    val m2 = base0.agg(max(col("__norm")).as("__m2"))
+    val base = base0.crossJoin(broadcast(m2))
+    val corpus = base
+      .withColumn("__buckets", bucketsAll(df,
+        concat(col("v"), array(sqrt(greatest(lit(0.0), col("__m2") - col("__norm"))))),
+        planes, dotF))
+      .select(col("id"), col("v"), posexplode(col("__buckets")).as(Seq("grp", "bucket")))
+    val q0 = base.filter(queryPred)
+      .withColumn("__buckets", bucketsAll(df,
+        concat(col("v"), array(lit(0.0))), planes, dotF))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        posexplode(col("__buckets")).as(Seq("grp", "bucket")))
+    val q = if (probes <= 0) q0 else q0
+      .withColumn("__flip",
+        explode(typedLit(0L +: Seq.tabulate(probes)(1L << _))))
+      .withColumn("bucket", expr("bucket ^ __flip"))
+      .drop("__flip")
+    // skinny projection before the cross-group dedup — the lshTopK
+    // shuffle-volume discipline (bit-identical dots per group).
+    val cand = q.join(corpus, Seq("grp", "bucket"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        dotF(col("qv"), col("v")).as("dot"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot", "rank")
+  }
+
   /** Deterministic Lloyd k-means for IVF cell construction — the
     * missing first stage of the [[ivfTopK]] index (which takes cells
     * as given). Everything is pinned for engine-exact restatement:

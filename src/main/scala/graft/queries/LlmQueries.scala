@@ -2286,6 +2286,83 @@ object LlmQueries {
     """)
   )
 
+  /** Exact maximum-inner-product top-5 for the sampled queries — the
+    * two-tower retrieval objective (raw dot, no normalization: the
+    * learned item norm is part of the score). Brute baseline of the
+    * MIPS pair; same sampled-query × corpus shape as `cosine_topk`.
+    */
+  val mipsTopkQ: Q = Q(
+    "mips_topk",
+    (s, dir) => Similarity.mipsTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
+      s AS (SELECT query_id, t.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]),
+                               (a, b) -> a + b) AS dot
+            FROM q JOIN e t ON t.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
+  /** MIPS at scale: sign-LSH over one-dimension-LIFTED vectors
+    * (corpus `x̂ = [x, sqrt(m²−‖x‖²)]`, query `q̂ = [q, 0]` — the
+    * Bachrach/Neyshabur–Srebro reduction that turns inner-product
+    * order into angular order so LSH buckets apply), candidates from
+    * shared lifted buckets, exact dot verify. Planes are md5-derived
+    * at dim 65 ⇒ the oracle restates every double; recall vs
+    * `mips_topk` is asserted in SimilaritySpec.
+    */
+  val mipsLshQ: Q = Q(
+    "mips_lsh_topk",
+    (s, dir) => Similarity.mipsLshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 65, groups = 16, bitsPerGroup = 6)),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      m AS (SELECT max(nrm) AS m2 FROM n),
+      a AS (SELECT vec_id, v,
+                   list_append(v, sqrt(greatest(CAST(0 AS DOUBLE), m2 - nrm))) AS vh,
+                   list_append(v, CAST(0 AS DOUBLE)) AS qh
+            FROM n CROSS JOIN m),
+      pl AS (SELECT g, p,
+                    list_transform(range(65), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(6) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 66), i -> vh[i::INT] * plane[i::INT]),
+                                               (x, y) -> x + y) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM a CROSS JOIN pl GROUP BY 1, 2),
+      qbkt AS (SELECT vec_id, g,
+                      sum(CASE WHEN list_reduce(list_transform(range(1, 66), i -> qh[i::INT] * plane[i::INT]),
+                                                (x, y) -> x + y) > 0
+                               THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+               FROM a CROSS JOIN pl WHERE vec_id % 40 = 0 GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, t.vec_id AS neighbor_id
+               FROM qbkt q JOIN bkt t ON q.g = t.g AND q.bucket = t.bucket
+                AND t.vec_id <> q.vec_id),
+      s AS (SELECT c.query_id, c.neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qa.v[i::INT] * tb.v[i::INT]),
+                               (x, y) -> x + y) AS dot
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e tb ON tb.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupIncremental, dedupStreamIndex,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
@@ -2301,5 +2378,6 @@ object LlmQueries {
     pqTopkQ, annIvfPqQ, annIvfPqScaledQ, annRpRerankQ, annRpRerankScaledQ,
     annHammingRerankQ, annHammingScaledQ,
     annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ,
-    annIndexIvfQ, semanticDedupIndexedQ, annIndexChurnQ, annIvfDeltaQ)
+    annIndexIvfQ, semanticDedupIndexedQ, annIndexChurnQ, annIvfDeltaQ,
+    mipsTopkQ, mipsLshQ)
 }

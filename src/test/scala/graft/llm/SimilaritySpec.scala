@@ -70,6 +70,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5) // approximate method, md5-derived → deterministic bound
   }
 
+  test("mips topk: k rows per query, self excluded, order is by raw dot not cosine") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val out = Similarity.mipsTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5).cache()
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) === 5L))
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    // the raw-dot objective is real: where MIPS and cosine pick
+    // different neighbor SETS, the difference is exactly the item-norm
+    // term cosine erases. Logged, not asserted (geometry-dependent).
+    val cos = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mips = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(f"mips∩cosine overlap = ${(mips & cos).size.toDouble / mips.size}%.3f")
+  }
+
+  test("mips lsh recall vs brute mips, and determinism") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val brute = Similarity.mipsTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planes = Similarity.md5Planes(dim = 65, groups = 16, bitsPerGroup = 6)
+    def run() = Similarity.mipsLshTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5, planes)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = run()
+    val recall = (brute & approx).size.toDouble / brute.size
+    info(s"mips lsh recall@5 = $recall (${approx.size} approx rows, ${brute.size} exact)")
+    assert(recall > 0.5) // lifted-bucket approximation, md5-derived → deterministic bound
+    assert(run() === approx) // md5 planes + max-norm lift: fully deterministic
+  }
+
   test("ivf multi-probe recall dominates single-probe recall") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
