@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, ParagraphDedup, QualityClassifier, Sampling, TextHash, TextStats, Unigram, Winnow, Wordpiece}
+import graft.llm.{Bpe, Chunking, CountMin, Decontam, Dedup, Dsir, GopherRules, LangModel, Mixture, ParagraphDedup, QualityClassifier, Sampling, TextHash, TextStats, Unigram, Winnow, Wordpiece}
 import graft.ops.PrefixSum
 
 /** Training-data curation operators: deterministic splits/sampling,
@@ -1697,6 +1697,101 @@ object CurationQueries {
     """)
   )
 
+  /** Water-filling domain-mixture allocation: a 50% token budget
+    * split across sources by skewed dyadic target weights
+    * (`2^-(i mod 6)` for `srcI`), with scarce high-weight domains
+    * exhausted and their deficit redistributed — the closed-form
+    * K-row window computation (Mixture scaladoc). Everything —
+    * integer availability, dyadic weights, the λ divisions, the
+    * `floor(λ*·w)` cut — restates verbatim in DuckDB.
+    */
+  val domainMix: Q = Q(
+    "domain_mix",
+    (s, dir) => Mixture.waterFill(
+      TextStats.withTokenCounts(Tables.documents(s, dir), "text"),
+      "source", col("re_tokens"),
+      d => lit(1.0) / call_function("shiftleft", lit(1), substring(d, 4, 8).cast("int") % 6),
+      budgetFrac = 0.5),
+    Some("""
+      WITH d AS (
+        SELECT source AS domain,
+               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS avail_tokens
+        FROM documents GROUP BY 1),
+      w AS (SELECT domain, avail_tokens,
+                   CAST(1 AS DOUBLE) / (1 << (CAST(substr(domain, 4) AS INT) % 6)) AS weight
+            FROM d),
+      t AS (SELECT sum(avail_tokens)::BIGINT AS tot_a, sum(weight) AS tot_w FROM w),
+      c AS (SELECT w.*, t.tot_a, t.tot_w,
+                   coalesce(sum(avail_tokens) OVER pre, 0)::BIGINT AS cum_a,
+                   coalesce(sum(weight) OVER pre, CAST(0 AS DOUBLE)) AS cum_w
+            FROM w CROSS JOIN t
+            WINDOW pre AS (ORDER BY CAST(avail_tokens AS DOUBLE) / weight, domain
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      l AS (SELECT *,
+                   CAST(CAST(floor(CAST(tot_a AS DOUBLE) * 0.5) AS BIGINT) - cum_a AS DOUBLE)
+                     / (tot_w - cum_w) AS lam
+            FROM c),
+      ls AS (SELECT max(lam) AS lam_star FROM l),
+      o AS (SELECT domain, avail_tokens, weight,
+                   least(avail_tokens, CAST(floor(lam_star * weight) AS BIGINT)) AS alloc_tokens
+            FROM l CROSS JOIN ls)
+      SELECT domain, avail_tokens, weight, alloc_tokens,
+             alloc_tokens = avail_tokens AS exhausted,
+             CAST(alloc_tokens AS DOUBLE) / avail_tokens AS fill_rate
+      FROM o
+    """)
+  )
+
+  /** The mixture allocation applied: per-document deterministic
+    * Bernoulli at the domain's fill rate under a K-row broadcast —
+    * map-side, retry-stable, expected kept tokens = the water-fill
+    * allocation. The oracle replays the full allocation chain and
+    * the md5-deviate filter.
+    */
+  val domainMixSample: Q = Q(
+    "domain_mix_sample",
+    (s, dir) => {
+      val docs = TextStats.withTokenCounts(Tables.documents(s, dir), "text")
+      val alloc = Mixture.waterFill(docs, "source", col("re_tokens"),
+        d => lit(1.0) / call_function("shiftleft", lit(1), substring(d, 4, 8).cast("int") % 6),
+        budgetFrac = 0.5)
+      Mixture.applyBernoulli(docs, "doc_id", "source", alloc)
+        .select("doc_id", "source", "re_tokens", "fill_rate")
+    },
+    Some("""
+      WITH d AS (
+        SELECT source AS domain,
+               sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS avail_tokens
+        FROM documents GROUP BY 1),
+      w AS (SELECT domain, avail_tokens,
+                   CAST(1 AS DOUBLE) / (1 << (CAST(substr(domain, 4) AS INT) % 6)) AS weight
+            FROM d),
+      t AS (SELECT sum(avail_tokens)::BIGINT AS tot_a, sum(weight) AS tot_w FROM w),
+      c AS (SELECT w.*, t.tot_a, t.tot_w,
+                   coalesce(sum(avail_tokens) OVER pre, 0)::BIGINT AS cum_a,
+                   coalesce(sum(weight) OVER pre, CAST(0 AS DOUBLE)) AS cum_w
+            FROM w CROSS JOIN t
+            WINDOW pre AS (ORDER BY CAST(avail_tokens AS DOUBLE) / weight, domain
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      l AS (SELECT *,
+                   CAST(CAST(floor(CAST(tot_a AS DOUBLE) * 0.5) AS BIGINT) - cum_a AS DOUBLE)
+                     / (tot_w - cum_w) AS lam
+            FROM c),
+      ls AS (SELECT max(lam) AS lam_star FROM l),
+      o AS (SELECT domain, avail_tokens,
+                   least(avail_tokens, CAST(floor(lam_star * weight) AS BIGINT)) AS alloc_tokens
+            FROM l CROSS JOIN ls),
+      docs AS (SELECT doc_id, source,
+                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+               FROM documents)
+      SELECT doc_id, source, re_tokens,
+             CAST(alloc_tokens AS DOUBLE) / avail_tokens AS fill_rate
+      FROM docs JOIN o ON docs.source = o.domain
+      WHERE ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+            < CAST(alloc_tokens AS DOUBLE) / avail_tokens
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
@@ -1707,5 +1802,5 @@ object CurationQueries {
     winnowFingerprints, winnowPairs, lmKneserNey,
     nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
     nbQualityDense, nbQualityAuto, nbQualityGate,
-    nbQualityPareto, nbQualityEval, trainingShards)
+    nbQualityPareto, nbQualityEval, trainingShards, domainMix, domainMixSample)
 }
