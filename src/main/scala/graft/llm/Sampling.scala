@@ -155,19 +155,54 @@ object Sampling {
     */
   def globalShuffle(df: DataFrame, idCol: String, nShards: Int,
                     salt: String = "shuffle"): DataFrame = {
+    val keyed = df.withColumn("skey",
+      TextHash.h60(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+    rankWithOffsets(keyed, Seq(col("skey"), col(idCol)), nShards)
+  }
+
+  /** Quality-annealed curriculum order: a reproducible training
+    * order where documents are banded by a quality signal and bands
+    * are consumed low→high — the "finish on the best data" annealing
+    * schedule — with an md5 shuffle INSIDE each band (a curriculum
+    * that is sorted within bands would feed the model near-duplicate
+    * difficulty runs). `bandCol` must be a map-side deterministic
+    * expression (fixed thresholds, NOT ntile — a global ntile is a
+    * one-task window and a scale-killer; fixed thresholds cost
+    * nothing and keep band membership stable as the corpus grows).
+    * Output adds `band`, `skey`, `pos` (contiguous 0..n−1 in
+    * (band, skey, id) order), `shard`.
+    *
+    * Scale: same machinery as [[globalShuffle]] — range-partitioned
+    * parallel sort + the PrefixSum offset pattern; adding the band
+    * as the leading sort key is free.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, bandCol: Column,
+                      nShards: Int, salt: String = "curriculum"): DataFrame = {
+    val keyed = df.withColumn("band", bandCol).withColumn("skey",
+      TextHash.h60(concat_ws(":", lit(salt), col(idCol).cast("string"))))
+    rankWithOffsets(keyed, Seq(col("band"), col("skey"), col(idCol)), nShards)
+  }
+
+  /** Shared distributed-rank machinery: global positions equal to
+    * `row_number() OVER (ORDER BY sortCols) - 1` without a one-task
+    * global window — range partitioning on the sort key makes
+    * partition order equal global key order, a per-partition count
+    * collects O(partitions) metadata, and exclusive-prefix offsets
+    * broadcast back for a partition-local index add.
+    */
+  private def rankWithOffsets(keyed: DataFrame, sortCols: Seq[Column],
+                              nShards: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.LongType
     require(nShards > 0, "nShards must be positive")
-    val keyed = df.withColumn("skey",
-      TextHash.h60(concat_ws(":", lit(salt), col(idCol).cast("string"))))
     // count pass + index pass must see identical partitions. The cache
     // lives as long as the caller holds the result (ContextCleaner
     // reclaims it afterwards); a per-epoch production writer should
     // instead write the shuffled output and drop the frame — the
     // selfOverlapPairs materialize-vs-cache note applies here too.
     val sorted = keyed
-      .repartitionByRange(col("skey"), col(idCol))
-      .sortWithinPartitions(col("skey"), col(idCol))
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
@@ -177,7 +212,7 @@ object Sampling {
     val maxPid = if (counts.isEmpty) -1 else counts.keys.max
     val offsets = new Array[Long](maxPid + 2)
     (0 to maxPid).foreach(p => offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L))
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val bc = keyed.sparkSession.sparkContext.broadcast(offsets)
     val pidIdx = sorted.schema.fieldIndex("__pid")
     val outSchema = sorted.schema.add("pos", LongType).add("shard", LongType)
     val result = sorted.mapPartitions { it =>

@@ -1792,6 +1792,59 @@ object CurationQueries {
     """)
   )
 
+  /** Quality-annealed curriculum: documents banded by fixed
+    * quality-score thresholds (`min(9, floor(q·10))` — map-side, NOT
+    * a one-task global ntile), consumed low-band→high-band with an
+    * md5 shuffle inside each band, positions from the distributed
+    * rank machinery (Sampling.curriculumOrder). The oracle is the
+    * single-window `row_number() OVER (ORDER BY band, skey, doc_id)`
+    * form — the two agreeing proves the parallel rank exact, as
+    * `global_shuffle` does for the unbanded case.
+    */
+  val curriculumOrderQ: Q = Q(
+    "curriculum_order",
+    (s, dir) => Sampling.curriculumOrder(
+      TextStats.withQuality(Tables.documents(s, dir), "text"),
+      "doc_id",
+      least(lit(9), floor(col("quality_score") * lit(10.0)).cast("int")),
+      nShards = 8)
+      .select("doc_id", "band", "skey", "pos", "shard"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+               length(text) AS len0,
+               string_split_regex(trim(text), '\s+') AS ws,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+               len(list_intersect(toks, ['the','a','of','and','to','is','in'])) AS stop_hits,
+               len(toks) AS n_distinct
+        FROM t),
+      f2 AS (
+        SELECT doc_id, len0, len(ws) AS n_words,
+               list_reduce(list_transform(ws, w -> length(w)), (a, b) -> a + b) AS sum_word_len,
+               digits, stop_hits, n_distinct
+        FROM f),
+      q AS (
+        SELECT doc_id,
+               0.4 * (stop_hits::DOUBLE / n_distinct)
+                 + 0.3 * (1.0 - digits::DOUBLE / len0)
+                 + 0.3 * least(sum_word_len::DOUBLE / n_words / 8.0, 1.0) AS quality_score
+        FROM f2),
+      b AS (
+        SELECT doc_id,
+               least(9, CAST(floor(quality_score * CAST(10 AS DOUBLE)) AS INT)) AS band,
+               ('0x' || substr(md5('curriculum:' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey
+        FROM q)
+      SELECT doc_id, band, skey,
+             row_number() OVER (ORDER BY band, skey, doc_id) - 1 AS pos,
+             (row_number() OVER (ORDER BY band, skey, doc_id) - 1) % 8 AS shard
+      FROM b
+    """)
+  )
+
   val all: Seq[Q] = Seq(trainSplit, stratifiedSample, tokenTopK, perSourceCap,
     curationPipeline, decontamOverlap, decontamBloom, globalShuffleQ, ppsSample,
     repetitionStats, docChunks,
@@ -1802,5 +1855,6 @@ object CurationQueries {
     winnowFingerprints, winnowPairs, lmKneserNey,
     nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
     nbQualityDense, nbQualityAuto, nbQualityGate,
-    nbQualityPareto, nbQualityEval, trainingShards, domainMix, domainMixSample)
+    nbQualityPareto, nbQualityEval, trainingShards, domainMix, domainMixSample,
+    curriculumOrderQ)
 }

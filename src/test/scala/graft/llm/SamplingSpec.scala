@@ -149,4 +149,27 @@ class SamplingSpec extends SparkSpec {
       .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.forall { case (id, p, _) => again(id) == p })
   }
+
+  test("curriculumOrder: bands consumed in order, shuffled within, permutation exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 400L).map(i => (i, (i % 4).toInt)).toDF("id", "quality_band")
+    val out = Sampling.curriculumOrder(df, "id", col("quality_band"), nShards = 4)
+      .select("id", "band", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq === (0L until 400L))
+    // band blocks are contiguous and ascending along the position axis
+    val byPos = out.sortBy(_._3).map(_._2)
+    assert(byPos.toSeq === byPos.sorted.toSeq)
+    // within a band the order is the md5 shuffle, not id order
+    val band0Ids = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(band0Ids.toSeq !== band0Ids.sorted.toSeq)
+    // equals the single-window rank form
+    val keyed = df.withColumn("skey", graft.llm.TextHash.h60(
+      concat_ws(":", lit("curriculum"), col("id").cast("string"))))
+    val win = keyed.withColumn("pos",
+        row_number().over(Window.orderBy(col("quality_band"), col("skey"), col("id"))) - 1)
+      .select("id", "pos").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(out.forall { case (id, _, p) => win(id) == p })
+  }
 }
