@@ -72,6 +72,33 @@ object Mixture {
       (alloc.cast("double") / col("avail_tokens")).as("fill_rate"))
   }
 
+  /** Data-CONSTRAINED mixture planning (the "Scaling Data-Constrained
+    * Language Models" regime): the budget EXCEEDS what some domains
+    * hold, so domains repeat — up to `maxEpochs` passes, past which
+    * repetition stops helping and the remainder redistributes. This
+    * is [[waterFill]] over inflated caps `maxEpochs·a_k` (repetition
+    * multiplies availability, nothing else changes), with
+    * `budgetFrac` still expressed against the RAW total — the inner
+    * call divides it by `maxEpochs` to undo the cap inflation, so
+    * pick `budgetFrac/maxEpochs` exact-dyadic for oracle parity
+    * (the query uses 2.0/4). Output: `(domain, avail_tokens,
+    * weight, alloc_tokens, epochs, exhausted)` — `epochs` =
+    * allocated passes over the domain (≤ maxEpochs), `exhausted` =
+    * the repetition ceiling bound, not the data.
+    */
+  def epochPlan(df: DataFrame, domainCol: String, tokenCol: Column,
+                weightOf: Column => Column, budgetFrac: Double,
+                maxEpochs: Int): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val wf = waterFill(df, domainCol, tokenCol * lit(maxEpochs.toLong),
+      weightOf, budgetFrac / maxEpochs)
+    val rawAvail = expr(s"avail_tokens div ${maxEpochs}L")
+    wf.select(col("domain"), rawAvail.as("avail_tokens"), col("weight"),
+      col("alloc_tokens"),
+      (col("alloc_tokens").cast("double") / rawAvail.cast("double")).as("epochs"),
+      col("exhausted"))
+  }
+
   /** The allocation applied: each document survives a deterministic
     * Bernoulli draw at its domain's `fill_rate` (md5 deviate <
     * rate), so expected kept tokens per domain equal the water-fill

@@ -1792,6 +1792,49 @@ object CurationQueries {
     """)
   )
 
+  /** Data-constrained epoch planning: a 2× token budget against ≤4
+    * repetition epochs per domain — waterFill over 4×-inflated caps
+    * (Mixture.epochPlan), so weight-starved domains repeat until the
+    * epoch ceiling binds and the deficit water-fills the rest.
+    * 2.0/4 = 0.5 keeps the inner budget fraction exact-dyadic.
+    */
+  val epochPlanQ: Q = Q(
+    "epoch_plan",
+    (s, dir) => Mixture.epochPlan(
+      TextStats.withTokenCounts(Tables.documents(s, dir), "text"),
+      "source", col("re_tokens"),
+      d => lit(1.0) / call_function("shiftleft", lit(1), substring(d, 4, 8).cast("int") % 6),
+      budgetFrac = 2.0, maxEpochs = 4),
+    Some("""
+      WITH d AS (
+        SELECT source AS domain,
+               sum(4 * len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS avail_tokens
+        FROM documents GROUP BY 1),
+      w AS (SELECT domain, avail_tokens,
+                   CAST(1 AS DOUBLE) / (1 << (CAST(substr(domain, 4) AS INT) % 6)) AS weight
+            FROM d),
+      t AS (SELECT sum(avail_tokens)::BIGINT AS tot_a, sum(weight) AS tot_w FROM w),
+      c AS (SELECT w.*, t.tot_a, t.tot_w,
+                   coalesce(sum(avail_tokens) OVER pre, 0)::BIGINT AS cum_a,
+                   coalesce(sum(weight) OVER pre, CAST(0 AS DOUBLE)) AS cum_w
+            FROM w CROSS JOIN t
+            WINDOW pre AS (ORDER BY CAST(avail_tokens AS DOUBLE) / weight, domain
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      l AS (SELECT *,
+                   CAST(CAST(floor(CAST(tot_a AS DOUBLE) * 0.5) AS BIGINT) - cum_a AS DOUBLE)
+                     / (tot_w - cum_w) AS lam
+            FROM c),
+      ls AS (SELECT max(lam) AS lam_star FROM l),
+      o AS (SELECT domain, avail_tokens, weight,
+                   least(avail_tokens, CAST(floor(lam_star * weight) AS BIGINT)) AS alloc_tokens
+            FROM l CROSS JOIN ls)
+      SELECT domain, avail_tokens // 4 AS avail_tokens, weight, alloc_tokens,
+             CAST(alloc_tokens AS DOUBLE) / CAST(avail_tokens // 4 AS DOUBLE) AS epochs,
+             alloc_tokens = avail_tokens AS exhausted
+      FROM o
+    """)
+  )
+
   /** Quality-annealed curriculum: documents banded by fixed
     * quality-score thresholds (`min(9, floor(q·10))` — map-side, NOT
     * a one-task global ntile), consumed low-band→high-band with an
@@ -1856,5 +1899,5 @@ object CurationQueries {
     nbQualityModel, nbQualityScore, nbQualityHashed, nbQualityBcast,
     nbQualityDense, nbQualityAuto, nbQualityGate,
     nbQualityPareto, nbQualityEval, trainingShards, domainMix, domainMixSample,
-    curriculumOrderQ)
+    curriculumOrderQ, epochPlanQ)
 }

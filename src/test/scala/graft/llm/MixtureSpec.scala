@@ -65,6 +65,24 @@ class MixtureSpec extends SparkSpec {
     assert(z.forall(_.getLong(3) === 0L))
   }
 
+  test("epochPlan: epochs capped at maxEpochs, scarce domains repeat, budget conserved") {
+    // budget 2x total (13600) with <=4 epochs: caps 4a. r = 4a/w:
+    // a 800, b 6400, c 28800, d 128000. cap a (800);
+    // lambda = 12800/0.875 = 14628.6 -> b capped (3200 < 7314.3);
+    // lambda = (13600-4000)/0.375 = 25600 -> c, d uncapped:
+    // c = 6400 <= 7200, d = 3200 <= 16000. Sum = 13600.
+    val out = Mixture.epochPlan(corpus, "dom", col("toks"), weightOf,
+      budgetFrac = 2.0, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out("a") === ((200L, 800L, 4.0, true)))   // repetition ceiling
+    assert(out("b") === ((800L, 3200L, 4.0, true)))  // repetition ceiling
+    assert(out("c") === ((1800L, 6400L, 6400.0 / 1800.0, false)))
+    assert(out("d") === ((4000L, 3200L, 0.8, false))) // partial single pass
+    assert(out.values.map(_._2).sum === 13600L)
+    assert(out.values.forall(_._3 <= 4.0))
+  }
+
   test("applyBernoulli: deterministic, rate-bounded, keeps only allocated domains") {
     val docs = TextStats.withTokenCounts(Tables.documents(spark, sf("sf0.01")), "text")
     val alloc = Mixture.waterFill(docs, "source", col("re_tokens"),
