@@ -159,6 +159,34 @@ class PlanSpec extends SparkSpec {
       s"expected query-side explode in:\n${plan.take(3000)}")
   }
 
+  test("mips_lsh_topk: lifted-bucket candidates come from the (grp,bucket) equi-join, never cartesian") {
+    val df = Registry.byName("mips_lsh_topk").fn(spark, sf("sf0.01"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the max-norm lift scalar enters as a one-row broadcast; the
+    // candidate join must stay hash-keyed on (grp, bucket) — a
+    // cartesian form would be the |Q|x|C| shape the lift+bucket
+    // reduction exists to avoid
+    assert(!plan.contains("CartesianProduct"),
+      s"MIPS candidates regressed to a cartesian:\n${plan.take(3000)}")
+    assert(plan.contains("Generate"), // the bucket posexplodes
+      s"expected bucket explode in:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"max-norm scalar must broadcast, not shuffle:\n${plan.take(3000)}")
+  }
+
+  test("domain_mix_sample: K-row allocation broadcasts onto the corpus scan") {
+    val df = Registry.byName("domain_mix_sample").fn(spark, sf("sf0.01"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the apply side is a map-side filter under a broadcast of the
+    // domain allocation — a shuffle join here would repartition the
+    // whole corpus to apply 20 rates
+    assert(plan.contains("BroadcastHashJoin"),
+      s"allocation must broadcast-join the corpus:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join applying a K-row allocation:\n${plan.take(3000)}")
+  }
+
   test("dedup_stream_index: probe side stays map-only into the band-bucket equi-join") {
     val df = Registry.byName("dedup_stream_index").fn(spark, sf("sf0.01"))
     val plan = df.queryExecution.executedPlan.toString
