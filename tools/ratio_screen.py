@@ -77,6 +77,18 @@ ALLOWED = {
     "ann_hamming_rerank": ("a", "flat-scan baseline; arm ann_hamming_scaled"),
     "ann_index_topk":     ("a", "fixed-plane LSH probe; policy siblings "
                                 "ann_index_hamming/_ivf hold 2.2x/1.5x"),
+    "ann_index_hamming":  ("c", "IS the sketch-probe policy sibling; sf1 "
+                                "absolute cost FLAT across captures (r11 "
+                                "5.12 s -> r12 5.51 s raw at ambient 1.10 "
+                                "= ~5.03 s normalized) - the r12 3.4x is "
+                                "the sf0.1 denominator improving (1.92 -> "
+                                "1.64 s at ambient 0.98), the "
+                                "ann_rp_rerank_scaled crossing pattern, "
+                                "not growth"),
+    "mips_topk":          ("a", "brute MIPS baseline (sampled-query x "
+                                "corpus raw-dot scan, the cosine_topk "
+                                "shape); arm mips_lsh_topk holds ~1.9x "
+                                "per decade"),
     "range_pairs":        ("b", "output 232k -> 32.2M rows (139x) for 10x events"),
     "dedup_embedding":    ("b", "output pairs 391 -> 42161 (108x) for 10x vectors"),
     "candles_gap_filled": ("b", "output rows ~10x (gap spine scales with span)"),
