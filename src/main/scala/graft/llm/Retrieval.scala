@@ -194,4 +194,41 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "rrf_nano", "rank")
   }
+
+  /** Ranking-quality evaluation for ANY retrieval output — the eval
+    * harness the ANN/BM25/fusion family needs to be tuned against:
+    * per-query hits@k, first-relevant rank, reciprocal rank, and
+    * precision@k, judged by label agreement between query and
+    * neighbor. Generic over the candidate generator: `ranked` is any
+    * `(query_id, neighbor_id, rank)` frame (brute, LSH, IVF, PQ,
+    * BM25 — all emit this shape), `labels` any `(id, label)` truth.
+    *
+    * Determinism: hits/first-rank are integer aggregates; `rr` and
+    * `precision_at_k` are same-operand IEEE divisions computed AFTER
+    * the integer agg — restated verbatim in DuckDB. No cross-query
+    * float sum: metrics stay per-query rows (a macro-average is one
+    * decimal-cast agg away, the Registry summation policy).
+    *
+    * Scale: the label join broadcasts per side when labels are a dim
+    * table; the agg shuffles k rows per query. At 100 TB truth sets
+    * are query-sample-sized — this is metadata-scale work next to
+    * the retrieval it scores.
+    */
+  def rankingEval(ranked: DataFrame, labels: DataFrame,
+                  idCol: String, labelCol: String, k: Int): DataFrame = {
+    val lab = labels.select(col(idCol).as("__lid"), col(labelCol).as("__lbl"))
+    val rel = ranked
+      .join(lab, col("query_id") === col("__lid"))
+      .withColumnRenamed("__lbl", "__qlbl").drop("__lid")
+      .join(lab, col("neighbor_id") === col("__lid"))
+      .withColumnRenamed("__lbl", "__nlbl").drop("__lid")
+      .withColumn("__rel", col("__qlbl") === col("__nlbl"))
+    rel.groupBy("query_id")
+      .agg(
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel"),
+        min(when(col("__rel"), col("rank"))).cast("long").as("first_rel_rank"))
+      .select(col("query_id"), col("n_rel"), col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"),
+        (col("n_rel").cast("double") / lit(k)).as("precision_at_k"))
+  }
 }

@@ -2363,6 +2363,51 @@ object LlmQueries {
     """)
   )
 
+  /** Ranking-quality eval harness over the exact top-5 (label
+    * agreement as relevance): per-query hits@5 / first-relevant rank
+    * / reciprocal rank / precision@5 — the metric layer the
+    * ANN-vs-brute recall specs compute ad hoc, as a first-class
+    * oracled operator any `(query_id, neighbor_id, rank)` output can
+    * feed (Retrieval.rankingEval is generator-generic).
+    */
+  val retrievalEvalQ: Q = Q(
+    "retrieval_eval",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Retrieval.rankingEval(
+        Similarity.bruteTopK(emb, "vec_id", "embedding", col("id") % 40 === 0, k = 5),
+        emb, "vec_id", "label", k = 5)
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 40 = 0),
+      s AS (SELECT query_id, t.vec_id AS neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qv[i::INT] * t.v[i::INT]),
+                               (a, b) -> a + b)
+                     / (sqrt(qn) * sqrt(t.nrm)) AS cosine
+            FROM q JOIN n t ON t.vec_id <> q.query_id),
+      tk AS (SELECT query_id, neighbor_id, rank FROM (
+               SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM s) WHERE rank <= 5),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      r AS (SELECT t.query_id, t.rank, (ql.label = nl.label) AS rel
+            FROM tk t JOIN lab ql ON ql.vec_id = t.query_id
+                      JOIN lab nl ON nl.vec_id = t.neighbor_id)
+      SELECT query_id,
+             sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+             CAST(min(CASE WHEN rel THEN rank END) AS BIGINT) AS first_rel_rank,
+             coalesce(CAST(1 AS DOUBLE) / min(CASE WHEN rel THEN rank END),
+                      CAST(0 AS DOUBLE)) AS rr,
+             CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS precision_at_k
+      FROM r GROUP BY 1
+    """)
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupContainment, dedupClusters,
     dedupIncremental, dedupStreamIndex,
     dedupSimhash, dedupEmbedding, ngramJaccard, cosineTopK, annLsh,
@@ -2379,5 +2424,5 @@ object LlmQueries {
     annHammingRerankQ, annHammingScaledQ,
     annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ,
     annIndexIvfQ, semanticDedupIndexedQ, annIndexChurnQ, annIvfDeltaQ,
-    mipsTopkQ, mipsLshQ)
+    mipsTopkQ, mipsLshQ, retrievalEvalQ)
 }

@@ -109,6 +109,36 @@ class RetrievalSpec extends SparkSpec {
     assert(agree >= 0.7, s"agreement $agree below the Zipf-regime bar")
   }
 
+  test("rankingEval: hand-computed metrics on a fixed ranking, generator-generic") {
+    // query 1: rel at ranks 2,4  -> n_rel 2, first 2, rr 0.5,  p@5 0.4
+    // query 2: rel at rank 1     -> n_rel 1, first 1, rr 1.0,  p@5 0.2
+    // query 3: no rel            -> n_rel 0, first null, rr 0, p@5 0.0
+    val ranked = Seq(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), (1L, 14L, 4), (1L, 15L, 5),
+      (2L, 12L, 1), (2L, 13L, 2),
+      (3L, 13L, 1), (3L, 15L, 2)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq(1L -> "a", 2L -> "a", 3L -> "c",
+      11L -> "x", 12L -> "a", 13L -> "y", 14L -> "a", 15L -> "z")
+      .toDF("id", "label")
+    val out = Retrieval.rankingEval(ranked, labels, "id", "label", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) === ((2L, 2L, 0.5, 0.4)))
+    assert(out(2L) === ((1L, 1L, 1.0, 0.2)))
+    assert(out(3L) === ((0L, -1L, 0.0, 0.0)))
+    // generator-generic: the LSH arm's output shape feeds it unchanged
+    val emb = graft.Tables.embeddings(spark, sf("sf0.01"))
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      col("vec_id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 64, groups = 16, bitsPerGroup = 6))
+    val ev = Retrieval.rankingEval(lsh, emb, "vec_id", "label", k = 5)
+    assert(ev.columns.toSeq ===
+      Seq("query_id", "n_rel", "first_rel_rank", "rr", "precision_at_k"))
+    assert(ev.count() > 0)
+  }
+
   test("rrf fusion is pure integer math: repartitioned input fuses bit-identically") {
     val a = (1 to 50).map(i => (i.toLong % 3, i.toLong, (i % 7) + 1))
       .toDF("query_id", "doc_id", "rank")
