@@ -2363,6 +2363,64 @@ object LlmQueries {
     """)
   )
 
+  /** The MEASURED-better MIPS arm as its own full oracle: 16×10
+    * lifted buckets + 10 Hamming-1 probes — MipsScaleExp
+    * (SCALE_DECADES_r12 `mips_lift_occupancy_law`) shows this beats
+    * the 16×6 form on BOTH axes at the 200k-corpus decade (6.5 s /
+    * recall 0.850 vs 7.4 s / 0.795): finer buckets hold occupancy as
+    * the corpus grows, probes buy the recall back query-side. Same
+    * lift, same fold restatement; probe masks XOR in SQL.
+    */
+  val mipsLshMultiprobeQ: Q = Q(
+    "mips_lsh_multiprobe",
+    (s, dir) => Similarity.mipsLshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5,
+      Similarity.md5Planes(dim = 65, groups = 16, bitsPerGroup = 10), probes = 10),
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+                   list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS nrm
+            FROM e),
+      m AS (SELECT max(nrm) AS m2 FROM n),
+      a AS (SELECT vec_id, v,
+                   list_append(v, sqrt(greatest(CAST(0 AS DOUBLE), m2 - nrm))) AS vh,
+                   list_append(v, CAST(0 AS DOUBLE)) AS qh
+            FROM n CROSS JOIN m),
+      pl AS (SELECT g, p,
+                    list_transform(range(65), d ->
+                      ('0x' || substr(md5(g::VARCHAR || ':' || p::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+                        / 4294967296.0 - 0.5) AS plane
+             FROM range(16) rg(g) CROSS JOIN range(10) rp(p)),
+      bkt AS (SELECT vec_id, g,
+                     sum(CASE WHEN list_reduce(list_transform(range(1, 66), i -> vh[i::INT] * plane[i::INT]),
+                                               (x, y) -> x + y) > 0
+                              THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+              FROM a CROSS JOIN pl GROUP BY 1, 2),
+      qb AS (SELECT vec_id, g,
+                    sum(CASE WHEN list_reduce(list_transform(range(1, 66), i -> qh[i::INT] * plane[i::INT]),
+                                              (x, y) -> x + y) > 0
+                             THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+             FROM a CROSS JOIN pl WHERE vec_id % 40 = 0 GROUP BY 1, 2),
+      q AS (SELECT vec_id, g,
+                   xor(bucket, CASE WHEN j = 0 THEN 0::BIGINT
+                                    ELSE (1::BIGINT << (j - 1)::INT) END) AS bucket
+            FROM qb CROSS JOIN range(11) rf(j)),
+      cand AS (SELECT DISTINCT q.vec_id AS query_id, t.vec_id AS neighbor_id
+               FROM q JOIN bkt t ON q.g = t.g AND q.bucket = t.bucket
+                AND t.vec_id <> q.vec_id),
+      s AS (SELECT c.query_id, c.neighbor_id,
+                   list_reduce(list_transform(range(1, 65), i -> qa.v[i::INT] * tb.v[i::INT]),
+                               (x, y) -> x + y) AS dot
+            FROM cand c
+            JOIN e qa ON qa.vec_id = c.query_id
+            JOIN e tb ON tb.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, dot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, neighbor_id) AS rank
+      FROM s QUALIFY rank <= 5
+    """)
+  )
+
   /** Ranking-quality eval harness over the exact top-5 (label
     * agreement as relevance): per-query hits@5 / first-relevant rank
     * / reciprocal rank / precision@5 — the metric layer the
@@ -2424,5 +2482,5 @@ object LlmQueries {
     annHammingRerankQ, annHammingScaledQ,
     annStreamIndexQ, annIndexTopkQ, annIndexHammingQ, annIvfScaledQ,
     annIndexIvfQ, semanticDedupIndexedQ, annIndexChurnQ, annIvfDeltaQ,
-    mipsTopkQ, mipsLshQ, retrievalEvalQ)
+    mipsTopkQ, mipsLshQ, mipsLshMultiprobeQ, retrievalEvalQ)
 }

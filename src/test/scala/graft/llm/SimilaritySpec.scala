@@ -107,6 +107,26 @@ class SimilaritySpec extends SparkSpec {
     assert(run() === approx) // md5 planes + max-norm lift: fully deterministic
   }
 
+  test("mips multi-probe recall dominates plain lifted lsh on the same planes") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val planes = Similarity.md5Planes(dim = 65, groups = 16, bitsPerGroup = 10)
+    def pairs(probes: Int) = Similarity.mipsLshTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5, planes, probes)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.mipsTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(0); val probed = pairs(10)
+    val rPlain = (brute & plain).size.toDouble / brute.size
+    val rProbed = (brute & probed).size.toDouble / brute.size
+    info(s"mips recall@5 plain=$rPlain probed=$rProbed")
+    // probing only ADDS lifted buckets — dominance is the invariant;
+    // the margin is geometry-dependent (logged, not asserted)
+    assert(rProbed >= rPlain)
+  }
+
   test("ivf multi-probe recall dominates single-probe recall") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
