@@ -77,6 +77,23 @@ object ScalePolicy {
       Similarity.md5Planes(dim, groups, bits), probes = bits)
   }
 
+  /** [[Similarity.mipsLshTopK]] under the SAME occupancy policies as
+    * [[lshTopKAuto]]: MipsScaleExp measured the LIFTED space
+    * following the cosine occupancy law (SCALE_DECADES_r12
+    * `mips_lift_occupancy_law` — fixed 16×6 grows 3.8× over the
+    * 20k→200k decade while finer-bits+probes beats it on both time
+    * and recall), so the bits/groups/probes knobs transfer unchanged;
+    * only the planes move to dim+1 for the lift component.
+    */
+  def mipsTopKAuto(df: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int, corpus: Long, dim: Int = 64,
+                   targetOccupancy: Int = 20): DataFrame = {
+    val bits = lshBitsFor(corpus, targetOccupancy)
+    val groups = lshGroupsFor(bits)
+    Similarity.mipsLshTopK(df, idCol, vecCol, queryPred, k,
+      Similarity.md5Planes(dim + 1, groups, bits), probes = bits)
+  }
+
   /** Refinement bits holding expected rows-per-block at or BELOW
     * `targetRows`: ceil(log₂(corpus / blocks / targetRows)), floored
     * at 0 (no refinement for corpora the base blocking already

@@ -54,6 +54,25 @@ class ScalePolicySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("mipsTopKAuto returns the mips schema, k-bounded, with real lifted-bucket recall") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val out = ScalePolicy.mipsTopKAuto(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5, corpus = n)
+    assert(out.columns.toSeq == Seq("query_id", "neighbor_id", "dot", "rank"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 5))
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.mipsTopK(emb, "vec_id", "embedding",
+      col("id") % 40 === 0, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    info(s"mipsTopKAuto recall@5 = $recall (derived knobs at corpus $n)")
+    assert(recall > 0.4)
+  }
+
   test("refinedBlockAuto: identity cast for bounded corpora, refined key above") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
