@@ -22,10 +22,13 @@ object BenchOne {
     names.foreach { name =>
       if (explain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       // time fn() too: iterative operators (connected components) do
-      // eager checkpointed work during construction, as Bench does
+      // eager checkpointed work during construction, as Bench does.
+      // noop sink, not count(): same action as Bench.force (guide §1.4
+      // — count() prunes output-only work and under-measures it)
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name  ($n rows)")
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name")
     }
     spark.stop()
   }

@@ -124,8 +124,21 @@ object Bpe {
     * adversarial corpus) and re-proven by the unchanged sequential-
     * replay DuckDB oracle every round.
     */
+  /** Default merge-selection batch width for [[train]] — overridable
+    * for interleaved A/Bs (graft.exp.bpe.batch). Batched selection is
+    * bit-identical to sequential by the kept-prefix proof above
+    * (BpeSpec property-checks it, incl. adversarial corpora); the win
+    * is driver round-trips: each round is one pair-count job + one
+    * argmax collect + one checkpoint job regardless of how many merges
+    * it selects, so a batch that keeps m merges divides the loop's
+    * fixed per-round cost by m. Measured r12 (LoopExp, sf0.1,
+    * interleaved): see OPTIMIZATION_r12.md.
+    */
+  private[graft] def defaultBatch: Int =
+    sys.props.getOrElse("graft.exp.bpe.batch", "1").toInt
+
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            batch: Int = 1): BpeModel = {
+            batch: Int = defaultBatch): BpeModel = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     var cur = wordCounts(df, textCol)
       .withColumn("s", spaced(col("word")))

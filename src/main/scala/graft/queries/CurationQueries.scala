@@ -1133,7 +1133,16 @@ object CurationQueries {
   val trainingShards: Q = Q(
     "training_shards",
     (s, dir) => {
-      val curated = curatedFrame(s, dir, keepText = true)
+      // persist: the curated slice is consumed by THREE corpus passes
+      // (Bpe.train word count, Wordpiece.wordTokenCounts word count,
+      // encodeCounts' per-doc explode+join); without it each pass
+      // re-runs the curation chain downstream of its internal persist
+      // point (LSH clustering + rejoin + PrefixSum budget cut) —
+      // measured r12 (LoopExp, interleaved): see OPTIMIZATION_r12.md
+      val persistCurated =
+        sys.props.getOrElse("graft.exp.shards.persistcurated", "true").toBoolean
+      val curated0 = curatedFrame(s, dir, keepText = true)
+      val curated = if (persistCurated) curated0.persist() else curated0
       val model = Bpe.train(curated, "text", BpeMerges)
       val counts = Wordpiece.encodeCounts(curated, "doc_id", "text", model,
         maxWordLen = WpMaxWordLen)

@@ -54,7 +54,12 @@ object LoopExp {
 
     def runOne(q: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).count()
+      // noop sink, not count(): count() lets the optimizer prune every
+      // column no aggregate needs, so arms that differ only in
+      // projection-tail / output-column work would measure as ties
+      // (guide §1.4; Bench.force uses the same action)
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc()
