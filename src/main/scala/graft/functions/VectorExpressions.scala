@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for the embedding dot product — the one
   * hot loop where the built-in composition
@@ -453,6 +453,85 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "wordpiece_count takes exactly 3 arguments")
         WordpieceTokenCount(children.head, children(1), children(2))
+      }))
+    // --- md5 text-hash kernels (TextHashExpressions) ---
+    // Constant params arrive as foldable literals and are extracted at
+    // build time onto the case class, so the plan tree carries one
+    // child (the data column) plus primitive config.
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an int literal parameter, got $other")
+    }
+    def litLong(e: Expression, fn: String): Long = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects an integer literal parameter, got $other")
+    }
+    def litStr(e: Expression, fn: String): String = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a string literal parameter, got $other")
+    }
+    def litBool(e: Expression, fn: String): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, BooleanType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a boolean literal parameter, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("h32_native"),
+      new ExpressionInfo(classOf[H32Native].getName, "h32_native"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "h32_native takes exactly 1 argument")
+        H32Native(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("h60_native"),
+      new ExpressionInfo(classOf[H60Native].getName, "h60_native"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "h60_native takes exactly 1 argument")
+        H60Native(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("h60_array"),
+      new ExpressionInfo(classOf[H60Array].getName, "h60_array"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "h60_array takes exactly 1 argument")
+        H60Array(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("wordgram_h32"),
+      new ExpressionInfo(classOf[WordGramH32].getName, "wordgram_h32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "wordgram_h32 takes (ws, n, prefix, mod, distinct)")
+        WordGramH32(children.head, litInt(children(1), "wordgram_h32"),
+          litStr(children(2), "wordgram_h32"), litLong(children(3), "wordgram_h32"),
+          litBool(children(4), "wordgram_h32"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_h32_set"),
+      new ExpressionInfo(classOf[NgramH32Set].getName, "ngram_h32_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "ngram_h32_set takes (text, n, modP)")
+        NgramH32Set(children.head, litInt(children(1), "ngram_h32_set"),
+          litLong(children(2), "ngram_h32_set"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_fingerprint"),
+      new ExpressionInfo(classOf[CharFingerprint].getName, "char_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "char_fingerprint takes (text, n)")
+        CharFingerprint(children.head, litInt(children(1), "char_fingerprint"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_mins"),
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "winnow_mins takes (hs, w)")
+        WinnowMins(children.head, litInt(children(1), "winnow_mins"))
       }))
     // whole-operator extension: native as-of join (SURVEY §7.3 (c))
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)

@@ -43,6 +43,17 @@ object Decontam {
           i => h32(array_join(slice(w, i, lit(n)), " ")))))
     }), 1)
 
+  /** [[gramHashes]] through the fused one-pass kernel when the session
+    * carries GraftExtensions (per-gram md5 → hex → conv through
+    * interpreted HOF lambdas measured ~3 s per corpus pass at sf0.1 —
+    * tools/HashExp), the portable HOF otherwise. Bit-equal incl.
+    * first-occurrence dedup order (TextHashExpressionsSpec).
+    */
+  def gramHashesAdaptive(df: DataFrame)(text: Column, n: Int): Column =
+    if (df.sparkSession.catalog.functionExists("wordgram_h32"))
+      call_function("wordgram_h32", words(text), lit(n), lit(""), lit(0L), lit(true))
+    else gramHashes(text, n)
+
   /** Within-corpus exact n-gram overlap pairs — the verbatim-span
     * dedup signal (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better": substring-level duplication that
@@ -70,7 +81,7 @@ object Decontam {
     // and every consumer reads the same shuffle files — the md5 gram
     // hashing (the dominant map-side cost) still runs exactly once.
     val grams = df.select(col(idCol).as("doc_id"),
-      explode(gramHashes(col(textCol), n)).as("g"))
+      explode(gramHashesAdaptive(df)(col(textCol), n)).as("g"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val capped = grams.withColumn("__df", count(lit(1)).over(w))
       .filter(col("__df") <= maxDf)
@@ -123,11 +134,16 @@ object Decontam {
       words(col(textCol)).as("__ws"))
     val w = col("__ws")
     val cnt = size(w) - (n - 1)
-    val posGrams = when(cnt <= 0,
-      array().cast("array<struct<pos:bigint,g:bigint>>"))
-      .otherwise(transform(sequence(lit(1), cnt), i =>
-        struct(i.cast("long").as("pos"),
-          h32(array_join(slice(w, i, lit(n)), " ")).as("g"))))
+    // Ordered (non-distinct) gram-hash sequence; positions are the
+    // 1-based array index. The fused kernel replaces the per-position
+    // md5 → hex → conv lambda (the measured map-side cost); the HOF
+    // fallback builds the identical array for plain sessions.
+    val gramSeq =
+      if (df.sparkSession.catalog.functionExists("wordgram_h32"))
+        call_function("wordgram_h32", w, lit(n), lit(""), lit(0L), lit(false))
+      else when(cnt <= 0, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), cnt), i =>
+          h32(array_join(slice(w, i, lit(n)), " "))))
     // No persist (function-scoped caches over lazily-returned plans
     // leak — Winnow.pairs note). The occurrence table feeds both the
     // gram aggregate and the join-back, whose natural plans shuffle
@@ -142,8 +158,10 @@ object Decontam {
     // join-back side would otherwise infer isnotnull(pos)/(doc_id)
     // that the aggregate side doesn't, and the asymmetry breaks the
     // subplans' canonical equality (verified in PlanSpec).
-    val occ = toks.select(col("doc_id"), explode(posGrams).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val occ = toks.select(col("doc_id"),
+        posexplode(gramSeq).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("g"))
       .filter(col("doc_id").isNotNull && col("pos").isNotNull &&
         col("g").isNotNull)
       .repartition(col("g"))
@@ -224,7 +242,7 @@ object Decontam {
     // read twice (bloom build + exact verify join); eager so the
     // expensive gram explode+distinct runs once, lineage-free
     val banned = heldout
-      .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
+      .select(explode(gramHashesAdaptive(heldout)(col(textCol), n)).as("g")).distinct()
       .localCheckpoint(true)
     // DenseLit, not typedlit: the bitmap IS a dense long array, and
     // the boxed encoding re-serializes mBits/64 boxed longs into the
@@ -234,7 +252,7 @@ object Decontam {
     // DenseLit doc); the unsafe region is a memcpy at any width
     val bitmap = DenseLit.longs(bloomBuild(banned, "g", mBits, k))
     val trainG = train.select(col(idCol).as("doc_id"),
-      gramHashes(col(textCol), n).as("grams"))
+      gramHashesAdaptive(train)(col(textCol), n).as("grams"))
     val candidates = trainG
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .filter(bloomPositions(col("g"), mBits, k).map(bitSet(bitmap, _)).reduce(_ && _))
@@ -253,9 +271,9 @@ object Decontam {
   def report(train: DataFrame, heldout: DataFrame, idCol: String,
              textCol: String, n: Int): DataFrame = {
     val trainG = train.select(col(idCol).as("doc_id"),
-      gramHashes(col(textCol), n).as("grams"))
+      gramHashesAdaptive(train)(col(textCol), n).as("grams"))
     val banned = heldout
-      .select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
+      .select(explode(gramHashesAdaptive(heldout)(col(textCol), n)).as("g")).distinct()
     val overlap = trainG.select(col("doc_id"), explode(col("grams")).as("g"))
       .join(broadcast(banned), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))

@@ -67,6 +67,19 @@ object Dedup {
       call_function("intersect_card", a, b)
     else size(array_intersect(a, b))
 
+  /** Distinct token-hash set `array_distinct(transform(toks, h32))`
+    * through the fused one-pass kernel when available (n=1 word
+    * "grams", no prefix/mod — see graft.functions.TextHashKernels;
+    * per-token md5 → hex → conv through an interpreted HOF is the
+    * measured map-side cost of the minhash family). Identical output
+    * incl. first-occurrence dedup order, proved in
+    * TextHashExpressionsSpec.
+    */
+  def wordHashSetAdaptive(df: DataFrame)(toks: Column): Column =
+    if (df.sparkSession.catalog.functionExists("wordgram_h32"))
+      call_function("wordgram_h32", toks, lit(1), lit(""), lit(0L), lit(true))
+    else array_distinct(transform(toks, t => h32(t)))
+
   /** Fold `rows` signature values per band into one bucket hash
     * (base-31 accumulation; init 0 ⇒ identical to DuckDB's init-free
     * list_reduce since 0·31+m₀ = m₀).
@@ -175,7 +188,7 @@ object Dedup {
     val rows = numPerm / bands
     val docs = df.select((col(idCol).as("id") +: extraCols.map(col)) :+
         wordSet(col(textCol)).as("toks"): _*)
-      .withColumn("hs", array_distinct(transform(col("toks"), t => h32(t))))
+      .withColumn("hs", wordHashSetAdaptive(df)(col("toks")))
       .withColumn("sig", minhashSignatureAdaptive(df)(col("hs"), numPerm))
       .withColumn("bands", bandHashes(col("sig"), bands, rows))
     capBuckets(docs.select((col("id") +: extraCols.map(col)) ++ Seq(col("hs"),
@@ -268,8 +281,12 @@ object Dedup {
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int, maxBucket: Int = 64): DataFrame = {
+    val h60s =
+      if (df.sparkSession.catalog.functionExists("h60_array"))
+        call_function("h60_array", wordSet(col(textCol)))
+      else transform(wordSet(col(textCol)), t => h60(t))
     val docs = df
-      .select(col(idCol).as("id"), transform(wordSet(col(textCol)), t => h60(t)).as("hs"))
+      .select(col(idCol).as("id"), h60s.as("hs"))
       .select(col("id"), simhashAdaptive(df)(col("hs")).as("sim"))
     val banded = capBuckets(docs.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), b =>
@@ -606,11 +623,15 @@ object Dedup {
     // primitive longs instead of strings, shuffles carry 8-byte
     // values. Hash collisions would perturb Jaccard identically in
     // the oracle (same md5-derived hash).
-    val docs = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      array_distinct(filter(transform(
+    val gramsCol =
+      if (df.sparkSession.catalog.functionExists("ngram_h32_set"))
+        call_function("ngram_h32_set", col(textCol), lit(n), lit(modP.toLong))
+      else array_distinct(filter(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),
         i => h32(col(textCol).substr(i, lit(n)))),
-        h => h % modP === 0)).as("grams"): _*)
+        h => h % modP === 0))
+    val docs = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
+      gramsCol.as("grams"): _*)
       .persist()
     // Empty-gram docs get null band hashes and fall out of the
     // equi-join naturally (their Jaccard is NULL anyway).

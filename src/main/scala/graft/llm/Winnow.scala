@@ -57,11 +57,24 @@ object Winnow {
     * (winnowing degenerates to one window).
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 5, w: Int = 4): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-        gramSeq(col(textCol), k).as("hs"))
-      .select(col("doc_id"), selectMins(col("hs"), w).as("fps"))
+                   k: Int = 5, w: Int = 4): DataFrame = {
+    // Fused kernels when the session carries GraftExtensions: the
+    // HOF gram hashing (per-gram md5 → hex → conv, interpreted) and
+    // the O(len·w) boxed window-min fold are the measured map-side
+    // cost of this operator family (tools/HashExp: ~3 s per gram pass
+    // at sf0.1). Bit-equal incl. dedup order (TextHashExpressionsSpec).
+    val native = df.sparkSession.catalog.functionExists("wordgram_h32")
+    val hs =
+      if (native) call_function("wordgram_h32",
+        TextHash.words(col(textCol)), lit(k), lit(""), lit(0L), lit(false))
+      else gramSeq(col(textCol), k)
+    def mins(h: Column) =
+      if (native) call_function("winnow_mins", h, lit(w))
+      else selectMins(h, w)
+    df.select(col(idCol).cast("long").as("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), mins(col("hs")).as("fps"))
       .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
 
   /** Document pairs sharing ≥ `minShared` winnowed fingerprints —
     * the MOSS match report. Same cap-then-equi-join shape as

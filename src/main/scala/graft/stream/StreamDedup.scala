@@ -51,7 +51,7 @@ object StreamDedup {
     val rows = numPerm / bands
     val probe = docs
       .select((col(idCol).as("id") +: passThrough.map(col)) :+
-        array_distinct(transform(wordSet(col(textCol)), t => h32(t))).as("hs"): _*)
+        Dedup.wordHashSetAdaptive(docs)(wordSet(col(textCol))).as("hs"): _*)
       .withColumn("sig", Dedup.minhashSignatureAdaptive(docs)(col("hs"), numPerm))
       .withColumn("bands", Dedup.bandHashes(col("sig"), bands, rows))
       .select((col("id") +: passThrough.map(col)) ++ Seq(col("hs"),
