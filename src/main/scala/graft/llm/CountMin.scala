@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextHash._
@@ -39,7 +39,15 @@ object CountMin {
 
     val tok = df.select(explode(words(lower(trim(col(textCol))))).as("tok"))
 
-    def bucket(j: Int) = pmod(h32(concat(lit(s"cms$j:"), col("tok"))), lit(width))
+    // scalar h32 through the native kernel when available: the sketch
+    // evaluates depth hashes per token occurrence TWICE (cells +
+    // candidates), and the portable chain pays md5 → hex UTF8String →
+    // conv per call (guide §4; bit-equality in TextHashExpressionsSpec)
+    val h32Of: Column => Column =
+      if (df.sparkSession.catalog.functionExists("h32_native"))
+        c => call_function("h32_native", c)
+      else c => h32(c)
+    def bucket(j: Int) = pmod(h32Of(concat(lit(s"cms$j:"), col("tok"))), lit(width))
 
     // phase 1: the sketch — depth rows per token occurrence, partial-
     // aggregated to ≤ depth·width cells per partition before shuffling

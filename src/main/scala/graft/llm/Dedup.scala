@@ -454,6 +454,17 @@ object Dedup {
     // Knobs kept for re-measurement.
     val fusedProbe = sys.props.getOrElse("graft.exp.cc.fusedprobe", "false").toBoolean
     val ckptLarge = sys.props.getOrElse("graft.exp.cc.ckptlarge", "true").toBoolean
+    // r12 note: cc.aqeoff was measured through dedup_clusters
+    // (LoopExp interleaved, sf0.1, local[32], median of 5): base
+    // 4.58 s, aqeoff 7.78 s — AQE's coalescing of the pair-graph
+    // exchanges is load-bearing; the PageRank AQE-off recipe does NOT
+    // transfer to this loop either (the Communities/KCore verdict).
+    val aqeOff = sys.props.getOrElse("graft.exp.cc.aqeoff", "false").toBoolean
+    val session = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = session.conf.get(aqeKey)
+    if (aqeOff) session.conf.set(aqeKey, "false")
+    try {
     // canonical undirected edges (a < b), self-loops dropped
     var e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
@@ -515,6 +526,7 @@ object Dedup {
       .join(labels.withColumnsRenamed(Map("id" -> "l_id", "rep" -> "l_rep")),
         col("id") === col("l_id"), "left")
       .select(col("id"), coalesce(col("l_rep"), col("id")).as("rep"))
+    } finally session.conf.set(aqeKey, prevAqe)
   }
 
   /** Incremental connected components: fold a batch of NEW edges into

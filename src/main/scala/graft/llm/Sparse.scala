@@ -28,10 +28,18 @@ object Sparse {
     * Terms are md5-hashed to longs ([[TextHash.h32]]) so joins run on
     * 8-byte keys and the oracle reproduces them exactly.
     */
-  def sparseTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def sparseTf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // scalar h32 through the native kernel when available (one md5 →
+    // hex → conv chain per token occurrence otherwise — guide §4;
+    // bit-equality in TextHashExpressionsSpec)
+    val termHash =
+      if (df.sparkSession.catalog.functionExists("h32_native"))
+        call_function("h32_native", col("tok"))
+      else h32(col("tok"))
     df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col("id"), h32(col("tok")).as("term"))
+      .groupBy(col("id"), termHash.as("term"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
     * fold the unbounded vocabulary into `dim` buckets,

@@ -30,6 +30,20 @@ object Communities {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 3): DataFrame = {
     require(iters >= 1, "need at least one propagation round")
+    // AQE experiment knob (the PageRank.ranks recipe was AQE-off-wins;
+    // measured HERE it LOSES): interleaved A/B (graft.tools.LoopExp,
+    // sf0.1, local[32], median of 5): base 4.68 s, aqeoff 5.88 s —
+    // unlike PageRank's node-sized iteration state, each LPA round
+    // shuffles the full 2|E| neighbor-label stream, and AQE's
+    // partition coalescing on those exchanges is worth more than its
+    // re-planning latency costs. Default stays AQE-on; knob kept so
+    // the verdict is re-measurable.
+    val aqeOff = sys.props.getOrElse("graft.exp.lpa.aqeoff", "false").toBoolean
+    val session = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = session.conf.get(aqeKey)
+    if (aqeOff) session.conf.set(aqeKey, "false")
+    try {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val und = e.select(col("src").as("a"), col("dst").as("b"))
@@ -54,5 +68,6 @@ object Communities {
         .localCheckpoint(eager = false)
     }
     labels.select(col("id"), col("lbl").as("community"))
+    } finally session.conf.set(aqeKey, prevAqe)
   }
 }

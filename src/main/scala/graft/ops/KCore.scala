@@ -32,6 +32,27 @@ object KCore {
     */
   def nodes(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int): DataFrame = {
+    // Loop knobs (the PageRank.ranks recipe): AQE off for the
+    // fixed-shape peel rounds, optional per-round localCheckpoint
+    // (lineage truncation — each round's plan otherwise embeds the
+    // previous round's twice: once under the degree aggregate, once
+    // as the join's left side). BOTH measured and BOTH lose here
+    // (graft.tools.LoopExp interleaved, sf0.1, local[32], median of
+    // 5): base 4.29 s; aqeoff 4.43 s; aqeoff+ckpt 6.50 s — at R=3 the
+    // doubled-subplan lineage is still cheap to re-plan, ReuseExchange
+    // already materializes each round's shuffle once, and the eager
+    // checkpoint materialization is a pure extra job per round. AQE's
+    // partition coalescing on the edge-sized exchanges outweighs its
+    // re-planning latency (same verdict as Communities, opposite of
+    // PageRank's node-sized state). Defaults = the measured winner
+    // (plain loop); knobs kept so the verdict is re-measurable.
+    val aqeOff = sys.props.getOrElse("graft.exp.kcore.aqeoff", "false").toBoolean
+    val ckpt = sys.props.getOrElse("graft.exp.kcore.ckpt", "false").toBoolean
+    val session = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = session.conf.get(aqeKey)
+    if (aqeOff) session.conf.set(aqeKey, "false")
+    try {
     val und = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long"), col(srcCol).cast("long")))
@@ -40,11 +61,13 @@ object KCore {
     for (_ <- 1 to rounds) {
       val keep = cur.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("a")
-      cur = cur.join(keep.withColumnRenamed("a", "ka"), col("a") === col("ka"))
+      val next = cur.join(keep.withColumnRenamed("a", "ka"), col("a") === col("ka"))
         .join(keep.withColumnRenamed("a", "kb"), col("b") === col("kb"))
         .select("a", "b")
+      cur = if (ckpt) next.localCheckpoint(eager = false) else next
     }
     cur.groupBy("a").agg(count(lit(1)).as("deg"))
       .select(col("a").as("id"), col("deg"))
+    } finally session.conf.set(aqeKey, prevAqe)
   }
 }

@@ -42,17 +42,23 @@ object PageRank {
     */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int): DataFrame = {
-    // AQE off for the loop only: every iteration is a small fixed-shape
-    // job (state = |nodes| rows), and AQE's per-stage re-planning is
-    // pure driver latency at that size — while the LSH/dedup queries
-    // NEED AQE (global AQE-off regressed them 15-30% in whole-process
-    // runs), so the scope is this loop, restored in finally.
-    // Interleaved A/B (graft.tools.LoopExp: same JVM, arms alternating
-    // per sweep, median of 5, sf0.1, local[4]): base 3.18 s, AQE-off
-    // 3.02 s, AQE-off + ckpt-every-2 2.72 s (-14%), ckpt-every-3
-    // 2.89 s (deeper lineage re-optimization eats the saved job).
-    // Defaults = the winning arm; knobs kept for re-measurement.
-    val aqeOff = sys.props.getOrElse("graft.exp.pagerank.aqeoff", "true").toBoolean
+    // AQE knob, scoped to the loop and restored in finally. The
+    // verdict is CORE-COUNT-DEPENDENT and was re-measured in r12
+    // (graft.tools.LoopExp interleaved, median of 5, sf0.1):
+    //  - local[4] (r5 capture): base 3.18 s, AQE-off 3.02 s — AQE-off
+    //    narrowly won and shipped as the default;
+    //  - local[32] (r12, the driver's bench config): AQE-ON wins in
+    //    every interleaved run — 6.39 vs 4.05 s in one window, 5.51
+    //    vs 5.18 s in a quieter confirm (direction stable, magnitude
+    //    ambience-dependent). At 32 shuffle partitions the
+    //    per-iteration exchanges fragment into 32 tiny tasks each,
+    //    and AQE's partition coalescing is worth more than its
+    //    re-planning latency (the same verdict as Communities/KCore/
+    //    connectedComponentsStar; the r5 local[4] result was a
+    //    4-partition special case where there was nothing to
+    //    coalesce).
+    // Default = AQE on; knob kept so the verdict is re-measurable.
+    val aqeOff = sys.props.getOrElse("graft.exp.pagerank.aqeoff", "false").toBoolean
     val ckptEvery = sys.props.getOrElse("graft.exp.pagerank.ckptevery", "2").toInt
     val session = edges.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
