@@ -44,7 +44,7 @@ object CountMin {
     // candidates), and the portable chain pays md5 → hex UTF8String →
     // conv per call (guide §4; bit-equality in TextHashExpressionsSpec)
     val h32Of: Column => Column =
-      if (df.sparkSession.catalog.functionExists("h32_native"))
+      if (TextHash.nativeHash(df.sparkSession, "h32_native"))
         c => call_function("h32_native", c)
       else c => h32(c)
     def bucket(j: Int) = pmod(h32Of(concat(lit(s"cms$j:"), col("tok"))), lit(width))

@@ -50,7 +50,7 @@ object Decontam {
     * first-occurrence dedup order (TextHashExpressionsSpec).
     */
   def gramHashesAdaptive(df: DataFrame)(text: Column, n: Int): Column =
-    if (df.sparkSession.catalog.functionExists("wordgram_h32"))
+    if (TextHash.nativeHash(df.sparkSession, "wordgram_h32"))
       call_function("wordgram_h32", words(text), lit(n), lit(""), lit(0L), lit(true))
     else gramHashes(text, n)
 
@@ -139,7 +139,7 @@ object Decontam {
     // md5 → hex → conv lambda (the measured map-side cost); the HOF
     // fallback builds the identical array for plain sessions.
     val gramSeq =
-      if (df.sparkSession.catalog.functionExists("wordgram_h32"))
+      if (TextHash.nativeHash(df.sparkSession, "wordgram_h32"))
         call_function("wordgram_h32", w, lit(n), lit(""), lit(0L), lit(false))
       else when(cnt <= 0, array().cast("array<bigint>"))
         .otherwise(transform(sequence(lit(1), cnt), i =>

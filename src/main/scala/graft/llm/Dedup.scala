@@ -76,7 +76,7 @@ object Dedup {
     * TextHashExpressionsSpec.
     */
   def wordHashSetAdaptive(df: DataFrame)(toks: Column): Column =
-    if (df.sparkSession.catalog.functionExists("wordgram_h32"))
+    if (TextHash.nativeHash(df.sparkSession, "wordgram_h32"))
       call_function("wordgram_h32", toks, lit(1), lit(""), lit(0L), lit(true))
     else array_distinct(transform(toks, t => h32(t)))
 
@@ -282,7 +282,7 @@ object Dedup {
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int, maxBucket: Int = 64): DataFrame = {
     val h60s =
-      if (df.sparkSession.catalog.functionExists("h60_array"))
+      if (TextHash.nativeHash(df.sparkSession, "h60_array"))
         call_function("h60_array", wordSet(col(textCol)))
       else transform(wordSet(col(textCol)), t => h60(t))
     val docs = df
@@ -636,7 +636,7 @@ object Dedup {
     // values. Hash collisions would perturb Jaccard identically in
     // the oracle (same md5-derived hash).
     val gramsCol =
-      if (df.sparkSession.catalog.functionExists("ngram_h32_set"))
+      if (TextHash.nativeHash(df.sparkSession, "ngram_h32_set"))
         call_function("ngram_h32_set", col(textCol), lit(n), lit(modP.toLong))
       else array_distinct(filter(transform(
         sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))),

@@ -65,7 +65,7 @@ object Dsir {
   private def featureArrays(df: DataFrame, textCol: String,
                             buckets: Int): (Column, Column) = {
     val ws = words(lower(trim(col(textCol))))
-    if (df.sparkSession.catalog.functionExists("wordgram_h32")) {
+    if (TextHash.nativeHash(df.sparkSession, "wordgram_h32")) {
       val uni = call_function("wordgram_h32", ws, lit(1), lit("u:"),
         lit(buckets.toLong), lit(false))
       val bi = call_function("wordgram_h32", ws, lit(2), lit("b:"),

@@ -77,7 +77,7 @@ object QualityClassifier {
       // One md5 → hex → conv chain per exploded token otherwise.
       // Bit-equality in TextHashExpressionsSpec.
       val native = org.apache.spark.sql.SparkSession.getActiveSession
-        .exists(_.catalog.functionExists("h32_native"))
+        .exists(TextHash.nativeHash(_, "h32_native"))
       if (native)
         pmod(call_function("h32_native", concat(lit("nbq:"), w)), lit(buckets.toLong))
       else pmod(TextHash.h32(concat(lit("nbq:"), w)), lit(buckets.toLong))

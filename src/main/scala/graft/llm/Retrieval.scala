@@ -54,8 +54,22 @@ object Retrieval {
                maxDfFrac: Double = 0.95): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
       split(trim(lower(col(textCol))), "\\s+").as("ws"))
-    val tf = toks.select(col("doc_id"), explode(col("ws")).as("token"))
+    // tf feeds THREE consumers (dl, dfreq, the posting join) whose
+    // subtrees each re-scan and re-explode the corpus (5 scans +
+    // 5 Generate nodes in the static plan) — so persist() was the
+    // obvious guide-§5 move, and it was MEASURED AND LOST (LoopExp
+    // interleaved, sf0.1, local[32], median of 5): persist 3.84 s vs
+    // recompute 3.23 s on bm25_topk, and worse on every family member
+    // (family total 13.8 vs 11.9 s). The cache write serializes the
+    // widest intermediate and blocks its first consumer, while the
+    // "recomputed" subtrees are cheap post-kernel scans whose
+    // exchanges AQE already sizes; at 100 TB the right reuse is
+    // materializing the inverted index to STORAGE once, not caching
+    // it inside one query. Default = recompute; knob kept.
+    val tf0 = toks.select(col("doc_id"), explode(col("ws")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = if (sys.props.getOrElse("graft.exp.bm25.persist", "false").toBoolean)
+      tf0.persist() else tf0
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
@@ -133,8 +147,11 @@ object Retrieval {
                      b: Double = 0.75): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
       split(trim(lower(col(textCol))), "\\s+").as("ws"))
-    val tf = toks.select(col("doc_id"), explode(col("ws")).as("token"))
+    // persist measured and lost — see [[bm25TopK]]; default recompute
+    val tf0 = toks.select(col("doc_id"), explode(col("ws")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = if (sys.props.getOrElse("graft.exp.bm25.persist", "false").toBoolean)
+      tf0.persist() else tf0
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))

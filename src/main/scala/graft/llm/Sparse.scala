@@ -33,7 +33,7 @@ object Sparse {
     // hex → conv chain per token occurrence otherwise — guide §4;
     // bit-equality in TextHashExpressionsSpec)
     val termHash =
-      if (df.sparkSession.catalog.functionExists("h32_native"))
+      if (TextHash.nativeHash(df.sparkSession, "h32_native"))
         call_function("h32_native", col("tok"))
       else h32(col("tok"))
     df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))

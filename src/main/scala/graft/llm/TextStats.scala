@@ -240,7 +240,7 @@ object TextStats {
     */
   def withFingerprint(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    if (df.sparkSession.catalog.functionExists("char_fingerprint")) {
+    if (TextHash.nativeHash(df.sparkSession, "char_fingerprint")) {
       // fused kernel: one byte pass computes both outputs (min h32 +
       // exact distinct-gram count) — the HOF form pays per-gram
       // md5 → hex → conv through interpreted lambdas plus a second

@@ -63,7 +63,7 @@ object Winnow {
     // the O(len·w) boxed window-min fold are the measured map-side
     // cost of this operator family (tools/HashExp: ~3 s per gram pass
     // at sf0.1). Bit-equal incl. dedup order (TextHashExpressionsSpec).
-    val native = df.sparkSession.catalog.functionExists("wordgram_h32")
+    val native = TextHash.nativeHash(df.sparkSession, "wordgram_h32")
     val hs =
       if (native) call_function("wordgram_h32",
         TextHash.words(col(textCol)), lit(k), lit(""), lit(0L), lit(false))
