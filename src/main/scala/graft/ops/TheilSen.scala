@@ -41,18 +41,32 @@ object TheilSen {
         TextHash.h32(concat(lit(salt + ":"), col(idCol).cast("string")))
           .as("h"), col(idCol).cast("long").as("id"))
     val w = Window.partitionBy("key").orderBy(col("h"), col("id"))
-    // No persist (function-scoped caches over lazily-returned plans
-    // leak — Winnow.pairs note). The rn≤k filter plans as a PARTIAL
-    // WindowGroupLimit (map-side per-key top-k), so the sample
-    // exchange carries ≤k rows per key; n_sample rides the sample as
-    // a second window over the SAME sorted partition instead of a
-    // separate count branch — that kills the third scan of the input
-    // and the final join back, and leaves exactly two identical
-    // sample subplans (the self-join sides) for ReuseExchange to
-    // collapse into one materialized shuffle (PlanSpec contract).
-    val sample = hashed.withColumn("rn", row_number().over(w))
+    // The rn≤k filter plans as a PARTIAL WindowGroupLimit (map-side
+    // per-key top-k), so the sample exchange carries ≤k rows per key;
+    // n_sample rides the sample as a second window over the SAME
+    // sorted partition instead of a separate count branch. The two
+    // identical self-join subplans were EXPECTED to collapse through
+    // ReuseExchange, but at broadcastable sample sizes the planner
+    // turns one side into a BroadcastExchange and the reuse never
+    // fires (r12 plan audit: 2 scans, 5 windows, 0 ReusedExchange) —
+    // hence the persist below, which computes the sample once.
+    // Interleaved A/B (LoopExp, sf0.1, local[32], median of 5):
+    // persist 1.15 s vs recompute 2.69 s. (The Winnow.pairs
+    // function-scope-cache caveat doesn't bite here: the bench/driver
+    // clear the cache between queries, the same policy as
+    // Dedup.bandedBuckets.)
+    val sample0 = hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn", "h")
       .withColumn("n_sample", count(lit(1)).over(Window.partitionBy("key")))
+    // The self-join sides do NOT share one exchange in practice: at
+    // broadcastable sample sizes one side becomes a BroadcastExchange,
+    // so the scan → rank-window → count-window subtree runs twice
+    // (plan shows 2 scans / 5 windows, 0 ReusedExchange). persist()
+    // computes it once; knob for interleaved A/B (see scaladoc).
+    val sample =
+      if (sys.props.getOrElse("graft.exp.theilsen.persistsample", "true").toBoolean)
+        sample0.persist()
+      else sample0
 
     val pairs = sample.as("a").join(sample.as("b"),
         col("a.key") === col("b.key") && col("a.x") < col("b.x"))
