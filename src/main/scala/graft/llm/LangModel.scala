@@ -46,13 +46,24 @@ object LangModel {
     val base = df.select(col(idCol).as("doc_id"), ws.as("__ws"))
 
     // (doc, w1, w2) bigram stream — map-side explode, no shuffle yet
-    val pairs = base.select(
+    val pairs0 = base.select(
       col("doc_id"),
       explode(zip_with(
         slice(col("__ws"), lit(1), size(col("__ws")) - 1),
         slice(col("__ws"), lit(2), size(col("__ws")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    // pairs feeds THREE aggregates (docBi, c2, c1) — but persisting it
+    // LOSES (r12 interleaved A/B, sf0.1, local[32], median of 5:
+    // persist 1.84/1.93/2.58 s vs recompute 1.53/1.57/2.03 s on
+    // lm_bigram_score/lm_kneser_ney/ccnet_buckets): the bigram stream
+    // is WIDER than its source (one row per word position), so caching
+    // it costs more than three cheap re-explodes whose partial aggs
+    // collapse map-side. Default recompute; knob kept.
+    val pairs =
+      if (sys.props.getOrElse("graft.exp.lm.persist", "false").toBoolean)
+        pairs0.persist()
+      else pairs0
 
     // Per-document distinct bigrams with multiplicity — the only
     // full-width shuffle; everything after carries (doc, bigram) pairs
@@ -112,13 +123,18 @@ object LangModel {
                      discount: Double = 0.75): DataFrame = {
     val ws = words(lower(trim(col(textCol))))
     val base = df.select(col(idCol).as("doc_id"), ws.as("__ws"))
-    val pairs = base.select(
+    val pairs0 = base.select(
       col("doc_id"),
       explode(zip_with(
         slice(col("__ws"), lit(1), size(col("__ws")) - 1),
         slice(col("__ws"), lit(2), size(col("__ws")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    // persist measured and rejected — see bigramScore (r12)
+    val pairs =
+      if (sys.props.getOrElse("graft.exp.lm.persist", "false").toBoolean)
+        pairs0.persist()
+      else pairs0
 
     val docBi = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))

@@ -1133,14 +1133,19 @@ object CurationQueries {
   val trainingShards: Q = Q(
     "training_shards",
     (s, dir) => {
-      // persist: the curated slice is consumed by THREE corpus passes
-      // (Bpe.train word count, Wordpiece.wordTokenCounts word count,
-      // encodeCounts' per-doc explode+join); without it each pass
-      // re-runs the curation chain downstream of its internal persist
-      // point (LSH clustering + rejoin + PrefixSum budget cut) —
-      // measured r12 (LoopExp, interleaved): see OPTIMIZATION_r12.md
+      // The curated slice is consumed by THREE corpus passes (Bpe.train
+      // word count, Wordpiece.wordTokenCounts word count, encodeCounts'
+      // per-doc explode+join). Persisting it WON the inherited-session
+      // A/B (9.6 → 8.9 s) but LOSES the post-kernel one (r12 LoopExp
+      // interleaved, sf0.1, local[32], median of 5: persist 10.6 s vs
+      // recompute 9.4 s): the text-hash kernels made the re-derived
+      // passes cheap (the chain's CC labels are checkpoint-backed and
+      // its exact-dedup table is persisted internally, so a re-read
+      // replays only joins + the PrefixSum cut), while the cache write
+      // serializes the full curated TEXT column. Default = recompute;
+      // knob kept so the balance is re-measurable.
       val persistCurated =
-        sys.props.getOrElse("graft.exp.shards.persistcurated", "true").toBoolean
+        sys.props.getOrElse("graft.exp.shards.persistcurated", "false").toBoolean
       val curated0 = curatedFrame(s, dir, keepText = true)
       val curated = if (persistCurated) curated0.persist() else curated0
       val model = Bpe.train(curated, "text", BpeMerges)

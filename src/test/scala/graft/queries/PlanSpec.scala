@@ -413,13 +413,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("self-join families reuse one exchange instead of a session-leaking persist") {
-    // winnow_pairs / dup_ngram_pairs / theilsen_slope: both self-join
-    // sides (and the df-window / count agg) sit above an identical
-    // scan→hash→exchange subplan; dup_spans pins the shared exchange
-    // explicitly with repartition(g). The contract: the expensive
-    // gram/sample shuffle materializes ONCE (ReusedExchange or a
-    // reused AQE shuffle stage) with zero persist() in the operator.
-    Seq("winnow_pairs", "dup_ngram_pairs", "dup_spans", "theilsen_slope")
+    // winnow_pairs / dup_ngram_pairs: both self-join sides (and the
+    // df-window) sit above an identical scan→hash→exchange subplan;
+    // dup_spans pins the shared exchange explicitly with
+    // repartition(g). The contract: the expensive gram shuffle
+    // materializes ONCE (ReusedExchange or a reused AQE shuffle
+    // stage) with zero persist() in the operator — persist was
+    // A/B-measured for all three in r12 and LOST (the reuse genuinely
+    // fires at bench scale).
+    Seq("winnow_pairs", "dup_ngram_pairs", "dup_spans")
       .foreach { name =>
         val df = Registry.byName(name).fn(spark, sf("sf0.01"))
         df.collect()
@@ -429,6 +431,21 @@ class PlanSpec extends SparkSpec {
         assert(plan.contains("ReusedExchange") || plan.contains("(reuses"),
           s"$name lost exchange reuse — hashing now runs per consumer:\n${plan.take(3000)}")
       }
+  }
+
+  test("theilsen_slope: the sample is persisted — broadcast defeats its exchange reuse") {
+    // The r12 measurement FALSIFIED the reuse contract for TheilSen:
+    // at broadcastable sample sizes the planner turns one self-join
+    // side into a BroadcastExchange, the scan→rank-window subtree runs
+    // twice, and ReuseExchange never fires (persist vs recompute:
+    // 1.15 s vs 2.69 s interleaved at sf0.1). The operator's contract
+    // is now the persist; the bench/driver clear the cache between
+    // queries (the Dedup.bandedBuckets policy).
+    val df = Registry.byName("theilsen_slope").fn(spark, sf("sf0.01"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"theilsen_slope lost its measured sample persist:\n${plan.take(3000)}")
   }
 
   test("native as-of directions plan as the single-merge operator — no band join, no rank pass") {
