@@ -4,7 +4,7 @@ import java.math.{BigDecimal => JBigDecimal}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, DecimalType}
+import org.apache.spark.sql.types.{DoubleType, DecimalType, LongType}
 
 /** Two-phase distributed prefix sum — the 100 TB form of the
   * reference's per-key running cumsum (SURVEY.md W1/§7.4 "3-key
@@ -86,5 +86,65 @@ object PrefixSum {
       }
     }(Encoders.row(outSchema))
     result.drop("__pid")
+  }
+
+  /** Two-phase EXCLUSIVE running max over a globally DESC-ordered long
+    * column — the skyline/prefix-max sibling of [[withRunningSum]].
+    * `Window.orderBy(...)` with no partition key moves the entire input
+    * to ONE task (Spark's own WindowExec warning); this form instead:
+    *
+    * 1. range-partitions by `orderCol` DESC (parallelism follows
+    *    `spark.sql.shuffle.partitions` / data size, not key count);
+    * 2. collects one (partition, max) row per partition to the driver
+    *    and folds them into exclusive per-partition prefix maxima —
+    *    O(partitions) metadata, never data;
+    * 3. runs the window PER PARTITION (parallel) and merges with the
+    *    broadcast offset via `greatest`.
+    *
+    * max is associative/commutative, so the result is bit-identical to
+    * the single-task window for any partition boundaries (asserted in
+    * PrefixSumSpec against the naive form). Output column is nullable
+    * LONG, null for the global first row(s) — exactly the exclusive
+    * window's frame-empty semantics. `orderCol` values must be
+    * distinct (the caller here feeds a groupBy key); with ties the
+    * single-task window's exclusive frame would itself be
+    * row-order-dependent, so the contract is the caller's anyway.
+    */
+  def withRunningMaxDesc(df: DataFrame, orderCol: String, valCol: String,
+                         outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persist: `marked` feeds both the partition-maxima pass and the
+    // final scan — without it the upstream (often an expensive
+    // aggregation) runs twice; the cached relation is the POST-agg
+    // table, no wider than its input (the r12 §5 persist rule). Same
+    // caller-clears-cache contract as withRunningSum.
+    val marked = df
+      .repartitionByRange(col(orderCol).desc)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // Exclusive prefix max of the PER-PARTITION maxima, computed as a
+    // window over the partition-id table — #partitions rows, i.e.
+    // metadata-scale (bounded by shuffle-partition config, never by
+    // data), so its single-task window is free at any data size.
+    // Range partitioning ⇒ ascending pid == descending orderCol order.
+    val pmax = marked.groupBy(col("__pid"))
+      .agg(max(col(valCol)).as("__m"))
+      .withColumn("__off", max(col("__m")).over(
+        Window.partitionBy(lit(0)).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    // Local exclusive prefix max per partition + broadcast offset fold.
+    // The window's partitionBy("__pid") keeps parallelism equal to the
+    // range partitioning; `greatest` skips the nulls of first rows /
+    // the first partition exactly like the single-task window's
+    // empty-frame NULL.
+    val localWin = Window.partitionBy(col("__pid"))
+      .orderBy(col(orderCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    marked
+      .join(broadcast(pmax), col("__pid") === col("__opid"), "left")
+      .withColumn(outCol,
+        greatest(max(col(valCol)).over(localWin), col("__off")))
+      .drop("__pid", "__opid", "__off")
   }
 }
