@@ -454,6 +454,22 @@ object Dedup {
     // Knobs kept for re-measurement.
     val fusedProbe = sys.props.getOrElse("graft.exp.cc.fusedprobe", "false").toBoolean
     val ckptLarge = sys.props.getOrElse("graft.exp.cc.ckptlarge", "true").toBoolean
+    // r13 (VERDICT #1): convergence probed via observe() metrics that
+    // ride the checkpoint actions — ZERO extra jobs per round, where
+    // the anti-join probe paid 2 jobs/round (and the r5 fused probe 1
+    // big one). Soundness: the flags count ROW-LEVEL rewrites
+    // (large: a neighbor re-attached to m ≠ u; small: a ≤-side
+    // neighbor moved to a different min), so flags==0 ⟺ both phases
+    // were the identity ⟹ small == e. The converse (set equality ⟹
+    // flags 0) is Kiveris et al. SoCC'14's potential argument: a
+    // large-star/small-star round leaves the edge set unchanged only
+    // at a star forest, where both phases are row-identities. Observe
+    // metrics may be re-reported under stage retries, but the probe
+    // only compares them to ZERO, which retries preserve. Requires
+    // ckptLarge (the metric needs large's action); knob restores the
+    // anti-join probe.
+    val obsProbe = ckptLarge &&
+      sys.props.getOrElse("graft.exp.cc.obsprobe", "true").toBoolean
     // r12 note: cc.aqeoff was measured through dedup_clusters
     // (LoopExp interleaved, sf0.1, local[32], median of 5): base
     // 4.58 s, aqeoff 7.78 s — AQE's coalescing of the pair-graph
@@ -466,13 +482,23 @@ object Dedup {
     if (aqeOff) session.conf.set(aqeKey, "false")
     try {
     // canonical undirected edges (a < b), self-loops dropped
-    var e = edges.select(
+    val e0 = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
       .distinct()
-      .localCheckpoint()
-    var converged = e.isEmpty
+    var converged = false
+    var e =
+      if (obsProbe) {
+        val obs0 = org.apache.spark.sql.Observation()
+        val ck = e0.observe(obs0, count(lit(1)).as("n")).localCheckpoint()
+        converged = obs0.get("n").asInstanceOf[Long] == 0L // rides the ckpt job
+        ck
+      } else {
+        val ck = e0.localCheckpoint()
+        converged = ck.isEmpty
+        ck
+      }
     var i = 0
     while (!converged && i < maxIter) {
       // ---- large-star: (v > u) -> min(Γ(u) ∪ {u})
@@ -480,7 +506,15 @@ object Dedup {
         .union(e.select(col("b").as("u"), col("a").as("v"))) // ...reuses e's checkpoint
       val mins = nbrs.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val largeRaw = nbrs.join(mins, "u")
+      val obsL = org.apache.spark.sql.Observation()
+      val joinedL0 = nbrs.join(mins, "u")
+      // changed(large) = some v>u re-attached below u (m ≠ u); for
+      // v>u rows m ≤ u < v always, so m ≠ u ⟺ the emitted edge
+      // differs from the input edge
+      val joinedL = if (obsProbe) joinedL0.observe(obsL,
+        sum(when(col("v") > col("u") && col("m") =!= col("u"), 1L)
+          .otherwise(0L)).as("chg")) else joinedL0
+      val largeRaw = joinedL
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(least(col("v"), col("m")).as("a"), greatest(col("v"), col("m")).as("b"))
         .distinct()
@@ -488,7 +522,15 @@ object Dedup {
       // ---- small-star: (v ≤ u) ∪ {u} -> min of that set
       val nbrsL = large.select(col("b").as("u"), col("a").as("v")) // v < u by canon
       val minsL = nbrsL.groupBy("u").agg(min(col("v")).as("m"))
-      val small = nbrsL.join(minsL, "u")
+      val obsS = org.apache.spark.sql.Observation()
+      val joinedS0 = nbrsL.join(minsL, "u")
+      // changed(small) = some ≤-side neighbor moved to a different
+      // min (v ≠ m); the singleton group (k=1, v = m) re-emits its
+      // edge unchanged
+      val joinedS = if (obsProbe) joinedS0.observe(obsS,
+        sum(when(col("v") =!= col("m"), 1L).otherwise(0L)).as("chg"))
+        else joinedS0
+      val small = joinedS
         .select(col("v"), col("m"), col("u"))
         .select(explode(array(
           struct(col("v").as("x"), col("m")),
@@ -499,11 +541,13 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // fixpoint when the round was a no-op (star forests are
-      // invariant under both phases); set equality via two anti-joins
-      // over the checkpointed tables — fused into ONE Spark job per
-      // round via union when the knob is on
+      // invariant under both phases): observe flags (zero extra jobs,
+      // see obsProbe note) or the r12 set-equality anti-joins
       converged =
-        if (fusedProbe)
+        if (obsProbe)
+          obsS.get("chg").asInstanceOf[Long] == 0L &&
+            obsL.get("chg").asInstanceOf[Long] == 0L
+        else if (fusedProbe)
           small.join(e, Seq("a", "b"), "left_anti")
             .union(e.join(small, Seq("a", "b"), "left_anti"))
             .isEmpty

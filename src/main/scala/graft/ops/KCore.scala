@@ -46,6 +46,14 @@ object KCore {
     // re-planning latency (same verdict as Communities, opposite of
     // PageRank's node-sized state). Defaults = the measured winner
     // (plain loop); knobs kept so the verdict is re-measurable.
+    // NOTE (r12 ADVICE): the aqeoff conf is restored in `finally`,
+    // i.e. when this function RETURNS its lazy result — it therefore
+    // binds only on subplans executed eagerly inside the loop (the
+    // eager checkpoints below), not on the returned plan's final
+    // action. An A/B arm that needs AQE off END-TO-END must set the
+    // session conf around the action itself (caller-side), not rely
+    // on this knob; the recorded aqeoff numbers measure the
+    // eager-subplan effect only.
     val aqeOff = sys.props.getOrElse("graft.exp.kcore.aqeoff", "false").toBoolean
     val ckpt = sys.props.getOrElse("graft.exp.kcore.ckpt", "false").toBoolean
     val session = edges.sparkSession
@@ -53,10 +61,24 @@ object KCore {
     val prevAqe = session.conf.get(aqeKey)
     if (aqeOff) session.conf.set(aqeKey, "false")
     try {
-    val und = edges.select(col(srcCol).cast("long").as("a"),
+    // r13: EAGER materialization per round (default). StageProf on the
+    // r12 lazy plan showed the `und` union+distinct map stages running
+    // TWICE (two 6-task/11 MB shuffle-write stages) and each round's
+    // subtree re-executing under its successors' broadcast builds —
+    // cur_{r+1} references cur_r three times (degree agg + two
+    // semi-join probes) and neither lazy localCheckpoint(eager=false)
+    // nor ReuseExchange deduplicates across the concurrently-built
+    // broadcast stages. Eager per-round checkpoints make every round
+    // compute ONCE: interleaved A/B (local[32], sf0.1, median of 5)
+    // lazy 4.36 s → eager 2.66 s, direction stable across windows.
+    // (The r12 "ckpt loses" verdict measured eager=false + AQE-off —
+    // a different arm.) Lazy shape kept behind the knob.
+    val eager = sys.props.getOrElse("graft.exp.kcore.eager", "true").toBoolean
+    val und0 = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long"), col(srcCol).cast("long")))
       .distinct()
+    val und = if (eager) und0.localCheckpoint() else und0
     var cur = und
     for (_ <- 1 to rounds) {
       val keep = cur.groupBy("a").agg(count(lit(1)).as("deg"))
@@ -64,7 +86,8 @@ object KCore {
       val next = cur.join(keep.withColumnRenamed("a", "ka"), col("a") === col("ka"))
         .join(keep.withColumnRenamed("a", "kb"), col("b") === col("kb"))
         .select("a", "b")
-      cur = if (ckpt) next.localCheckpoint(eager = false) else next
+      cur = if (eager) next.localCheckpoint()
+            else if (ckpt) next.localCheckpoint(eager = false) else next
     }
     cur.groupBy("a").agg(count(lit(1)).as("deg"))
       .select(col("a").as("id"), col("deg"))

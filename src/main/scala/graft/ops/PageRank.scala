@@ -69,16 +69,28 @@ object PageRank {
       .distinct().persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct().persist()
-    // 1-row scalar table: N, the uniform init FP/N, and the teleport
-    // term 0.15·init — broadcast into every step, never collected
+    // 1-row scalar: N, the uniform init FP/N, the teleport term
+    // 0.15·init. r13: folded to DRIVER LITERALS (one 1-row head() on
+    // the persisted node table — the PrefixSum metadata-collect
+    // pattern, O(1) rows at any scale). The r12 form crossJoined a
+    // broadcast 1-row aggregate into EVERY iteration, which rebuilt
+    // the broadcast (and re-ran the node count) once per checkpointed
+    // step — ~2 extra jobs per iteration for two constants (StageProf:
+    // supplier_pagerank ran 34 jobs for 3 iterations). Same exact
+    // integers, oracle unchanged. Old arm behind the knob.
+    val c0lit = !sys.props.getOrElse("graft.exp.pagerank.c0bcast", "false").toBoolean
     val c0 = nodes.agg(count(lit(1)).as("n"))
       .select(
         expr(s"$FP div n").as("init"),
         expr(s"(15 * ($FP div n)) div 100").as("base"))
+    val (initLit, baseLit) =
+      if (c0lit) { val row = c0.head(); (row.getLong(0), row.getLong(1)) }
+      else (0L, 0L)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src").persist()
-    var r = nodes.crossJoin(broadcast(c0))
-      .select(col("id"), col("init").as("r"))
+    var r = (if (c0lit) nodes.select(col("id"), lit(initLit).as("r"))
+             else nodes.crossJoin(broadcast(c0))
+               .select(col("id"), col("init").as("r")))
       .localCheckpoint()
     for (it <- 1 to iters) {
       // Shuffle join on src each iteration. broadcast(r) was measured
@@ -91,10 +103,15 @@ object PageRank {
       val contrib = eDeg.join(r, eDeg("src") === r("id"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      val rNext = nodes.crossJoin(broadcast(c0))
-        .join(contrib, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (col("base") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+      val rNext = (if (c0lit)
+          nodes.join(contrib, col("id") === col("dst"), "left")
+            .select(col("id"),
+              (lit(baseLit) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        else
+          nodes.crossJoin(broadcast(c0))
+            .join(contrib, col("id") === col("dst"), "left")
+            .select(col("id"),
+              (col("base") + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
       // lineage truncation every ckptEvery iterations (always on the
       // last): a skipped checkpoint saves one materialization job but
       // deepens the next iteration's plan by one join+agg level

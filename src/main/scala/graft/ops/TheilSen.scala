@@ -27,6 +27,15 @@ import graft.llm.TextHash
   * LangModel policy); the median is rank selection (lower median) on
   * integers. Equal-x pairs are excluded by the a.x < b.x join
   * predicate (slope undefined; both engines drop identically).
+  *
+  * CACHING CONTRACT (r12 ADVICE): [[slope]] persists its bottom-k
+  * sample (knob `graft.exp.theilsen.persistsample`) and returns a
+  * lazy DataFrame that references the cache entry — the entry is NOT
+  * unpersisted here (the result must stay computable, and the helper
+  * cannot know when the caller's last action runs). The engine's own
+  * callers (Bench/Verify) `clearCache()` between queries; a library
+  * caller embedding this in a long-lived session should do the same
+  * after consuming the result, or disable the knob.
   */
 object TheilSen {
 

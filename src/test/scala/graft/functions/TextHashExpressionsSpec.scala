@@ -100,6 +100,29 @@ class TextHashExpressionsSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("wordgram_h32 null ARRAY ELEMENTS: skipped in n>=2 windows, null hash at n=1") {
+    // Pins the CHOSEN semantics (r12 ADVICE): for n >= 2 a null element
+    // is dropped from its window like array_join (["a", null, "b"] has
+    // 2-gram windows joining to "a" and "b"); for n = 1 it maps to a
+    // null hash (transform semantics). No production caller produces
+    // null elements today (words() = split never does) — this test
+    // documents what happens if one ever did, so native and portable
+    // arms can be held to the same contract.
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"))
+    val d = Seq(Tuple1(1L)).toDF("doc_id")
+    assertColsEqual(d,
+      call_function("wordgram_h32", arr, lit(2), lit(""), lit(0L), lit(false)),
+      array(h32(lit("a")), h32(lit("b"))))
+    assertColsEqual(d,
+      call_function("wordgram_h32", arr, lit(1), lit(""), lit(0L), lit(false)),
+      array(h32(lit("a")), lit(null).cast("long"), h32(lit("b"))))
+    // all-null window (n = 2 over [null, null, "b"]): joins to "" then "b"
+    val arr2 = array(lit(null).cast("string"), lit(null).cast("string"), lit("b"))
+    assertColsEqual(d,
+      call_function("wordgram_h32", arr2, lit(2), lit(""), lit(0L), lit(false)),
+      array(h32(lit("")), h32(lit("b"))))
+  }
+
   // ---- ngram_h32_set ----
 
   test("ngram_h32_set equals the char-trigram HOF chain (n=3, modP=4)") {
