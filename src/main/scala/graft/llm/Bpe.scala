@@ -133,9 +133,18 @@ object Bpe {
     * it selects, so a batch that keeps m merges divides the loop's
     * fixed per-round cost by m. Measured r12 (LoopExp, sf0.1,
     * interleaved): see OPTIMIZATION_r12.md.
+    *
+    * r13: default flipped to 8 — the r12 commit added the machinery
+    * but left the default at 1. Interleaved A/B (local[32], sf0.1,
+    * median of 5): bpe_vocab 0.96→0.77, bpe_encode 1.25→0.90,
+    * wordpiece_encode 1.61→1.23, training_shards flat (6.21→6.33,
+    * within noise — its BPE stage is a small slice). Bit-identity of
+    * batched vs sequential selection is BpeSpec-property-pinned
+    * (5 seeds × 3 batch widths + the pre-existing-product trap), so
+    * the flip cannot change any query's results.
     */
   private[graft] def defaultBatch: Int =
-    sys.props.getOrElse("graft.exp.bpe.batch", "1").toInt
+    sys.props.getOrElse("graft.exp.bpe.batch", "8").toInt
 
   def train(df: DataFrame, textCol: String, numMerges: Int,
             batch: Int = defaultBatch): BpeModel = {
